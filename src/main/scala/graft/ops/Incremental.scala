@@ -1,0 +1,165 @@
+package graft.ops
+
+import graft.QueryDef
+import graft.util.Tables
+import org.apache.spark.sql.functions._
+
+/** The reference's own semantics, re-grounded on the `events` fixture
+  * (SURVEY.md §2.10, §3): watermark → bounded delta → daily per-group
+  * mean → append. Plus the batch analogs of the three streaming window
+  * kinds (tumbling / sliding / session); the live Structured Streaming
+  * variants are in graft.streaming and are MemoryStream-tested (no
+  * oracle — runtime semantics, SURVEY.md §5.2.4).
+  *
+  * Determinism: raw `events.ts` is nanosecond-precision and never
+  * emitted or compared un-truncated (SURVEY.md §7.4). Window starts are
+  * emitted as epoch SECONDS (BIGINT) so both engines hash identically.
+  */
+object Incremental {
+
+  /** Round-to-4-decimals as explicit IEEE arithmetic: floor(x*1e4+0.5)/1e4.
+    * Engine-native ROUND diverges at exact half-way quotients (Java rounds
+    * the shortest decimal repr HALF_UP; DuckDB rounds the binary value) —
+    * observed on sf0.001. Identical double ops on identical inputs are
+    * bit-identical on both engines; the oracle mirrors this formula. */
+  private[ops] def r4(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    floor(c * lit(1e4) + lit(0.5)).cast("double") / lit(1e4)
+
+  /** FLAGSHIP — the reference's core computation (energy_etl.py:69-70):
+    * reduce each (day, group)'s records to one mean row. 24×+ volume cut
+    * happens map-side via partial aggregation before the shuffle.
+    *
+    * The mean is computed as SUM(decimal)/COUNT rather than AVG(double):
+    * decimal addition is exact and associative, so the numerator is
+    * bit-identical regardless of partial-aggregation order — double
+    * summation order differs between engines and a 1-ulp drift at a
+    * ROUND half-way boundary flips the 4th decimal (observed at
+    * sf0.001). */
+  private val dailyAvg = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .groupBy(to_date($"ts").as("date"), $"event_type")
+        .agg(
+          r4(sum($"value".cast("decimal(28,10)")).cast("double") /
+            count(lit(1))).as("avg_value"),
+          count(lit(1)).as("n"))
+        .orderBy($"date", $"event_type")
+    },
+    """SELECT CAST(ts AS DATE) AS date, event_type,
+      |       FLOOR(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) * 10000 + 0.5) / 10000.0 AS avg_value,
+      |       COUNT(*) AS n
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+
+  /** Watermark scalar — MAX(date) resume point (energy_etl.py:25-28,:32). */
+  private val watermarkMax = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .agg(max(to_date($"ts")).as("latest_date"), count(lit(1)).as("n"))
+    },
+    """SELECT MAX(CAST(ts AS DATE)) AS latest_date, COUNT(*) AS n
+      |FROM events""".stripMargin)
+
+  /** Watermark-driven delta batch (energy_etl.py:41-48): compute
+    * MAX(ts) over the already-loaded half, then process only newer rows.
+    * The single-scalar collect is the one permitted driver-side read
+    * (SURVEY.md §7.5); everything else stays distributed. Truncated to
+    * second granularity so both engines compare identical instants. */
+  private val incrementalDelta = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+      val cutoff = to_timestamp(lit("2024-01-15 00:00:00"))
+      val wm = ev.filter($"ts" < cutoff)
+        .agg(max(date_trunc("second", $"ts")))
+        .first().getTimestamp(0)
+      ev.filter(date_trunc("second", $"ts") > lit(wm))
+        .groupBy(to_date($"ts").as("date"))
+        .agg(count(lit(1)).as("n"),
+          r4(sum($"value".cast("decimal(28,10)")).cast("double") /
+            count(lit(1))).as("avg_value"))
+        .orderBy($"date")
+    },
+    """SELECT CAST(ts AS DATE) AS date, COUNT(*) AS n,
+      |       FLOOR(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) * 10000 + 0.5) / 10000.0 AS avg_value
+      |FROM events
+      |WHERE date_trunc('second', ts) >
+      |      (SELECT MAX(date_trunc('second', ts)) FROM events
+      |       WHERE ts < TIMESTAMP '2024-01-15 00:00:00')
+      |GROUP BY 1 ORDER BY 1""".stripMargin)
+
+  /** Tumbling 1-day window — batch analog of the streaming daily agg
+    * (reference's daily bucketing :69-70 = 1-day tumbling window). */
+  private val streamTumbling = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .groupBy(window($"ts", "1 day"), $"event_type")
+        .agg(count(lit(1)).as("n"), round(sum($"value"), 4).as("sval"))
+        .select($"window.start".cast("date").as("day"), $"event_type", $"n", $"sval")
+        .orderBy($"day", $"event_type")
+    },
+    """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+      |       COUNT(*) AS n, ROUND(SUM(value),4) AS sval
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+
+  /** Sliding window (6h size, 3h slide): each event lands in exactly two
+    * windows; start emitted as epoch seconds. Oracle replays the window
+    * assignment arithmetic (epoch-aligned, same as Spark's origin). */
+  private val streamSliding = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .groupBy(window($"ts", "6 hours", "3 hours"), $"event_type")
+        .agg(count(lit(1)).as("n"), round(sum($"value"), 4).as("sval"))
+        .select($"window.start".cast("long").as("ws_epoch"), $"event_type",
+          $"n", $"sval")
+        .orderBy($"ws_epoch", $"event_type")
+    },
+    """SELECT ws_epoch, event_type, COUNT(*) AS n, ROUND(SUM(value),4) AS sval
+      |FROM (
+      |  SELECT CAST(FLOOR(epoch(ts)/10800) AS BIGINT)*10800 - o.o*10800 AS ws_epoch,
+      |         event_type, value
+      |  FROM events CROSS JOIN (VALUES (CAST(0 AS BIGINT)), (CAST(1 AS BIGINT))) o(o))
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+
+  /** Session window (6h gap) per user — batch analog. Oracle mirrors
+    * Spark's boundary rule: a gap of EXACTLY the timeout starts a new
+    * session (event joins a session only while ts < session end). */
+  private val sessionWindow = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .groupBy(session_window($"ts", "6 hours"), $"user_id")
+        .agg(count(lit(1)).as("n"), round(sum($"value"), 4).as("sval"))
+        .select($"user_id",
+          $"session_window.start".cast("long").as("session_start"),
+          $"n", $"sval")
+        .orderBy($"user_id", $"session_start")
+    },
+    """WITH marked AS (
+      |  SELECT user_id, ts, value, event_id,
+      |         CASE WHEN LAG(ts) OVER w IS NULL
+      |                OR ts - LAG(ts) OVER w >= INTERVAL 6 HOUR
+      |              THEN 1 ELSE 0 END AS new_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sessions AS (
+      |  SELECT user_id, ts, value,
+      |         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                          ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM marked)
+      |SELECT user_id, CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS session_start,
+      |       COUNT(*) AS n, ROUND(SUM(value),4) AS sval
+      |FROM sessions GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin)
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+    "q_daily_avg" -> dailyAvg,
+    "q_watermark_max" -> watermarkMax,
+    "q_incremental_delta" -> incrementalDelta,
+    "q_stream_tumbling" -> streamTumbling,
+    "q_stream_sliding" -> streamSliding,
+    "q_session_window" -> sessionWindow)
+}

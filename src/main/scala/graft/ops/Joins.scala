@@ -1,0 +1,177 @@
+package graft.ops
+
+import graft.QueryDef
+import graft.util.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Join inventory (SURVEY.md §2.3). The reference has no two-table join —
+  * its only cross-table dataflow is the scalar watermark lookup
+  * (energy_etl.py:41-43, covered in Incremental.scala) — so these are the
+  * EXT generalization over the star-schema fixtures.
+  *
+  * Scale notes (100 TB):
+  *  - fact⋈fact (lineitem⋈orders) shuffles on the join key — at scale,
+  *    co-locate via bucketing on orderkey; AQE handles skew splitting.
+  *  - dim tables (region/nation, and customer up to ~GB) are broadcast —
+  *    explicit `broadcast()` hints below keep the plan shuffle-free on
+  *    the dim side regardless of stats.
+  *  - the non-equi range join keeps a broadcast nested-loop ONLY because
+  *    one side is pre-filtered to a small set; never BNLJ two fact tables.
+  *  - the as-of join is equi on the key + range on time: Spark plans a
+  *    shuffled join on the equi key, then row_number(1) picks the latest
+  *    match — the standard scalable as-of pattern (no driver collection).
+  */
+object Joins {
+
+  private val joinInner = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), $"o_custkey" === $"c_custkey")
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n"), round(sum($"o_totalprice"), 4).as("rev"))
+        .orderBy($"c_mktsegment")
+    },
+    """SELECT c_mktsegment, COUNT(*) AS n, ROUND(SUM(o_totalprice),4) AS rev
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+
+  /** 5-table star join; dims broadcast so only the fact tables shuffle. */
+  private val joinMultiway = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey")
+        .join(Tables.customer(s, dir), $"o_custkey" === $"c_custkey")
+        .join(broadcast(Tables.nation(s, dir)), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(Tables.region(s, dir)), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"r_name", $"n_name")
+        .agg(
+          round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4).as("rev"),
+          count(lit(1)).as("n"))
+        .orderBy($"r_name", $"n_name")
+    },
+    """SELECT r_name, n_name,
+      |       ROUND(SUM(l_extendedprice * (1.0 - l_discount)),4) AS rev,
+      |       COUNT(*) AS n
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin)
+
+  private val joinOuter = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir), $"c_custkey" === $"o_custkey", "left")
+        .groupBy($"c_custkey", $"c_name")
+        .agg(
+          count($"o_orderkey").as("n_orders"),
+          coalesce(round(sum($"o_totalprice"), 4), lit(0.0)).as("total"))
+        .orderBy($"c_custkey")
+    },
+    """SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders,
+      |       COALESCE(ROUND(SUM(o_totalprice),4), 0.0) AS total
+      |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin)
+
+  private val joinSemi = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val bigOrders = Tables.orders(s, dir).filter($"o_totalprice" > 150000)
+      Tables.customer(s, dir)
+        .join(bigOrders, $"c_custkey" === $"o_custkey", "left_semi")
+        .select($"c_custkey", $"c_mktsegment")
+        .orderBy($"c_custkey")
+    },
+    """SELECT c_custkey, c_mktsegment FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_totalprice > 150000)
+      |ORDER BY c_custkey""".stripMargin)
+
+  private val joinAnti = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val bigOrders = Tables.orders(s, dir).filter($"o_totalprice" > 150000)
+      Tables.customer(s, dir)
+        .join(bigOrders, $"c_custkey" === $"o_custkey", "left_anti")
+        .select($"c_custkey", $"c_mktsegment")
+        .orderBy($"c_custkey")
+    },
+    """SELECT c_custkey, c_mktsegment FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_totalprice > 150000)
+      |ORDER BY c_custkey""".stripMargin)
+
+  /** Non-equi (range) join: lineitem prices vs a small filtered part slice.
+    * The small side is broadcast → nested-loop stays bounded; at 100 TB the
+    * same query runs as broadcast-NLJ as long as the build side fits, else
+    * bin the ranges into an equi prefix (documented, not needed here). */
+  private val joinRange = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val p = Tables.part(s, dir).filter($"p_size" === 25)
+        .select($"p_partkey", $"p_retailprice")
+      val l = Tables.lineitem(s, dir)
+        .filter($"l_shipdate" >= to_timestamp(lit("1997-01-01 00:00:00")) &&
+          $"l_shipdate" < to_timestamp(lit("1997-03-01 00:00:00")))
+        .select($"l_extendedprice")
+      l.join(broadcast(p),
+          $"l_extendedprice" >= $"p_retailprice" - 50 &&
+          $"l_extendedprice" < $"p_retailprice" + 50)
+        .groupBy($"p_partkey")
+        .agg(count(lit(1)).as("n"), round(sum($"l_extendedprice"), 4).as("s"))
+        .orderBy($"p_partkey")
+    },
+    """SELECT p_partkey, COUNT(*) AS n, ROUND(SUM(l_extendedprice),4) AS s
+      |FROM lineitem JOIN part
+      |  ON l_extendedprice >= p_retailprice - 50
+      | AND l_extendedprice <  p_retailprice + 50
+      |WHERE p_size = 25
+      |  AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate <  TIMESTAMP '1997-03-01 00:00:00'
+      |GROUP BY p_partkey ORDER BY p_partkey""".stripMargin)
+
+  /** As-of join: latest order at-or-before each event's timestamp for that
+    * user. Spark: equi+range join then row_number()=1 with an explicit
+    * total tie-break (SURVEY.md §7.5 — mirrored in the oracle as a
+    * correlated LIMIT 1 rather than DuckDB ASOF, whose tie choice is
+    * unspecified). */
+  private val joinAsof = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val e = Tables.events(s, dir).select($"event_id", $"user_id", $"ts")
+      val o = Tables.orders(s, dir)
+        .select($"o_orderkey", $"o_custkey", $"o_orderdate")
+      val w = Window.partitionBy($"event_id")
+        .orderBy($"o_orderdate".desc, $"o_orderkey".desc)
+      e.join(o, $"user_id" === $"o_custkey" && $"o_orderdate" <= $"ts", "left")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"event_id", $"user_id", $"o_orderkey".as("asof_orderkey"),
+          to_date($"o_orderdate").as("asof_date"))
+        .orderBy($"event_id")
+    },
+    """WITH m AS (
+      |  SELECT e.event_id, e.user_id,
+      |         (SELECT o.o_orderkey FROM orders o
+      |          WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+      |          ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1) AS asof_orderkey
+      |  FROM events e)
+      |SELECT m.event_id, m.user_id, m.asof_orderkey,
+      |       CAST(o.o_orderdate AS DATE) AS asof_date
+      |FROM m LEFT JOIN orders o ON m.asof_orderkey = o.o_orderkey
+      |ORDER BY m.event_id""".stripMargin)
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+    "q_join_inner" -> joinInner,
+    "q_join_multiway" -> joinMultiway,
+    "q_join_outer" -> joinOuter,
+    "q_join_semi" -> joinSemi,
+    "q_join_anti" -> joinAnti,
+    "q_join_range" -> joinRange,
+    "q_join_asof" -> joinAsof)
+}

@@ -1,0 +1,452 @@
+package graft.ops
+
+import graft.QueryDef
+import graft.util.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Scans, filters, aggregations, set ops and scalar-function queries
+  * (SURVEY.md §2.1, §2.2, §2.4, §2.7, §2.8).
+  *
+  * Every builder is a pure `(spark, sfDir) => DataFrame` over the
+  * fixture parquet; filters/projections are plain Catalyst expressions
+  * so predicate pushdown + column pruning reach the parquet scan
+  * (verified via .explain in RelationalSpec).
+  *
+  * Scale notes (100 TB): all aggregations here are hash aggregates with
+  * partial (map-side) combine — shuffle carries only group keys ×
+  * partial states, never raw rows. No driver-side collection anywhere.
+  * Reference behavior being generalized: the daily-mean / projection /
+  * predicate surface of `/root/reference/scripts/energy_etl.py`
+  * (:55,:65,:69-70,:92-97).
+  */
+object Relational {
+
+  // ---------------------------------------------------------------- scans
+
+  /** Scan + project + derived literal column (reference energy_etl.py:70,:100
+    * — the `load_timestamp` constant becomes a deterministic literal). */
+  private val scanProject = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .select(
+          $"l_orderkey",
+          $"l_linenumber".cast("long").as("l_linenumber"),
+          $"l_extendedprice",
+          $"l_returnflag")
+        .withColumn("load_date", to_date(lit("2026-01-01")))
+        .orderBy($"l_orderkey", $"l_linenumber")
+        .limit(100)
+    },
+    """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+      |       l_extendedprice, l_returnflag, DATE '2026-01-01' AS load_date
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin)
+
+  /** Compound predicates: BETWEEN / IN / NOT / AND / OR / equality plus a
+    * timestamp range (reference :55,:65; generalized §2.2). */
+  private val filterPred = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .filter(
+          $"l_shipdate".between(
+            to_timestamp(lit("1996-01-01 00:00:00")),
+            to_timestamp(lit("1996-12-31 23:59:59"))) &&
+          $"l_returnflag".isin("A", "N") &&
+          !($"l_discount" < 0.02) &&
+          ($"l_quantity" > 45 || $"l_tax" === 0.0))
+        .select(
+          $"l_orderkey",
+          $"l_linenumber".cast("long").as("l_linenumber"),
+          to_date($"l_shipdate").as("ship_date"),
+          $"l_quantity", $"l_discount", $"l_tax")
+        .orderBy($"l_orderkey", $"l_linenumber")
+    },
+    """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+      |       CAST(l_shipdate AS DATE) AS ship_date, l_quantity, l_discount, l_tax
+      |FROM lineitem
+      |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1996-12-31 23:59:59'
+      |  AND l_returnflag IN ('A','N') AND NOT (l_discount < 0.02)
+      |  AND (l_quantity > 45 OR l_tax = 0.0)
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+
+  // ------------------------------------------------------------ aggregates
+
+  /** TPC-H Q1 shape: grouped sum/avg/min/max/count/stddev (§2.4).
+    * Partial aggregation reduces 100 TB of lineitem to |groups| rows
+    * per partition before the shuffle. */
+  private val aggBasic = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          round(sum($"l_quantity"), 4).as("sum_qty"),
+          round(sum($"l_extendedprice"), 4).as("sum_base"),
+          round(avg($"l_quantity"), 4).as("avg_qty"),
+          round(avg($"l_extendedprice"), 4).as("avg_price"),
+          round(min($"l_discount"), 4).as("min_disc"),
+          round(max($"l_tax"), 4).as("max_tax"),
+          round(stddev_samp($"l_quantity"), 4).as("sd_qty"),
+          count(lit(1)).as("n"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    },
+    """SELECT l_returnflag, l_linestatus,
+      |       ROUND(SUM(l_quantity),4) AS sum_qty,
+      |       ROUND(SUM(l_extendedprice),4) AS sum_base,
+      |       ROUND(AVG(l_quantity),4) AS avg_qty,
+      |       ROUND(AVG(l_extendedprice),4) AS avg_price,
+      |       ROUND(MIN(l_discount),4) AS min_disc,
+      |       ROUND(MAX(l_tax),4) AS max_tax,
+      |       ROUND(STDDEV_SAMP(l_quantity),4) AS sd_qty,
+      |       COUNT(*) AS n
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+
+  /** Exact COUNT(DISTINCT) — Spark plans the expand + two-phase agg (§2.4). */
+  private val aggDistinct = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      Tables.orders(s, dir)
+        .groupBy($"o_orderstatus")
+        .agg(
+          countDistinct($"o_custkey").as("n_cust"),
+          countDistinct($"o_orderpriority").as("n_prio"),
+          count(lit(1)).as("n"))
+        .orderBy($"o_orderstatus")
+    },
+    """SELECT o_orderstatus,
+      |       COUNT(DISTINCT o_custkey) AS n_cust,
+      |       COUNT(DISTINCT o_orderpriority) AS n_prio,
+      |       COUNT(*) AS n
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+
+  /** ROLLUP + grouping_id (§2.4). gid disambiguates the NULL rollup rows. */
+  private val rollup = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      Tables.orders(s, dir)
+        .rollup($"o_orderstatus", $"o_orderpriority")
+        .agg(
+          grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n"),
+          round(sum($"o_totalprice"), 4).as("total"))
+        .orderBy($"gid", $"o_orderstatus".asc_nulls_first,
+          $"o_orderpriority".asc_nulls_first)
+    },
+    """SELECT o_orderstatus, o_orderpriority,
+      |       CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+      |       COUNT(*) AS n, ROUND(SUM(o_totalprice),4) AS total
+      |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+      |ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
+
+  /** Pivot event_type → columns — the Power BI per-zone-card analog
+    * (reference images/Powerbi.png; SURVEY.md §2.4). Mean = exact
+    * decimal SUM / COUNT, not AVG(double) — see Incremental.dailyAvg. */
+  private val pivot = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .groupBy(to_date($"ts").as("date"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(Incremental.r4(sum($"value".cast("decimal(28,10)")).cast("double") /
+          count($"value")))
+        .orderBy($"date")
+    },
+    """SELECT CAST(ts AS DATE) AS date,
+      |       FLOOR(CAST(SUM(CAST(value AS DECIMAL(28,10))) FILTER (WHERE event_type='click') AS DOUBLE)
+      |             / COUNT(value) FILTER (WHERE event_type='click') * 10000 + 0.5) / 10000.0    AS click,
+      |       FLOOR(CAST(SUM(CAST(value AS DECIMAL(28,10))) FILTER (WHERE event_type='view') AS DOUBLE)
+      |             / COUNT(value) FILTER (WHERE event_type='view') * 10000 + 0.5) / 10000.0     AS view,
+      |       FLOOR(CAST(SUM(CAST(value AS DECIMAL(28,10))) FILTER (WHERE event_type='purchase') AS DOUBLE)
+      |             / COUNT(value) FILTER (WHERE event_type='purchase') * 10000 + 0.5) / 10000.0 AS purchase,
+      |       FLOOR(CAST(SUM(CAST(value AS DECIMAL(28,10))) FILTER (WHERE event_type='signup') AS DOUBLE)
+      |             / COUNT(value) FILTER (WHERE event_type='signup') * 10000 + 0.5) / 10000.0   AS signup,
+      |       FLOOR(CAST(SUM(CAST(value AS DECIMAL(28,10))) FILTER (WHERE event_type='error') AS DOUBLE)
+      |             / COUNT(value) FILTER (WHERE event_type='error') * 10000 + 0.5) / 10000.0    AS error
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
+
+  // ------------------------------------------------------- sorts / limits
+
+  /** Multi-key sort with explicit null ordering (§2.6). */
+  private val sortMulti = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      Tables.customer(s, dir)
+        .select($"c_custkey", $"c_name", $"c_mktsegment", $"c_acctbal")
+        .orderBy($"c_mktsegment".asc_nulls_first, $"c_acctbal".desc_nulls_last,
+          $"c_custkey")
+    },
+    """SELECT c_custkey, c_name, c_mktsegment, c_acctbal FROM customer
+      |ORDER BY c_mktsegment ASC NULLS FIRST, c_acctbal DESC NULLS LAST, c_custkey""".stripMargin)
+
+  /** Global top-k → TakeOrderedAndProject, no full sort at scale (§2.6). */
+  private val topk = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      Tables.orders(s, dir)
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"o_orderstatus")
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+        .limit(10)
+    },
+    """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin)
+
+  // ----------------------------------------------------------------- sets
+
+  /** UNION ALL — the reference's WRITE_APPEND semantics (energy_etl.py:105). */
+  private val unionAll = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val c = Tables.customer(s, dir)
+      val a = c.filter($"c_custkey" % 3 === 0)
+        .select($"c_custkey", $"c_mktsegment", lit("a").as("tag"))
+      val b = c.filter($"c_custkey" % 2 === 0)
+        .select($"c_custkey", $"c_mktsegment", lit("b").as("tag"))
+      a.unionByName(b).orderBy($"c_custkey", $"tag")
+    },
+    """SELECT c_custkey, c_mktsegment, 'a' AS tag FROM customer WHERE c_custkey % 3 = 0
+      |UNION ALL
+      |SELECT c_custkey, c_mktsegment, 'b' AS tag FROM customer WHERE c_custkey % 2 = 0
+      |ORDER BY c_custkey, tag""".stripMargin)
+
+  private val unionDistinct = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val c = Tables.customer(s, dir)
+      val a = c.filter($"c_custkey" % 3 === 0).select($"c_custkey", $"c_mktsegment")
+      val b = c.filter($"c_custkey" % 2 === 0).select($"c_custkey", $"c_mktsegment")
+      a.union(b).distinct().orderBy($"c_custkey")
+    },
+    """SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 3 = 0
+      |UNION
+      |SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 2 = 0
+      |ORDER BY c_custkey""".stripMargin)
+
+  /** INTERSECT + EXCEPT composed into one tagged result (§2.7). */
+  private val intersectExcept = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val c = Tables.customer(s, dir)
+      val a = c.filter($"c_custkey" % 3 === 0).select($"c_custkey", $"c_mktsegment")
+      val b = c.filter($"c_custkey" % 2 === 0).select($"c_custkey", $"c_mktsegment")
+      val both = a.intersect(b).withColumn("tag", lit("both"))
+      val onlyA = a.except(b).withColumn("tag", lit("only_a"))
+      both.unionByName(onlyA).orderBy($"tag", $"c_custkey")
+    },
+    """WITH a AS (SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 3 = 0),
+      |     b AS (SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 2 = 0)
+      |SELECT c_custkey, c_mktsegment, 'both' AS tag FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+      |UNION ALL
+      |SELECT c_custkey, c_mktsegment, 'only_a' AS tag FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+      |ORDER BY tag, c_custkey""".stripMargin)
+
+  // ------------------------------------------------------ scalar functions
+
+  /** String functions: concat/substr/upper/lower/trim/like/regexp/format/lpad
+    * (reference :19,:56 URL formatting generalized; §2.8). */
+  private val stringFuncs = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      Tables.part(s, dir)
+        .filter($"p_name".like("%a%"))
+        .select(
+          $"p_partkey",
+          upper($"p_name").as("uname"),
+          lower($"p_brand").as("lbrand"),
+          substring($"p_type", 1, 5).as("type5"),
+          length($"p_name").cast("long").as("name_len"),
+          concat($"p_brand", lit("#"), $"p_type").as("brand_type"),
+          lpad($"p_size".cast("string"), 3, "0").as("size_pad"),
+          trim(upper($"p_name")).as("tname"),
+          regexp_extract($"p_name", "([a-z]+)", 1).as("first_word"),
+          regexp_replace($"p_name", "[aeiou]", "_").as("devoweled"),
+          format_string("%03d:%s", $"p_size", $"p_brand").as("fmt"))
+        .orderBy($"p_partkey")
+    },
+    """SELECT p_partkey, UPPER(p_name) AS uname, LOWER(p_brand) AS lbrand,
+      |       SUBSTRING(p_type, 1, 5) AS type5,
+      |       CAST(LENGTH(p_name) AS BIGINT) AS name_len,
+      |       p_brand || '#' || p_type AS brand_type,
+      |       LPAD(CAST(p_size AS VARCHAR), 3, '0') AS size_pad,
+      |       TRIM(UPPER(p_name)) AS tname,
+      |       REGEXP_EXTRACT(p_name, '([a-z]+)', 1) AS first_word,
+      |       REGEXP_REPLACE(p_name, '[aeiou]', '_', 'g') AS devoweled,
+      |       PRINTF('%03d:%s', p_size, p_brand) AS fmt
+      |FROM part WHERE p_name LIKE '%a%' ORDER BY p_partkey""".stripMargin)
+
+  /** Date functions: trunc/add/diff/extract/make_date/cast (reference
+    * :43-48,:70,:79 date arithmetic generalized; §2.8). */
+  private val dateFuncs = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      Tables.orders(s, dir)
+        .select($"o_orderkey", to_date($"o_orderdate").as("d"))
+        .select(
+          $"o_orderkey", $"d",
+          year($"d").cast("long").as("y"),
+          month($"d").cast("long").as("m"),
+          dayofmonth($"d").cast("long").as("dom"),
+          quarter($"d").cast("long").as("q"),
+          trunc($"d", "month").as("month_start"),
+          date_add($"d", 30).as("d_plus30"),
+          datediff(to_date(lit("2000-01-01")), $"d").cast("long").as("days_to_2000"),
+          make_date(year($"d"), month($"d"), lit(1)).as("first_of_month"),
+          $"d".cast("string").as("d_str"))
+        .orderBy($"o_orderkey")
+        .limit(1000)
+    },
+    """WITH b AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d FROM orders)
+      |SELECT o_orderkey, d,
+      |       CAST(year(d) AS BIGINT) AS y, CAST(month(d) AS BIGINT) AS m,
+      |       CAST(day(d) AS BIGINT) AS dom, CAST(quarter(d) AS BIGINT) AS q,
+      |       CAST(date_trunc('month', d) AS DATE) AS month_start,
+      |       CAST(d + INTERVAL 30 DAY AS DATE) AS d_plus30,
+      |       CAST(date_diff('day', d, DATE '2000-01-01') AS BIGINT) AS days_to_2000,
+      |       make_date(CAST(year(d) AS INT), CAST(month(d) AS INT), 1) AS first_of_month,
+      |       CAST(d AS VARCHAR) AS d_str
+      |FROM b ORDER BY o_orderkey LIMIT 1000""".stripMargin)
+
+  /** Math functions (reference :69 mean arithmetic generalized; §2.8).
+    * pow/sqrt/ln/exp rounded — libm may differ by 1 ulp across engines;
+    * pure +-* chains are IEEE-identical and left unrounded. */
+  private val mathFuncs = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .select(
+          $"l_orderkey",
+          $"l_linenumber".cast("long").as("l_linenumber"),
+          ($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax")).as("revenue"),
+          abs($"l_discount" - 0.05).as("disc_dev"),
+          ceil($"l_quantity" / 3.0).cast("long").as("qceil"),
+          floor($"l_quantity" / 3.0).cast("long").as("qfloor"),
+          (floor($"l_quantity").cast("long") % 7).as("qmod7"),
+          round(pow($"l_quantity", 2.0), 4).as("qsq"),
+          round(sqrt($"l_extendedprice"), 4).as("price_sqrt"),
+          round(log($"l_extendedprice" + 1.0), 4).as("price_ln"),
+          round(exp($"l_discount"), 4).as("disc_exp"))
+        // (l_orderkey, l_linenumber) is NOT unique in the synthetic data;
+        // tie-break on every input that feeds a projected column so the
+        // total order (and the LIMIT cut) is deterministic across engines.
+        .orderBy($"l_orderkey", $"l_linenumber", $"l_quantity",
+          $"l_extendedprice", $"l_discount", $"l_tax")
+        .limit(2000)
+    },
+    """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+      |       l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS revenue,
+      |       ABS(l_discount - 0.05) AS disc_dev,
+      |       CAST(CEIL(l_quantity / 3.0) AS BIGINT) AS qceil,
+      |       CAST(FLOOR(l_quantity / 3.0) AS BIGINT) AS qfloor,
+      |       CAST(FLOOR(l_quantity) AS BIGINT) % 7 AS qmod7,
+      |       ROUND(POW(l_quantity, 2.0), 4) AS qsq,
+      |       ROUND(SQRT(l_extendedprice), 4) AS price_sqrt,
+      |       ROUND(LN(l_extendedprice + 1.0), 4) AS price_ln,
+      |       ROUND(EXP(l_discount), 4) AS disc_exp
+      |FROM lineitem
+      |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+      |         l_discount, l_tax
+      |LIMIT 2000""".stripMargin)
+
+  /** Null handling: coalesce / nullif / CASE WHEN over a left join
+    * (reference :42,:82 null guards generalized; §2.8). */
+  private val nullFuncs = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val spend = Tables.orders(s, dir)
+        .groupBy($"o_custkey")
+        .agg(round(sum($"o_totalprice"), 4).as("total"), count(lit(1)).as("n_ord"))
+      Tables.customer(s, dir)
+        .join(spend, $"c_custkey" === $"o_custkey", "left")
+        .select(
+          $"c_custkey",
+          coalesce($"total", lit(0.0)).as("total_spend"),
+          coalesce($"n_ord", lit(0L)).as("n_orders"),
+          when($"total" > 300000, "big")
+            .when($"total" > 100000, "mid")
+            .otherwise("small").as("tier"),
+          nullif($"c_mktsegment", lit("BUILDING")).as("seg_nb"))
+        .orderBy($"c_custkey")
+    },
+    """WITH spend AS (
+      |  SELECT o_custkey, ROUND(SUM(o_totalprice),4) AS total, COUNT(*) AS n_ord
+      |  FROM orders GROUP BY o_custkey)
+      |SELECT c_custkey,
+      |       COALESCE(total, 0.0) AS total_spend,
+      |       COALESCE(n_ord, 0) AS n_orders,
+      |       CASE WHEN total > 300000 THEN 'big'
+      |            WHEN total > 100000 THEN 'mid' ELSE 'small' END AS tier,
+      |       NULLIF(c_mktsegment, 'BUILDING') AS seg_nb
+      |FROM customer LEFT JOIN spend ON c_custkey = o_custkey
+      |ORDER BY c_custkey""".stripMargin)
+
+  /** JSON extraction: get_json_object + from_json→MapType access over the
+    * events.props payload (reference :67,:69 JSON parse generalized; §2.8). */
+  private val jsonExtract = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .select(
+          $"event_id",
+          $"event_type",
+          get_json_object($"props", "$.k").cast("long").as("k_json"),
+          element_at(
+            from_json($"props", MapType(StringType, LongType)), "k").as("k_map"))
+        .orderBy($"event_id")
+    },
+    """SELECT event_id, event_type,
+      |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_json,
+      |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_map
+      |FROM events ORDER BY event_id""".stripMargin)
+
+  /** Array functions over the embeddings vectors: size / element_at / slice /
+    * transform / aggregate (§2.8, §2.9). Elements cast to double BEFORE any
+    * arithmetic on both sides so float32-vs-float64 accumulation matches. */
+  private val arrayFuncs = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      Tables.embeddings(s, dir)
+        .select(
+          $"vec_id",
+          $"label".cast("long").as("label"),
+          transform($"embedding", x => x.cast("double")).as("v"))
+        .select(
+          $"vec_id", $"label",
+          size($"v").cast("long").as("dim"),
+          element_at($"v", 1).as("first_el"),
+          round(aggregate($"v", lit(0.0), (acc, x) => acc + x), 4).as("vsum"),
+          round(sqrt(aggregate($"v", lit(0.0), (acc, x) => acc + x * x)), 4).as("l2norm"),
+          round(aggregate(slice($"v", 1, 8), lit(0.0), (acc, x) => acc + x), 4).as("head8_sum"),
+          array_max($"v").as("vmax"))
+        .orderBy($"vec_id")
+    },
+    """WITH b AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+      |                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |           FROM embeddings)
+      |SELECT vec_id, label, CAST(len(v) AS BIGINT) AS dim, v[1] AS first_el,
+      |       ROUND(list_sum(v), 4) AS vsum,
+      |       ROUND(SQRT(list_sum(list_transform(v, x -> x*x))), 4) AS l2norm,
+      |       ROUND(list_sum(v[1:8]), 4) AS head8_sum,
+      |       list_max(v) AS vmax
+      |FROM b ORDER BY vec_id""".stripMargin)
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+    "q_scan_project" -> scanProject,
+    "q_filter_pred" -> filterPred,
+    "q_agg_basic" -> aggBasic,
+    "q_agg_distinct" -> aggDistinct,
+    "q_rollup" -> rollup,
+    "q_pivot" -> pivot,
+    "q_sort_multi" -> sortMulti,
+    "q_topk" -> topk,
+    "q_union_all" -> unionAll,
+    "q_union_distinct" -> unionDistinct,
+    "q_intersect_except" -> intersectExcept,
+    "q_string_funcs" -> stringFuncs,
+    "q_date_funcs" -> dateFuncs,
+    "q_math_funcs" -> mathFuncs,
+    "q_null_funcs" -> nullFuncs,
+    "q_json_extract" -> jsonExtract,
+    "q_array_funcs" -> arrayFuncs)
+}

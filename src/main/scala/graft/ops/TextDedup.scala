@@ -1,0 +1,242 @@
+package graft.ops
+
+import graft.QueryDef
+import graft.util.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection over `documents` (SURVEY.md §2.9):
+  * word-3-gram shingles → exact-arithmetic hashes → MinHash signatures →
+  * LSH band buckets → candidate pairs → exact Jaccard verify. Every stage
+  * is oracle-checkable because the hash is plain integer arithmetic
+  * (base-13 positional char code, see [[shingleHash]]) that DuckDB
+  * replays exactly — no engine-specific hash functions involved.
+  *
+  * Scale notes (100 TB):
+  *  - shingling/hashing is narrow per-row work (no shuffle);
+  *  - MinHash reduces each doc to NUM_HASHES ints before any join;
+  *  - the LSH band join shuffles only (band, bucket) keys — candidate
+  *    generation never compares all pairs;
+  *  - the exact Jaccard verify join runs only on LSH candidates, which
+  *    is the standard verify-stage contract (SURVEY.md §4.3).
+  */
+object TextDedup {
+
+  /** Vocabulary is tiny (31 words at sf0.01) so unigram sets degenerate;
+    * 3-word shingles give meaningful document fingerprints. */
+  private val K = 3
+  private val NumHashes = 8
+  private val BandRows = 2 // 4 bands × 2 rows
+  private val P = 1000000007L
+
+  /** doc_id + array of word-K-gram shingle strings. */
+  private def shingled(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", split($"text", " ").as("w"))
+      .select($"doc_id",
+        transform(
+          sequence(lit(1), greatest(size($"w") - (K - 1), lit(0))),
+          i => concat_ws(" ",
+            element_at($"w", i), element_at($"w", i + 1), element_at($"w", i + 2))
+        ).as("shingles"))
+  }
+
+  /** Exact integer hash of a shingle string: sum of char codes weighted
+    * by 13^(pos-1) over the first 12 chars — every intermediate fits in
+    * int64 (122 * 13^11 * 12 < 2^63) and 13^11 < 2^53 so the double
+    * `pow` is exact; DuckDB replays the identical arithmetic. */
+  private def shingleHash(sh: Column): Column =
+    aggregate(
+      sequence(lit(1), least(length(sh), lit(12))),
+      lit(0L),
+      (acc, i) => acc + ascii(sh.substr(i, lit(1))).cast("long") *
+        pow(lit(13.0), (i - 1).cast("double")).cast("long"))
+
+  /** Same hash in DuckDB SQL (correlated over a position series). */
+  private def oracleShingleBase: String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |sh AS (
+       |  SELECT doc_id,
+       |         w[i.i] || ' ' || w[i.i+1] || ' ' || w[i.i+2] AS shingle
+       |  FROM docs CROSS JOIN (SELECT UNNEST(range(1, 200)) AS i) i
+       |  WHERE i.i <= len(w) - ${K - 1}),
+       |hashed AS (
+       |  SELECT DISTINCT doc_id,
+       |         (SELECT CAST(SUM(ascii(substring(sh.shingle, j.j, 1)) *
+       |                  CAST(pow(13, j.j - 1) AS BIGINT)) AS BIGINT)
+       |          FROM (SELECT UNNEST(range(1, 13)) AS j) j
+       |          WHERE j.j <= least(length(sh.shingle), 12)) AS h
+       |  FROM sh)""".stripMargin
+
+  /** MinHash signature: mh_s = MIN over distinct shingle hashes of
+    * (a_s * h + b_s) mod P, s = 0..NumHashes-1, a_s/b_s fixed odd seeds. */
+  private def signatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hashed = shingled(s, dir)
+      .select($"doc_id",
+        array_distinct(transform($"shingles", sh => shingleHash(sh))).as("hs"))
+    (0 until NumHashes).foldLeft(hashed) { (df, i) =>
+      val a = 2L * i + 3L
+      val b = 17L * i + 7L
+      df.withColumn(s"mh$i",
+        array_min(transform($"hs", h => (h * a + b) % P)))
+    }.drop("hs")
+  }
+
+  private def oracleSignatures: String =
+    oracleShingleBase + s""",
+       |sig AS (
+       |  SELECT doc_id,
+       |${(0 until NumHashes).map(i =>
+            s"         MIN((h * ${2 * i + 3} + ${17 * i + 7}) % $P) AS mh$i")
+            .mkString(",\n")}
+       |  FROM hashed GROUP BY doc_id)""".stripMargin
+
+  /** MinHash signatures per document — the LSH input, fully verified. */
+  private val dedupMinhash = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      signatures(s, dir).orderBy($"doc_id")
+    },
+    oracleSignatures + "\nSELECT * FROM sig ORDER BY doc_id")
+
+  /** LSH candidate pairs: docs sharing at least one band (band hash =
+    * concatenated row minhashes). DISTINCT pairs, da < db. */
+  private def lshCandidates(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sig = signatures(s, dir)
+    val bands = (0 until NumHashes / BandRows).map { bnd =>
+      val lo = col(s"mh${bnd * BandRows}")
+      val hi = col(s"mh${bnd * BandRows + 1}")
+      sig.select($"doc_id", lit(bnd).cast("long").as("band"),
+        (lo * P + hi).as("bucket"))
+    }.reduce(_ unionByName _)
+    val l = bands.select($"band", $"bucket", $"doc_id".as("da"))
+    val r = bands.select($"band".as("band2"), $"bucket".as("bucket2"),
+      $"doc_id".as("db"))
+    l.join(r, $"band" === $"band2" && $"bucket" === $"bucket2" && $"da" < $"db")
+      .select($"da", $"db").distinct()
+  }
+
+  private def oracleLshCandidates: String =
+    oracleSignatures + s""",
+       |bands AS (
+       |${(0 until NumHashes / BandRows).map { bnd =>
+            s"  SELECT doc_id, CAST($bnd AS BIGINT) AS band, " +
+            s"mh${bnd * BandRows} * $P + mh${bnd * BandRows + 1} AS bucket FROM sig"
+          }.mkString("\n  UNION ALL\n")}),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)""".stripMargin
+
+  private val dedupLsh = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      lshCandidates(s, dir).orderBy($"da", $"db")
+    },
+    oracleLshCandidates + "\nSELECT da, db FROM cand ORDER BY da, db")
+
+  /** Near-dup verify: exact shingle-set Jaccard computed ONLY on LSH
+    * candidate pairs (the scalable two-stage pipeline); emits pairs with
+    * J ≥ 0.2 — the exact verify join is what the oracle checks. */
+  private val dedupNear = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val sets = shingled(s, dir)
+        .select($"doc_id", array_distinct($"shingles").as("ss"))
+      val cand = lshCandidates(s, dir)
+      cand
+        .join(sets.select($"doc_id".as("da"), $"ss".as("sa")), "da")
+        .join(sets.select($"doc_id".as("db"), $"ss".as("sb")), "db")
+        .withColumn("inter", size(array_intersect($"sa", $"sb")).cast("double"))
+        .withColumn("uni",
+          (size($"sa") + size($"sb")).cast("double") - $"inter")
+        .withColumn("jac", round($"inter" / $"uni", 4))
+        .filter($"jac" >= 0.2)
+        .select($"da", $"db", $"jac")
+        .orderBy($"da", $"db")
+    },
+    oracleLshCandidates + """,
+      |sets AS (
+      |  SELECT doc_id, list_distinct(list(shingle)) AS ss
+      |  FROM sh GROUP BY doc_id),
+      |scored AS (
+      |  SELECT c.da, c.db,
+      |         CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE) AS inter,
+      |         CAST(len(a.ss) + len(b.ss) AS DOUBLE)
+      |           - CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE) AS uni
+      |  FROM cand c JOIN sets a ON c.da = a.doc_id
+      |              JOIN sets b ON c.db = b.doc_id)
+      |SELECT da, db, ROUND(inter / uni, 4) AS jac FROM scored
+      |WHERE ROUND(inter / uni, 4) >= 0.2 ORDER BY da, db""".stripMargin)
+
+  /** SimHash (32-bit) per document from shingle hashes: bit j of the
+    * fingerprint is the sign of Σ ±1 over shingles (weighted by whether
+    * bit j of the shingle hash is set). */
+  private val simhash = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val hashed = shingled(s, dir)
+        .select($"doc_id",
+          array_distinct(transform($"shingles", sh => shingleHash(sh))).as("hs"))
+      // per (doc, bit): vote = sum of (bit set ? 1 : -1) over shingle hashes
+      // h < 2^48 and 2^bit are both exact doubles, so h / 2^bit is exact
+      // and cast-to-long truncation == floor — identical to DuckDB's `//`.
+      val p2 = pow(lit(2.0), $"bit".cast("double"))
+      val bits = hashed
+        .select($"doc_id", explode($"hs").as("h"))
+        .crossJoin(broadcast(
+          s.range(0, 32).select($"id".cast("int").as("bit"))))
+        .groupBy($"doc_id", $"bit")
+        .agg(sum(when(($"h" / p2).cast("long") % 2 === 1, 1L)
+          .otherwise(-1L)).as("vote"))
+      bits.groupBy($"doc_id")
+        .agg(sum(when($"vote" >= 0, p2.cast("long")).otherwise(0L)).as("simhash"))
+        .orderBy($"doc_id")
+    },
+    oracleShingleBase + """,
+      |votes AS (
+      |  SELECT doc_id, b.bit,
+      |         SUM(CASE WHEN (h // CAST(pow(2, b.bit) AS BIGINT)) % 2 = 1
+      |                  THEN 1 ELSE -1 END) AS vote
+      |  FROM hashed CROSS JOIN (SELECT UNNEST(range(0, 32)) AS bit) b
+      |  GROUP BY doc_id, b.bit)
+      |SELECT doc_id,
+      |       CAST(SUM(CASE WHEN vote >= 0
+      |                     THEN CAST(pow(2, bit) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+      |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+
+  /** Document fingerprint: rolling polynomial hash of the whole text,
+    * char by char, mod P — a true sequential fold on both engines
+    * (Spark `aggregate`, DuckDB `list_reduce`). */
+  private val fingerprint = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select($"doc_id", $"text")
+        .withColumn("fp",
+          aggregate(
+            sequence(lit(1), length($"text")),
+            lit(0L),
+            (acc, i) => (acc * 31L + ascii($"text".substr(i, lit(1))).cast("long")) % P))
+        .select($"doc_id", $"fp", length($"text").cast("long").as("n_chars_m"))
+        .orderBy($"doc_id")
+    },
+    s"""SELECT doc_id,
+       |       list_reduce(
+       |         list_prepend(CAST(0 AS BIGINT),
+       |           list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+       |         (acc, c) -> (acc * 31 + c) % $P) AS fp,
+       |       CAST(length(text) AS BIGINT) AS n_chars_m
+       |FROM documents ORDER BY doc_id""".stripMargin)
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+    "q_dedup_minhash" -> dedupMinhash,
+    "q_dedup_lsh" -> dedupLsh,
+    "q_dedup_near" -> dedupNear,
+    "q_dedup_simhash" -> simhash,
+    "q_text_fingerprint" -> fingerprint)
+}

@@ -1,0 +1,124 @@
+package graft.ops
+
+import graft.QueryDef
+import graft.util.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` corpus (SURVEY.md §2.9):
+  * tokenize → explode → word counts (the UDTF surface via built-in
+  * Generators), exact dedup, token counting, and quality scoring.
+  * The MinHash/SimHash/LSH near-dup family is in TextDedup.scala.
+  *
+  * Scale notes (100 TB): tokenize+explode is narrow (no shuffle);
+  * the word-count groupBy shuffles only (lang, word) partial counts.
+  * Exact dedup partitions by a hash of the full text — at 100 TB,
+  * group on a 128-bit text fingerprint instead of the raw text to keep
+  * shuffle rows small (both forms shown below; the query uses the
+  * window form the oracle can mirror exactly).
+  */
+object TextOps {
+
+  /** Word frequencies per language — split + explode (UDTF surface) +
+    * grouped counts; top-100 by (lang, count desc, word). */
+  private val textStats = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select($"lang", explode(split($"text", " ")).as("word"))
+        .groupBy($"lang", $"word")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"lang", $"n".desc, $"word")
+        .limit(100)
+    },
+    """SELECT lang, w AS word, COUNT(*) AS n
+      |FROM (SELECT lang, UNNEST(string_split(text, ' ')) AS w FROM documents)
+      |GROUP BY lang, w
+      |ORDER BY lang, n DESC, word LIMIT 100""".stripMargin)
+
+  /** Exact dedup: deterministic keep-lowest-doc_id per identical text
+    * (SURVEY.md §2.9). row_number over the text partition — the oracle
+    * mirrors the exact same rule. */
+  private val dedupExact = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"text").orderBy($"doc_id")
+      Tables.documents(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"doc_id", $"lang", $"source", $"n_chars")
+        .orderBy($"doc_id")
+    },
+    """SELECT doc_id, lang, source, n_chars FROM (
+      |  SELECT doc_id, lang, source, n_chars,
+      |         ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+      |  FROM documents)
+      |WHERE rn = 1 ORDER BY doc_id""".stripMargin)
+
+  /** Token counting: whitespace tokens + a BPE-ish regex token count
+    * (runs of word chars / digits / single non-space symbols). */
+  private val textTokens = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select(
+          $"doc_id",
+          size(split($"text", " ")).cast("long").as("ws_tokens"),
+          size(regexp_extract_all($"text", lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+            .cast("long").as("re_tokens"),
+          length($"text").cast("long").as("n_chars_m"))
+        .orderBy($"doc_id")
+    },
+    """SELECT doc_id,
+      |       CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+      |       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS re_tokens,
+      |       CAST(length(text) AS BIGINT) AS n_chars_m
+      |FROM documents ORDER BY doc_id""".stripMargin)
+
+  /** Quality scoring: length / token stats / stopword ratio / distinct-word
+    * ratio → a deterministic composite score (training-data filter shape). */
+  private val textQuality = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val stop = Seq("the", "a", "of", "and", "to", "in", "is")
+      val words = split($"text", " ")
+      val nTok = size(words).cast("double")
+      val nStop = size(filter(words, w => w.isInCollection(stop))).cast("double")
+      val nDistinct = size(array_distinct(words)).cast("double")
+      Tables.documents(s, dir)
+        .select(
+          $"doc_id", $"lang",
+          size(words).cast("long").as("n_tokens"),
+          round((length($"text").cast("double") / nTok), 4).as("avg_tok_len"),
+          round(nStop / nTok, 4).as("stopword_ratio"),
+          round(nDistinct / nTok, 4).as("distinct_ratio"),
+          round(
+            when(nTok > 20, lit(1.0)).otherwise(nTok / 20.0) *
+              (lit(1.0) - nStop / nTok) * (nDistinct / nTok), 4).as("quality"))
+        .orderBy($"doc_id")
+    },
+    """WITH b AS (
+      |  SELECT doc_id, lang, text,
+      |         string_split(text, ' ') AS words,
+      |         CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, lang, text, n_tok,
+      |         CAST(len(list_filter(words,
+      |           w -> w IN ('the','a','of','and','to','in','is'))) AS DOUBLE) AS n_stop,
+      |         CAST(len(list_distinct(words)) AS DOUBLE) AS n_distinct
+      |  FROM b)
+      |SELECT doc_id, lang, CAST(n_tok AS BIGINT) AS n_tokens,
+      |       ROUND(CAST(length(text) AS DOUBLE) / n_tok, 4) AS avg_tok_len,
+      |       ROUND(n_stop / n_tok, 4) AS stopword_ratio,
+      |       ROUND(n_distinct / n_tok, 4) AS distinct_ratio,
+      |       ROUND((CASE WHEN n_tok > 20 THEN 1.0 ELSE n_tok / 20.0 END)
+      |             * (1.0 - n_stop / n_tok) * (n_distinct / n_tok), 4) AS quality
+      |FROM c ORDER BY doc_id""".stripMargin)
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+    "q_text_stats" -> textStats,
+    "q_dedup_exact" -> dedupExact,
+    "q_text_tokens" -> textTokens,
+    "q_text_quality" -> textQuality)
+}

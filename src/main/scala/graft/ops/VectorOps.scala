@@ -1,0 +1,181 @@
+package graft.ops
+
+import graft.QueryDef
+import graft.util.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` vectors (SURVEY.md §2.9):
+  * brute-force cosine top-k as the verified baseline, an IVF-style
+  * cell-probed variant as the 100 TB scale path, and embedding-cosine
+  * near-duplicate detection.
+  *
+  * All element arithmetic casts float32 → double BEFORE multiplying so
+  * both engines accumulate in float64 (SURVEY.md §7.4 discipline).
+  *
+  * Scale notes: the query side is always the broadcast side (small);
+  * candidates stream through a broadcast nested-loop with no shuffle of
+  * the big side. The IVF variant cuts the candidate set to the probed
+  * cells — at 100 TB the cell assignment becomes the partition key
+  * (repartition by cell id), turning ANN into per-cell local joins.
+  */
+object VectorOps {
+
+  /** embedding (float32 list) → double list column. */
+  private def vcol(c: Column): Column = transform(c, x => x.cast("double"))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def l2(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+
+  private def normed(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, dir)
+      .select($"vec_id", vcol($"embedding").as("v"))
+      .withColumn("nm", l2($"v"))
+  }
+
+  /** Shared oracle prelude: per-vector double list + L2 norm, and the
+    * dot product via an index-series join (exact same float64 math). */
+  private val oracleBase =
+    """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+      |           FROM embeddings),
+      |     n AS (SELECT vec_id, ve,
+      |                  sqrt(list_sum(list_transform(ve, x -> x*x))) AS nm
+      |           FROM v)""".stripMargin
+
+  /** Brute-force cosine top-5 neighbors for query vectors vec_id < 50. */
+  private val simTopk = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val base = normed(s, dir)
+      val q = base.filter($"vec_id" < 50)
+        .select($"vec_id".as("qid"), $"v".as("qv"), $"nm".as("qn"))
+      val cand = base.select($"vec_id".as("nid"), $"v".as("nv"), $"nm".as("nn"))
+      val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"nid")
+      cand.join(broadcast(q), $"nid" =!= $"qid")
+        .withColumn("cos", dot($"qv", $"nv") / ($"qn" * $"nn"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter($"rk" <= 5)
+        .select($"qid", $"nid", round($"cos", 4).as("cos"), $"rk")
+        .orderBy($"qid", $"rk")
+    },
+    oracleBase +
+    """,
+      |pairs AS (
+      |  SELECT a.vec_id AS qid, b.vec_id AS nid,
+      |         list_sum(list_transform(list_zip(a.ve, b.ve), p -> p[1]*p[2]))
+      |           / (a.nm * b.nm) AS cos
+      |  FROM n a JOIN n b ON a.vec_id < 50 AND b.vec_id <> a.vec_id),
+      |ranked AS (
+      |  SELECT qid, nid, cos,
+      |         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS BIGINT) AS rk
+      |  FROM pairs)
+      |SELECT qid, nid, ROUND(cos, 4) AS cos, rk FROM ranked
+      |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin)
+
+  /** Embedding-cosine near-duplicate pairs (cos ≥ 0.35 on this corpus —
+    * max observed pairwise cosine is ~0.51). All-pairs at this SF; the
+    * LSH/IVF cell prefilter is the documented scale path. */
+  private val dedupEmbed = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val base = normed(s, dir)
+      val a = base.select($"vec_id".as("ida"), $"v".as("va"), $"nm".as("na"))
+      val b = base.select($"vec_id".as("idb"), $"v".as("vb"), $"nm".as("nb"))
+      a.join(b, $"ida" < $"idb")
+        .withColumn("cos", dot($"va", $"vb") / ($"na" * $"nb"))
+        .filter($"cos" >= 0.35)
+        .select($"ida", $"idb", round($"cos", 4).as("cos"))
+        .orderBy($"ida", $"idb")
+    },
+    oracleBase +
+    """
+      |SELECT a.vec_id AS ida, b.vec_id AS idb,
+      |       ROUND(list_sum(list_transform(list_zip(a.ve, b.ve), p -> p[1]*p[2]))
+      |             / (a.nm * b.nm), 4) AS cos
+      |FROM n a JOIN n b ON a.vec_id < b.vec_id
+      |WHERE list_sum(list_transform(list_zip(a.ve, b.ve), p -> p[1]*p[2]))
+      |      / (a.nm * b.nm) >= 0.35
+      |ORDER BY ida, idb""".stripMargin)
+
+  /** IVF-style ANN: centroids = vectors 0..9 (deterministic seed cells);
+    * every vector is assigned to its nearest centroid (by cosine, ties →
+    * lower centroid id); each query (vec_id in [10, 30)) probes its 2
+    * nearest cells and ranks only candidates in those cells — top-3.
+    * This is the scale path: cell id becomes the partition key, the
+    * brute-force join shrinks to the probed cells only. */
+  private val simIvf = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val base = normed(s, dir)
+      val cents = base.filter($"vec_id" < 10)
+        .select($"vec_id".as("cid"), $"v".as("cv"), $"nm".as("cn"))
+      // nearest cell per vector (rank 1 over centroid cosine)
+      val wAssign = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cid")
+      val assigned = base.crossJoin(broadcast(cents))
+        .withColumn("ccos", dot($"v", $"cv") / ($"nm" * $"cn"))
+        .withColumn("crk", row_number().over(wAssign))
+        .filter($"crk" === 1)
+        .select($"vec_id", $"v", $"nm", $"cid".as("cell"))
+      // 2 nearest cells per query vector
+      val wProbe = Window.partitionBy($"qid").orderBy($"qcos".desc, $"cid")
+      val probes = base.filter($"vec_id" >= 10 && $"vec_id" < 30)
+        .select($"vec_id".as("qid"), $"v".as("qv"), $"nm".as("qn"))
+        .crossJoin(broadcast(cents))
+        .withColumn("qcos", dot($"qv", $"cv") / ($"qn" * $"cn"))
+        .withColumn("prk", row_number().over(wProbe))
+        .filter($"prk" <= 2)
+        .select($"qid", $"qv", $"qn", $"cid".as("probe_cell"))
+      // rank candidates inside probed cells
+      val wRank = Window.partitionBy($"qid").orderBy($"cos".desc, $"nid")
+      assigned.select($"vec_id".as("nid"), $"v".as("nv"), $"nm".as("nn"), $"cell")
+        .join(broadcast(probes), $"cell" === $"probe_cell" && $"nid" =!= $"qid")
+        .withColumn("cos", dot($"qv", $"nv") / ($"qn" * $"nn"))
+        .withColumn("rk", row_number().over(wRank).cast("long"))
+        .filter($"rk" <= 3)
+        .select($"qid", $"nid", $"cell".cast("long").as("cell"),
+          round($"cos", 4).as("cos"), $"rk")
+        .orderBy($"qid", $"rk")
+    },
+    oracleBase +
+    """,
+      |cents AS (SELECT vec_id AS cid, ve AS cv, nm AS cn FROM n WHERE vec_id < 10),
+      |assigned AS (
+      |  SELECT vec_id, ve, nm, cid AS cell FROM (
+      |    SELECT n.vec_id, n.ve, n.nm, c.cid,
+      |           ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+      |             list_sum(list_transform(list_zip(n.ve, c.cv), p -> p[1]*p[2]))
+      |               / (n.nm * c.cn) DESC, c.cid) AS crk
+      |    FROM n CROSS JOIN cents c)
+      |  WHERE crk = 1),
+      |probes AS (
+      |  SELECT qid, qv, qn, cid AS probe_cell FROM (
+      |    SELECT n.vec_id AS qid, n.ve AS qv, n.nm AS qn, c.cid,
+      |           ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+      |             list_sum(list_transform(list_zip(n.ve, c.cv), p -> p[1]*p[2]))
+      |               / (n.nm * c.cn) DESC, c.cid) AS prk
+      |    FROM n CROSS JOIN cents c
+      |    WHERE n.vec_id >= 10 AND n.vec_id < 30)
+      |  WHERE prk <= 2),
+      |ranked AS (
+      |  SELECT p.qid, a.vec_id AS nid, a.cell,
+      |         list_sum(list_transform(list_zip(p.qv, a.ve), q -> q[1]*q[2]))
+      |           / (p.qn * a.nm) AS cos,
+      |         ROW_NUMBER() OVER (PARTITION BY p.qid ORDER BY
+      |           list_sum(list_transform(list_zip(p.qv, a.ve), q -> q[1]*q[2]))
+      |             / (p.qn * a.nm) DESC, a.vec_id) AS rk
+      |  FROM probes p JOIN assigned a
+      |    ON a.cell = p.probe_cell AND a.vec_id <> p.qid)
+      |SELECT qid, nid, CAST(cell AS BIGINT) AS cell, ROUND(cos, 4) AS cos,
+      |       CAST(rk AS BIGINT) AS rk
+      |FROM ranked WHERE rk <= 3 ORDER BY qid, rk""".stripMargin)
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+    "q_sim_topk" -> simTopk,
+    "q_dedup_embed" -> dedupEmbed,
+    "q_sim_ivf" -> simIvf)
+}

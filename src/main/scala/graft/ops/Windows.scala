@@ -1,0 +1,123 @@
+package graft.ops
+
+import graft.QueryDef
+import graft.util.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window-function inventory (SURVEY.md §2.5). REF↑ of the Power BI
+  * per-zone partitioning (reference images/Powerbi.png); all window specs
+  * order by a unique key (SURVEY.md §7.4 tie rule) so ranks and offsets
+  * are deterministic on both engines.
+  *
+  * Scale note: a window partitioned by a high-cardinality key is one
+  * shuffle + per-partition sort — fine at 100 TB. Never use an
+  * un-partitioned window over a fact table (single-task sort); the only
+  * global ordering here is final presentation ORDER BY, which the driver
+  * harness needs for hashing.
+  */
+object Windows {
+
+  private val windowRank = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_orderstatus")
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+      Tables.orders(s, dir)
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("rk", rank().over(w).cast("long"))
+        .withColumn("drk", dense_rank().over(w).cast("long"))
+        .withColumn("nt", ntile(4).over(w).cast("long"))
+        .orderBy($"o_orderstatus", $"rn")
+    },
+    """SELECT o_orderkey, o_orderstatus, o_totalprice,
+      |       CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+      |       CAST(RANK() OVER w AS BIGINT) AS rk,
+      |       CAST(DENSE_RANK() OVER w AS BIGINT) AS drk,
+      |       CAST(NTILE(4) OVER w AS BIGINT) AS nt
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)
+      |ORDER BY o_orderstatus, rn""".stripMargin)
+
+  /** lag/lead/first/last per user, ordered by the unique event_id (raw
+    * nanosecond ts is never used as an order key — SURVEY.md §7.4). */
+  private val windowAnalytic = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"event_id")
+      val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.events(s, dir)
+        .select($"event_id", $"user_id", $"value")
+        .withColumn("prev_v", lag($"value", 1).over(w))
+        .withColumn("next_v", lead($"value", 1).over(w))
+        .withColumn("first_v", first($"value").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("last_v", last($"value").over(wFull))
+        .orderBy($"event_id")
+    },
+    """SELECT event_id, user_id, value,
+      |       LAG(value, 1) OVER w AS prev_v,
+      |       LEAD(value, 1) OVER w AS next_v,
+      |       FIRST_VALUE(value) OVER
+      |         (PARTITION BY user_id ORDER BY event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_v,
+      |       LAST_VALUE(value) OVER
+      |         (PARTITION BY user_id ORDER BY event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_v
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+      |ORDER BY event_id""".stripMargin)
+
+  /** Frame specs: 7-row moving average + running total (§2.5). */
+  private val windowFrame = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"event_type").orderBy($"event_id")
+      Tables.events(s, dir)
+        .select($"event_id", $"event_type", $"value")
+        .withColumn("mov7",
+          round(avg($"value").over(w.rowsBetween(-6, 0)), 4))
+        .withColumn("rsum",
+          round(sum($"value").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 4))
+        .orderBy($"event_id")
+    },
+    """SELECT event_id, event_type, value,
+      |       ROUND(AVG(value) OVER
+      |         (PARTITION BY event_type ORDER BY event_id
+      |          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS mov7,
+      |       ROUND(SUM(value) OVER
+      |         (PARTITION BY event_type ORDER BY event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS rsum
+      |FROM events ORDER BY event_id""".stripMargin)
+
+  /** Top-3 per group via rank-filter — the scalable per-group top-k (no
+    * global sort; each partition sorts locally after one shuffle). */
+  private val topkPerGroup = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"l_returnflag", $"l_linestatus")
+        .orderBy($"l_extendedprice".desc, $"l_orderkey", $"l_linenumber")
+      Tables.lineitem(s, dir)
+        .select($"l_returnflag", $"l_linestatus", $"l_orderkey",
+          $"l_linenumber".cast("long").as("l_linenumber"), $"l_extendedprice")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter($"rn" <= 3)
+        .orderBy($"l_returnflag", $"l_linestatus", $"rn")
+    },
+    """SELECT * FROM (
+      |  SELECT l_returnflag, l_linestatus, l_orderkey,
+      |         CAST(l_linenumber AS BIGINT) AS l_linenumber, l_extendedprice,
+      |         CAST(ROW_NUMBER() OVER
+      |           (PARTITION BY l_returnflag, l_linestatus
+      |            ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS BIGINT) AS rn
+      |  FROM lineitem)
+      |WHERE rn <= 3 ORDER BY l_returnflag, l_linestatus, rn""".stripMargin)
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+    "q_window_rank" -> windowRank,
+    "q_window_analytic" -> windowAnalytic,
+    "q_window_frame" -> windowFrame,
+    "q_topk_per_group" -> topkPerGroup)
+}

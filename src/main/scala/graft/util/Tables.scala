@@ -1,0 +1,38 @@
+package graft.util
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Loaders for the driver-generated fixture tables (TESTDATA.md /
+  * FIXTURES.md). One parquet file per table; the vectorized parquet
+  * reader + Catalyst column pruning / predicate pushdown do the heavy
+  * lifting, so these deliberately return the bare scan — callers
+  * `.select`/`.filter` and let the optimizer prune at the source.
+  */
+object Tables {
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
+  /** events.ts is TIMESTAMP(NANOS) in the parquet footer, which Spark 4
+    * rejects outright ([PARQUET_TYPE_ILLEGAL]). Read it as a raw long
+    * (legacy conf) and truncate ns → µs with integer division — the same
+    * truncation DuckDB's µs comparisons see after date_trunc (SURVEY.md
+    * §7.4 forbids emitting raw ts anyway). */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = load(s, d, "events")
+    if (raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+}
