@@ -1,0 +1,100 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The reference pipeline re-grounded on Spark (SURVEY.md §3, §7.1):
+  * watermark → bounded delta → per-(day, group) mean → schema-enforced
+  * append. This is `/root/reference/scripts/energy_etl.py` (:22-37 watermark,
+  * :39-84 fetch+reduce, :86-108 load) re-expressed as a declarative batch
+  * over a date-partitioned Parquet sink.
+  *
+  * Scale design (100 TB):
+  *  - the sink is PARTITIONED BY load date → the watermark read is a
+  *    partition-listing max, not a table scan, and downstream readers get
+  *    static partition pruning;
+  *  - the delta filter lands on the source scan (predicate pushdown), so a
+  *    daily run reads only new row groups;
+  *  - the hourly→daily reduction is a partial-agg hash aggregate: the
+  *    shuffle carries |days × groups| partial states, a ~24× cut before any
+  *    exchange (mirrors the reference's in-process mean, energy_etl.py:69);
+  *  - append is idempotent per run directory; exactly-once at scale comes
+  *    from the streaming variant's checkpoint (graft.streaming.Streams),
+  *    matching the reference's at-least-once WRITE_APPEND (:105).
+  */
+object Pipeline {
+
+  /** Sink schema — the reference's BigQuery schema (energy_etl.py:92-97)
+    * re-typed for Spark. */
+  val sinkSchema: StructType = StructType(Seq(
+    StructField("date", DateType, nullable = false),
+    StructField("group_key", StringType, nullable = false),
+    StructField("avg_value", DoubleType, nullable = true),
+    StructField("n", LongType, nullable = false),
+    StructField("load_date", DateType, nullable = false)))
+
+  /** MAX(date) already loaded, or None on cold start (energy_etl.py:41-46).
+    * Reads only the sink's partition column — on a date-partitioned sink
+    * this resolves from directory listing + footer stats, no data scan. */
+  def watermark(spark: SparkSession, sinkDir: String): Option[java.sql.Date] = {
+    val dir = new java.io.File(sinkDir)
+    if (!dir.exists() || dir.listFiles() == null || dir.listFiles().isEmpty) None
+    else
+      Option(spark.read.parquet(sinkDir).agg(max(col("date"))).first().getDate(0))
+  }
+
+  /** One incremental run: reduce source rows with date > watermark to one
+    * (date, group) mean row each and append them to the sink. Returns the
+    * number of appended rows (the reference's load report, :109).
+    *
+    * @param events    source with (ts timestamp, group col, value double)
+    * @param groupCol  the per-group key column name (reference's zone)
+    * @param loadDate  injected deterministic "now" (reference's utcnow :100)
+    */
+  def runIncremental(
+      spark: SparkSession,
+      events: DataFrame,
+      groupCol: String,
+      sinkDir: String,
+      loadDate: java.sql.Date): Long = {
+    val wm = watermark(spark, sinkDir)
+    val delta = wm match {
+      case Some(d) => events.filter(to_date(col("ts")) > lit(d))
+      case None    => events // cold start: full history (vs :44-46's 10-day cap)
+    }
+    val daily = delta
+      .groupBy(to_date(col("ts")).as("date"), col(groupCol).as("group_key"))
+      .agg(
+        (sum(col("value").cast("decimal(28,10)")).cast("double") /
+          count(lit(1))).as("avg_value"),
+        count(lit(1)).as("n"))
+      .withColumn("load_date", lit(loadDate))
+      // schema enforcement (:92-97): project + cast to the declared sink
+      // types — stays inside codegen, unlike a round-trip through RDD
+      .select(sinkSchema.fields.map(f => col(f.name).cast(f.dataType).as(f.name))
+        .toIndexedSeq: _*)
+
+    daily.write
+      .partitionBy("date")
+      .mode(SaveMode.Append)
+      .parquet(sinkDir)
+    spark.read.parquet(sinkDir)
+      .filter(col("load_date") === lit(loadDate)).count()
+  }
+
+  /** The reference's raw ingest shape (energy_etl.py:64-69): each payload is
+    * a JSON array of hourly records carrying a price field. Parse with an
+    * explicit schema (no runtime inference), explode, and hand back typed
+    * rows ready for [[runIncremental]]'s reduction. */
+  val hourlySchema: ArrayType = ArrayType(StructType(Seq(
+    StructField("ts", TimestampType),
+    StructField("zone", StringType),
+    StructField("value", DoubleType))))
+
+  def fromJsonPayloads(payloads: DataFrame, jsonCol: String): DataFrame =
+    payloads
+      .select(explode(from_json(col(jsonCol), hourlySchema)).as("rec"))
+      .select(col("rec.ts").as("ts"), col("rec.zone").as("zone"),
+        col("rec.value").as("value"))
+}

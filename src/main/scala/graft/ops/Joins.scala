@@ -81,7 +81,7 @@ object Joins {
   private val joinSemi = QueryDef(
     (s, dir) => {
       import s.implicits._
-      val bigOrders = Tables.orders(s, dir).filter($"o_totalprice" > 150000)
+      val bigOrders = Tables.orders(s, dir).filter($"o_totalprice" > 450000)
       Tables.customer(s, dir)
         .join(bigOrders, $"c_custkey" === $"o_custkey", "left_semi")
         .select($"c_custkey", $"c_mktsegment")
@@ -89,13 +89,13 @@ object Joins {
     },
     """SELECT c_custkey, c_mktsegment FROM customer
       |WHERE EXISTS (SELECT 1 FROM orders
-      |              WHERE o_custkey = c_custkey AND o_totalprice > 150000)
+      |              WHERE o_custkey = c_custkey AND o_totalprice > 450000)
       |ORDER BY c_custkey""".stripMargin)
 
   private val joinAnti = QueryDef(
     (s, dir) => {
       import s.implicits._
-      val bigOrders = Tables.orders(s, dir).filter($"o_totalprice" > 150000)
+      val bigOrders = Tables.orders(s, dir).filter($"o_totalprice" > 450000)
       Tables.customer(s, dir)
         .join(bigOrders, $"c_custkey" === $"o_custkey", "left_anti")
         .select($"c_custkey", $"c_mktsegment")
@@ -103,7 +103,7 @@ object Joins {
     },
     """SELECT c_custkey, c_mktsegment FROM customer
       |WHERE NOT EXISTS (SELECT 1 FROM orders
-      |                  WHERE o_custkey = c_custkey AND o_totalprice > 150000)
+      |                  WHERE o_custkey = c_custkey AND o_totalprice > 450000)
       |ORDER BY c_custkey""".stripMargin)
 
   /** Non-equi (range) join: lineitem prices vs a small filtered part slice.
@@ -117,22 +117,22 @@ object Joins {
         .select($"p_partkey", $"p_retailprice")
       val l = Tables.lineitem(s, dir)
         .filter($"l_shipdate" >= to_timestamp(lit("1997-01-01 00:00:00")) &&
-          $"l_shipdate" < to_timestamp(lit("1997-03-01 00:00:00")))
+          $"l_shipdate" < to_timestamp(lit("1997-07-01 00:00:00")))
         .select($"l_extendedprice")
       l.join(broadcast(p),
-          $"l_extendedprice" >= $"p_retailprice" - 50 &&
-          $"l_extendedprice" < $"p_retailprice" + 50)
+          $"l_extendedprice" >= $"p_retailprice" - 200 &&
+          $"l_extendedprice" < $"p_retailprice" + 200)
         .groupBy($"p_partkey")
         .agg(count(lit(1)).as("n"), round(sum($"l_extendedprice"), 4).as("s"))
         .orderBy($"p_partkey")
     },
     """SELECT p_partkey, COUNT(*) AS n, ROUND(SUM(l_extendedprice),4) AS s
       |FROM lineitem JOIN part
-      |  ON l_extendedprice >= p_retailprice - 50
-      | AND l_extendedprice <  p_retailprice + 50
+      |  ON l_extendedprice >= p_retailprice - 200
+      | AND l_extendedprice <  p_retailprice + 200
       |WHERE p_size = 25
       |  AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
-      |  AND l_shipdate <  TIMESTAMP '1997-03-01 00:00:00'
+      |  AND l_shipdate <  TIMESTAMP '1997-07-01 00:00:00'
       |GROUP BY p_partkey ORDER BY p_partkey""".stripMargin)
 
   /** As-of join: latest order at-or-before each event's timestamp for that

@@ -116,9 +116,58 @@ object TextOps {
       |             * (1.0 - n_stop / n_tok) * (n_distinct / n_tok), 4) AS quality
       |FROM c ORDER BY doc_id""".stripMargin)
 
+  /** Language ID via character-trigram profiles (SURVEY.md §2.9 "n-gram
+    * heuristic"): build per-language trigram counts from a training split
+    * (doc_id % 5 != 0), score each held-out doc by Σ tf(tg)·profile(lang,
+    * tg) — all integer arithmetic, so both engines agree exactly — and
+    * predict the argmax language (ties → lang asc). On this synthetic
+    * corpus the vocabularies are identical across languages, so accuracy
+    * is chance; the oracle checks the classifier's determinism, not its
+    * skill. Scale: profile is |langs × trigrams| — tiny — and broadcast;
+    * docs never shuffle raw text, only (doc, trigram) counts. */
+  private val langId = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      def trigrams(df: org.apache.spark.sql.DataFrame) = df.select(
+        $"doc_id", $"lang",
+        explode(transform(
+          sequence(lit(1), greatest(length($"text") - 2, lit(1))),
+          i => $"text".substr(i, lit(3)))).as("tg"))
+      val docs = Tables.documents(s, dir)
+      val prof = trigrams(docs.filter($"doc_id" % 5 =!= 0))
+        .groupBy($"lang".as("plang"), $"tg").agg(count(lit(1)).as("pc"))
+      val tf = trigrams(docs.filter($"doc_id" % 5 === 0))
+        .groupBy($"doc_id", $"lang", $"tg").agg(count(lit(1)).as("tf"))
+      val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"plang")
+      tf.join(broadcast(prof), "tg")
+        .groupBy($"doc_id", $"lang", $"plang")
+        .agg(sum($"tf" * $"pc").as("score"))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"doc_id", $"lang", $"plang".as("pred_lang"), $"score")
+        .orderBy($"doc_id")
+    },
+    """WITH tri AS (
+      |  SELECT doc_id, lang, substring(text, i.i, 3) AS tg
+      |  FROM documents CROSS JOIN (SELECT UNNEST(range(1, 1000)) AS i) i
+      |  WHERE i.i <= greatest(length(text) - 2, 1)),
+      |prof AS (SELECT lang AS plang, tg, COUNT(*) AS pc
+      |         FROM tri WHERE doc_id % 5 != 0 GROUP BY 1, 2),
+      |tf AS (SELECT doc_id, lang, tg, COUNT(*) AS tf
+      |       FROM tri WHERE doc_id % 5 = 0 GROUP BY 1, 2, 3),
+      |scored AS (
+      |  SELECT t.doc_id, t.lang, p.plang, CAST(SUM(t.tf * p.pc) AS BIGINT) AS score
+      |  FROM tf t JOIN prof p USING (tg) GROUP BY 1, 2, 3)
+      |SELECT doc_id, lang, plang AS pred_lang, score FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+      |                               ORDER BY score DESC, plang) AS rn
+      |  FROM scored)
+      |WHERE rn = 1 ORDER BY doc_id""".stripMargin)
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q_text_stats" -> textStats,
     "q_dedup_exact" -> dedupExact,
     "q_text_tokens" -> textTokens,
-    "q_text_quality" -> textQuality)
+    "q_text_quality" -> textQuality,
+    "q_lang_id" -> langId)
 }

@@ -23,12 +23,12 @@ import org.apache.spark.sql.functions._
 object VectorOps {
 
   /** embedding (float32 list) → double list column. */
-  private def vcol(c: Column): Column = transform(c, x => x.cast("double"))
+  private[graft] def vcol(c: Column): Column = transform(c, x => x.cast("double"))
 
-  private def dot(a: Column, b: Column): Column =
+  private[graft] def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
-  private def l2(a: Column): Column =
+  private[graft] def l2(a: Column): Column =
     sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
 
   private def normed(s: SparkSession, dir: String): DataFrame = {
@@ -174,8 +174,38 @@ object VectorOps {
       |       CAST(rk AS BIGINT) AS rk
       |FROM ranked WHERE rk <= 3 ORDER BY qid, rk""".stripMargin)
 
+  /** Per-label centroid (element-wise mean) — the vector-aggregate
+    * surface (SURVEY.md §2.9 UDAF row). Emitted as (label, pos, centroid)
+    * rows rather than arrays so the oracle compares scalars; the decimal
+    * SUM keeps the mean independent of partial-agg order (see
+    * Incremental.r4). Scale: shuffle carries |labels × dim| partial sums. */
+  private val vecCentroid = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      Tables.embeddings(s, dir)
+        .select($"label".cast("long").as("label"),
+          posexplode(vcol($"embedding")))
+        .groupBy($"label", ($"pos" + 1).cast("long").as("pos"))
+        .agg(
+          Incremental.r4(sum($"col".cast("decimal(28,10)")).cast("double") /
+            count(lit(1))).as("centroid"),
+          count(lit(1)).as("n"))
+        .orderBy($"label", $"pos")
+    },
+    """WITH v AS (SELECT CAST(label AS BIGINT) AS label,
+      |                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+      |           FROM embeddings),
+      |e AS (SELECT label, CAST(i.i AS BIGINT) AS pos, ve[i.i] AS x
+      |      FROM v CROSS JOIN (SELECT UNNEST(range(1, 100)) AS i) i
+      |      WHERE i.i <= len(ve))
+      |SELECT label, pos,
+      |       FLOOR(CAST(SUM(CAST(x AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) * 10000 + 0.5) / 10000.0 AS centroid,
+      |       COUNT(*) AS n
+      |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q_sim_topk" -> simTopk,
     "q_dedup_embed" -> dedupEmbed,
-    "q_sim_ivf" -> simIvf)
+    "q_sim_ivf" -> simIvf,
+    "q_vec_centroid" -> vecCentroid)
 }

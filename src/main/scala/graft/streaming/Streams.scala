@@ -1,0 +1,91 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming variants of the incremental inventory
+  * (SURVEY.md §2.10). The reference is a repeated-batch incremental
+  * pipeline (energy_etl.py:41-48 watermark, :105 append); these are the
+  * always-on equivalents: event-time windows + watermarks replace the
+  * MAX(date) resume point, and the checkpoint replaces the sink-derived
+  * watermark — upgrading the reference's at-least-once append to
+  * exactly-once sink semantics.
+  *
+  * All transforms take an un-bounded DataFrame (from readStream or
+  * MemoryStream) and return a streaming DataFrame — tested with
+  * MemoryStream in StreamingSpec (no oracle: runtime semantics,
+  * SURVEY.md §5.2.4).
+  *
+  * Scale notes: every stateful op below keys its state by a
+  * high-cardinality column (event_type/user_id), so state shards across
+  * executors; watermarks bound state size — without them a 100 TB/day
+  * stream accretes unbounded window state.
+  */
+object Streams {
+
+  /** Tumbling daily mean per group — the streaming form of the
+    * reference's core computation (energy_etl.py:69-70). Late rows
+    * beyond the watermark are dropped, bounding state. */
+  def dailyAvg(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(avg(col("value")).as("avg_value"), count(lit(1)).as("n"))
+      .select(col("window.start").as("day_start"), col("event_type"),
+        col("avg_value"), col("n"))
+
+  /** Sliding-window mean (6h window / 3h slide). */
+  def slidingAvg(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "6 hours", "3 hours"), col("event_type"))
+      .agg(avg(col("value")).as("avg_value"), count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("avg_value"), col("n"))
+
+  /** Session windows per user with a 30-minute gap. */
+  def sessions(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sval"))
+      .select(col("session_window.start").as("session_start"), col("user_id"),
+        col("n"), col("sval"))
+
+  /** Stateful exact dedup on event_id, state bounded by the watermark
+    * (SURVEY.md §2.10 "stateful dedup"). */
+  def dedupWithinWatermark(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Per-user running state via typed flatMapGroupsWithState: emits one
+    * row per input event carrying the user's running count and mean —
+    * the custom-state surface (KeyValueGroupedDataset, SURVEY.md §2.10).
+    * State is a 2-tuple per user; timeout NoTimeout keeps it simple for
+    * the MemoryStream tests (production: event-time timeout). */
+  def runningUserStats(events: Dataset[Event]): Dataset[UserStat] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserState, UserStat](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Event], state: GroupState[UserState]) =>
+          var st = state.getOption.getOrElse(UserState(0L, 0.0))
+          val out = rows.toSeq.sortBy(_.event_id).map { e =>
+            st = UserState(st.n + 1, st.sum + e.value)
+            UserStat(uid, e.event_id, st.n, st.sum / st.n)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+}
+
+/** Typed row for the flatMapGroupsWithState surface. */
+case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+    event_type: String, value: Double)
+case class UserState(n: Long, sum: Double)
+case class UserStat(user_id: Long, event_id: Long, running_n: Long,
+    running_avg: Double)

@@ -1,0 +1,64 @@
+package graft
+
+import graft.functions.Multimodal
+import graft.functions.Multimodal._
+
+/** Multimodal plumbing (SURVEY.md §2.9): schema, batch shape, and
+  * determinism of the binary-column transforms. The codec kernels are
+  * documented stubs; what's verified here is the Spark-side contract —
+  * typed schemas, narrow per-partition execution, 1:N frame explode. */
+class MultimodalSpec extends SparkSpec {
+
+  private lazy val media = Multimodal.syntheticMedia(spark, 30).cache()
+
+  test("synthetic media is deterministic and header round-trips") {
+    val a = media.collect().sortBy(_.media_id)
+    val b = Multimodal.syntheticMedia(spark, 30).collect().sortBy(_.media_id)
+    assert(a.map(_.payload.toSeq) === b.map(_.payload.toSeq))
+    a.foreach { m =>
+      assert(Codec.decodeHeader(m.payload) === ((m.width, m.height)))
+    }
+  }
+
+  test("decode emits one typed row per payload with header-true dims") {
+    val d = Multimodal.decode(media).collect()
+    assert(d.length === 30)
+    d.foreach { r =>
+      assert(r.width >= 16 && r.height >= 9)
+      assert(r.n_pixels > 0)
+    }
+    val schema = Multimodal.decode(media).schema
+    assert(schema.fieldNames.toSeq ===
+      Seq("media_id", "kind", "width", "height", "n_pixels", "checksum"))
+  }
+
+  test("resize halves dimensions and shrinks payloads, idempotent schema") {
+    val r = Multimodal.resize(media, 2)
+    val before = media.collect().map(m => m.media_id -> m).toMap
+    r.collect().foreach { m =>
+      val o = before(m.media_id)
+      assert(m.width === math.max(o.width / 2, 1))
+      assert(m.height === math.max(o.height / 2, 1))
+      assert(m.payload.length < o.payload.length)
+      // resized payload is itself decodable — transforms compose
+      assert(Codec.decodeHeader(m.payload) === ((m.width, m.height)))
+    }
+  }
+
+  test("frame sampling explodes only videos, every k-th frame") {
+    val f = Multimodal.sampleFrames(media, frameBytes = 16, everyK = 2).collect()
+    val videoIds = media.filter(_.kind == "video").collect().map(_.media_id).toSet
+    assert(f.map(_.media_id).toSet === videoIds)
+    f.groupBy(_.media_id).values.foreach { frames =>
+      assert(frames.map(_.frame_no).forall(_ % 2 == 0))
+    }
+  }
+
+  test("feature extraction yields fixed-dim embeddings joinable to VectorOps") {
+    import org.apache.spark.sql.functions._
+    val feats = Multimodal.features(media)
+    assert(feats.schema("embedding").dataType.typeName === "array")
+    val dims = feats.select(size(col("embedding"))).distinct().collect()
+    assert(dims.length === 1 && dims(0).getInt(0) === 8)
+  }
+}

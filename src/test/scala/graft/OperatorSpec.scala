@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.VectorOps
+
+/** Per-operator unit tests on tiny literal data with hand-computed
+  * answers, plus algebraic properties on the fixtures (SURVEY.md §5.2.2-3). */
+class OperatorSpec extends SparkSpec {
+
+  test("semi ∪ anti partitions the left input exactly") {
+    import spark.implicits._
+    val c = spark.read.parquet(s"$sf/customer.parquet")
+    val o = spark.read.parquet(s"$sf/orders.parquet").filter($"o_totalprice" > 450000)
+    val semi = c.join(o, $"c_custkey" === $"o_custkey", "left_semi")
+    val anti = c.join(o, $"c_custkey" === $"o_custkey", "left_anti")
+    assert(semi.count() + anti.count() === c.count())
+    assert(semi.join(anti, Seq("c_custkey"), "inner").count() === 0)
+  }
+
+  test("as-of join picks the latest row at-or-before, ties broken by key desc") {
+    import spark.implicits._
+    val e = Seq((1L, 100L, "2024-01-10"), (2L, 100L, "2024-01-01"))
+      .toDF("event_id", "uid", "d").withColumn("d", to_date($"d"))
+    val o = Seq((10L, 100L, "2024-01-05"), (11L, 100L, "2024-01-05"),
+      (12L, 100L, "2024-01-09"), (13L, 100L, "2024-02-01"))
+      .toDF("ok", "uid2", "od").withColumn("od", to_date($"od"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_id").orderBy($"od".desc, $"ok".desc)
+    val res = e.join(o, $"uid" === $"uid2" && $"od" <= $"d", "left")
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select($"event_id", $"ok").as[(Long, Option[Long])].collect().toMap
+    assert(res(1L) === Some(12L)) // latest at-or-before 01-10
+    assert(res(2L) === None)      // nothing at-or-before 01-01
+  }
+
+  test("filter(p && q) ≡ filter(p).filter(q)") {
+    import spark.implicits._
+    val l = spark.read.parquet(s"$sf/lineitem.parquet")
+    val a = l.filter($"l_quantity" > 20 && $"l_discount" < 0.05).count()
+    val b = l.filter($"l_quantity" > 20).filter($"l_discount" < 0.05).count()
+    assert(a === b)
+  }
+
+  test("count(unionAll(a,b)) = count(a) + count(b)") {
+    val c = spark.read.parquet(s"$sf/customer.parquet")
+    val a = c.filter(col("c_custkey") % 3 === 0)
+    val b = c.filter(col("c_custkey") % 2 === 0)
+    assert(a.unionByName(b).count() === a.count() + b.count())
+  }
+
+  test("exact dedup is idempotent and keeps lowest doc_id") {
+    import spark.implicits._
+    val d = Seq((3L, "x x"), (1L, "x x"), (2L, "y")).toDF("doc_id", "text")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"text").orderBy($"doc_id")
+    val once = d.withColumn("rn", row_number().over(w)).filter($"rn" === 1).drop("rn")
+    val twice = once.withColumn("rn", row_number().over(w)).filter($"rn" === 1).drop("rn")
+    assert(once.count() === 2)
+    assert(once.filter($"text" === "x x").select($"doc_id").as[Long].head() === 1L)
+    assert(twice.collect().toSet === once.collect().toSet)
+  }
+
+  test("cosine(v, v) ≈ 1 via the VectorOps expressions") {
+    import spark.implicits._
+    val df = Seq((1L, Array(0.5f, -0.25f, 2.0f))).toDF("id", "embedding")
+      .select($"id", VectorOps.vcol($"embedding").as("v"))
+      .select((VectorOps.dot($"v", $"v") /
+        (VectorOps.l2($"v") * VectorOps.l2($"v"))).as("cos"))
+    assert(math.abs(df.as[Double].head() - 1.0) < 1e-12)
+  }
+
+  test("window rank over unique order key is dense and gap-free") {
+    import spark.implicits._
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"o_orderstatus").orderBy($"o_orderkey")
+    val r = o.withColumn("rn", row_number().over(w))
+      .withColumn("rk", rank().over(w))
+      .filter($"rn" =!= $"rk")
+    assert(r.count() === 0) // unique key ⇒ row_number == rank
+  }
+
+  test("rollup row count = groups + subtotals + grand total") {
+    import spark.implicits._
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+    val full = o.groupBy($"o_orderstatus", $"o_orderpriority").count().count()
+    val sub = o.groupBy($"o_orderstatus").count().count()
+    val roll = o.rollup($"o_orderstatus", $"o_orderpriority").count().count()
+    assert(roll === full + sub + 1)
+  }
+
+  test("decimal-sum mean is partition-order independent") {
+    import spark.implicits._
+    val vals = (1 to 1000).map(i => ("g", i * 0.730000001))
+    val one = vals.toDF("k", "v").repartition(1)
+    val many = vals.toDF("k", "v").repartition(13)
+    def mean(df: org.apache.spark.sql.DataFrame): Double =
+      df.groupBy($"k").agg(
+        (sum($"v".cast("decimal(28,10)")).cast("double") / count(lit(1))).as("m"))
+        .select($"m").as[Double].head()
+    assert(mean(one) === mean(many)) // bit-identical, not approx
+  }
+}

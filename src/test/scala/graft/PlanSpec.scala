@@ -1,0 +1,57 @@
+package graft
+
+/** Physical-plan assertions (the 100 TB design contract, SURVEY.md §4):
+  * filters reach the parquet scan, projections prune columns, dims
+  * broadcast, global top-k avoids a full sort. A query that silently
+  * loses one of these properties still passes the value gate but dies at
+  * scale — these tests pin the plan shape. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.all(name).fn(spark, sf).queryExecution.executedPlan.toString
+
+  test("q_filter_pred pushes predicates into the parquet scan") {
+    val p = plan("q_filter_pred")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("IsNotNull") || p.contains("GreaterThan") ||
+      p.contains("In("), p)
+  }
+
+  test("q_scan_project prunes the parquet read schema to selected columns") {
+    val p = plan("q_scan_project")
+    assert(p.contains("ReadSchema"), p)
+    // pruned scan must NOT carry untouched wide columns
+    assert(!p.contains("l_comment") && !p.contains("l_shipdate"), p)
+  }
+
+  test("q_join_multiway broadcasts the dim tables") {
+    val p = plan("q_join_multiway")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q_topk plans TakeOrderedAndProject (no global sort)") {
+    val p = plan("q_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q_agg_basic uses partial hash aggregation before the shuffle") {
+    val p = plan("q_agg_basic")
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("partial_") || p.contains("Partial"), p)
+  }
+
+  test("q_daily_avg stays inside whole-stage codegen") {
+    // AQE shows codegen only in the FINAL plan — execute, then look for
+    // the `*(n)` codegen markers in the simple plan string
+    val df = SparkEntry.all("q_daily_avg").fn(spark, sf)
+    val qe = df.queryExecution
+    df.collect()
+    val p = qe.executedPlan.toString
+    assert(p.contains("WholeStageCodegen") || p.contains("*("), p)
+  }
+
+  test("q_sim_topk broadcasts the query side (small) not the corpus") {
+    val p = plan("q_sim_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+}

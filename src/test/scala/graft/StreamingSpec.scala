@@ -1,0 +1,104 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.{Event, Streams}
+
+/** Structured Streaming runtime semantics (no oracle — SURVEY.md §5.2.4):
+  * watermark late-drop, windowed aggregation, stateful dedup, and the
+  * flatMapGroupsWithState custom-state surface, all driven through
+  * MemoryStream micro-batches. */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def runBatches[T](
+      stream: MemoryStream[T],
+      out: org.apache.spark.sql.DataFrame,
+      mode: OutputMode,
+      batches: Seq[Seq[T]]): Array[org.apache.spark.sql.Row] = {
+    val name = s"mem_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode(mode).start()
+    try {
+      batches.foreach { b => stream.addData(b); q.processAllAvailable() }
+      spark.table(name).collect()
+    } finally q.stop()
+  }
+
+  test("tumbling daily aggregation emits finalized windows after watermark passes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val rows = runBatches(in, Streams.dailyAvg(in.toDF(), "1 hour"), OutputMode.Append, Seq(
+      Seq(Event(1, ts("2024-01-01 10:00:00"), 1, "click", 10.0),
+          Event(2, ts("2024-01-01 12:00:00"), 1, "click", 30.0)),
+      // advance event time past day1 + watermark → day1 window finalizes
+      Seq(Event(3, ts("2024-01-02 02:00:00"), 1, "click", 7.0))))
+    val day1 = rows.find(_.getAs[Timestamp]("day_start") == ts("2024-01-01 00:00:00"))
+    assert(day1.isDefined, s"day-1 window not emitted: ${rows.mkString(";")}")
+    assert(day1.get.getAs[Double]("avg_value") === 20.0)
+    assert(day1.get.getAs[Long]("n") === 2L)
+  }
+
+  test("late rows beyond the watermark are dropped") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val rows = runBatches(in, Streams.dailyAvg(in.toDF(), "1 hour"), OutputMode.Append, Seq(
+      Seq(Event(1, ts("2024-01-01 10:00:00"), 1, "click", 10.0)),
+      Seq(Event(2, ts("2024-01-03 00:00:00"), 1, "click", 1.0)), // watermark → 01-02 23:00
+      Seq(Event(3, ts("2024-01-01 11:00:00"), 1, "click", 99.0)), // LATE — dropped
+      Seq(Event(4, ts("2024-01-05 00:00:00"), 1, "click", 2.0))))
+    val day1 = rows.find(_.getAs[Timestamp]("day_start") == ts("2024-01-01 00:00:00"))
+    assert(day1.isDefined)
+    // the late 99.0 must NOT be in the day-1 aggregate
+    assert(day1.get.getAs[Double]("avg_value") === 10.0)
+    assert(day1.get.getAs[Long]("n") === 1L)
+  }
+
+  test("dropDuplicatesWithinWatermark deduplicates repeated event_ids") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val rows = runBatches(in, Streams.dedupWithinWatermark(in.toDF(), "1 hour"),
+      OutputMode.Append, Seq(
+        Seq(Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+            Event(1, ts("2024-01-01 10:00:01"), 1, "click", 1.0)), // dup in-batch
+        Seq(Event(1, ts("2024-01-01 10:05:00"), 1, "click", 1.0), // dup cross-batch
+            Event(2, ts("2024-01-01 10:10:00"), 1, "view", 2.0))))
+    assert(rows.map(_.getAs[Long]("event_id")).sorted.toSeq === Seq(1L, 2L))
+  }
+
+  test("flatMapGroupsWithState carries running per-user state across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val out = Streams.runningUserStats(in.toDS()).toDF()
+    val rows = runBatches(in, out, OutputMode.Append, Seq(
+      Seq(Event(1, ts("2024-01-01 10:00:00"), 7, "click", 10.0)),
+      Seq(Event(2, ts("2024-01-01 11:00:00"), 7, "click", 30.0),
+          Event(3, ts("2024-01-01 12:00:00"), 8, "view", 5.0))))
+    val byEvent = rows.map(r =>
+      r.getAs[Long]("event_id") -> (r.getAs[Long]("running_n"), r.getAs[Double]("running_avg"))).toMap
+    assert(byEvent(1L) === ((1L, 10.0)))
+    assert(byEvent(2L) === ((2L, 20.0))) // state survived the batch boundary
+    assert(byEvent(3L) === ((1L, 5.0)))  // independent per-key state
+  }
+
+  test("session windows merge events within the gap and split across it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val rows = runBatches(in, Streams.sessions(in.toDF(), "30 minutes"),
+      OutputMode.Append, Seq(
+        Seq(Event(1, ts("2024-01-01 10:00:00"), 1, "c", 1.0),
+            Event(2, ts("2024-01-01 10:20:00"), 1, "c", 2.0),  // same session
+            Event(3, ts("2024-01-01 12:00:00"), 1, "c", 4.0)), // new session
+        Seq(Event(4, ts("2024-01-02 00:00:00"), 2, "c", 0.0)))) // flush watermark
+    val u1 = rows.filter(_.getAs[Long]("user_id") == 1L)
+      .map(r => (r.getAs[Timestamp]("session_start"), r.getAs[Long]("n"))).toSet
+    assert(u1 === Set((ts("2024-01-01 10:00:00"), 2L), (ts("2024-01-01 12:00:00"), 1L)))
+  }
+}
