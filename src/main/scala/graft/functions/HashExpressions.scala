@@ -1,0 +1,88 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native codegen string-hash kernels for the dedup/fingerprint family
+  * (SURVEY.md §2.9, §7.5). Semantically identical to the built-in
+  * higher-order-function formulations in TextDedup (and to the DuckDB
+  * oracle SQL): plain integer arithmetic over code points, so both
+  * engines and both physical paths agree exactly.
+  */
+object HashKernels {
+  val P: Long = 1000000007L
+
+  /** Rolling polynomial fingerprint: fold (acc*31 + codepoint) % P over
+    * every code point — TextDedup.fingerprint's formula. */
+  def rollingHash(s: UTF8String): Long = {
+    val str = s.toString
+    var acc = 0L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      acc = (acc * 31L + cp) % P
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+
+  /** Positional shingle hash: Σ codepoint_i · 13^(i-1) over the first
+    * 12 code points — TextDedup.shingleHash's formula (every
+    * intermediate fits in int64; 13^11 < 2^53 keeps the oracle's
+    * double-pow replay exact). */
+  def shingleHash(s: UTF8String): Long = {
+    val str = s.toString
+    var acc = 0L
+    var i = 0
+    var pos = 0
+    var pw = 1L
+    while (i < str.length && pos < 12) {
+      val cp = str.codePointAt(i)
+      acc += cp * pw
+      pw *= 13L
+      pos += 1
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+}
+
+abstract class StringHashExpression extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string, got ${t.sql}")
+  }
+
+  /** Static method on [[HashKernels]] invoked from both eval and the
+    * generated code — one implementation, no interpreter/codegen skew. */
+  protected def kernel: String
+
+  override def nullSafeEval(input: Any): Any = kernel match {
+    case "rollingHash" => HashKernels.rollingHash(input.asInstanceOf[UTF8String])
+    case "shingleHash" => HashKernels.shingleHash(input.asInstanceOf[UTF8String])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HashKernels.$kernel($c)")
+}
+
+/** SQL function `graft_fp` (see [[GraftExtensions]]). */
+case class RollingHash(child: Expression) extends StringHashExpression {
+  override protected def kernel: String = "rollingHash"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** SQL function `graft_shingle_hash` (see [[GraftExtensions]]). */
+case class ShingleHash(child: Expression) extends StringHashExpression {
+  override protected def kernel: String = "shingleHash"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -38,6 +38,20 @@ object VectorOps {
       .withColumn("nm", l2($"v"))
   }
 
+  /** (vectors+norms, dot) — uses the native codegen kernels
+    * (graft.functions.DotProduct via SparkSessionExtensions) when the
+    * session has them, else the interpreted higher-order-function
+    * formulation. Identical float64 math either way (same widening, same
+    * left-to-right accumulation), so plans differ but results don't. */
+  private def base(s: SparkSession, dir: String): (DataFrame, (Column, Column) => Column) = {
+    import s.implicits._
+    if (s.catalog.functionExists("graft_dot")) {
+      val df = Tables.embeddings(s, dir).select($"vec_id", $"embedding".as("v"),
+        call_function("graft_l2norm", $"embedding").as("nm"))
+      (df, (a, b) => call_function("graft_dot", a, b))
+    } else (normed(s, dir), dot)
+  }
+
   /** Shared oracle prelude: per-vector double list + L2 norm, and the
     * dot product via an index-series join (exact same float64 math). */
   private val oracleBase =
@@ -51,13 +65,13 @@ object VectorOps {
   private val simTopk = QueryDef(
     (s, dir) => {
       import s.implicits._
-      val base = normed(s, dir)
-      val q = base.filter($"vec_id" < 50)
+      val (b0, dotf) = base(s, dir)
+      val q = b0.filter($"vec_id" < 50)
         .select($"vec_id".as("qid"), $"v".as("qv"), $"nm".as("qn"))
-      val cand = base.select($"vec_id".as("nid"), $"v".as("nv"), $"nm".as("nn"))
+      val cand = b0.select($"vec_id".as("nid"), $"v".as("nv"), $"nm".as("nn"))
       val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"nid")
       cand.join(broadcast(q), $"nid" =!= $"qid")
-        .withColumn("cos", dot($"qv", $"nv") / ($"qn" * $"nn"))
+        .withColumn("cos", dotf($"qv", $"nv") / ($"qn" * $"nn"))
         .withColumn("rk", row_number().over(w).cast("long"))
         .filter($"rk" <= 5)
         .select($"qid", $"nid", round($"cos", 4).as("cos"), $"rk")
@@ -83,11 +97,11 @@ object VectorOps {
   private val dedupEmbed = QueryDef(
     (s, dir) => {
       import s.implicits._
-      val base = normed(s, dir)
-      val a = base.select($"vec_id".as("ida"), $"v".as("va"), $"nm".as("na"))
-      val b = base.select($"vec_id".as("idb"), $"v".as("vb"), $"nm".as("nb"))
+      val (b0, dotf) = base(s, dir)
+      val a = b0.select($"vec_id".as("ida"), $"v".as("va"), $"nm".as("na"))
+      val b = b0.select($"vec_id".as("idb"), $"v".as("vb"), $"nm".as("nb"))
       a.join(b, $"ida" < $"idb")
-        .withColumn("cos", dot($"va", $"vb") / ($"na" * $"nb"))
+        .withColumn("cos", dotf($"va", $"vb") / ($"na" * $"nb"))
         .filter($"cos" >= 0.35)
         .select($"ida", $"idb", round($"cos", 4).as("cos"))
         .orderBy($"ida", $"idb")
@@ -111,22 +125,22 @@ object VectorOps {
   private val simIvf = QueryDef(
     (s, dir) => {
       import s.implicits._
-      val base = normed(s, dir)
-      val cents = base.filter($"vec_id" < 10)
+      val (b0, dotf) = base(s, dir)
+      val cents = b0.filter($"vec_id" < 10)
         .select($"vec_id".as("cid"), $"v".as("cv"), $"nm".as("cn"))
       // nearest cell per vector (rank 1 over centroid cosine)
       val wAssign = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cid")
-      val assigned = base.crossJoin(broadcast(cents))
-        .withColumn("ccos", dot($"v", $"cv") / ($"nm" * $"cn"))
+      val assigned = b0.crossJoin(broadcast(cents))
+        .withColumn("ccos", dotf($"v", $"cv") / ($"nm" * $"cn"))
         .withColumn("crk", row_number().over(wAssign))
         .filter($"crk" === 1)
         .select($"vec_id", $"v", $"nm", $"cid".as("cell"))
       // 2 nearest cells per query vector
       val wProbe = Window.partitionBy($"qid").orderBy($"qcos".desc, $"cid")
-      val probes = base.filter($"vec_id" >= 10 && $"vec_id" < 30)
+      val probes = b0.filter($"vec_id" >= 10 && $"vec_id" < 30)
         .select($"vec_id".as("qid"), $"v".as("qv"), $"nm".as("qn"))
         .crossJoin(broadcast(cents))
-        .withColumn("qcos", dot($"qv", $"cv") / ($"qn" * $"cn"))
+        .withColumn("qcos", dotf($"qv", $"cv") / ($"qn" * $"cn"))
         .withColumn("prk", row_number().over(wProbe))
         .filter($"prk" <= 2)
         .select($"qid", $"qv", $"qn", $"cid".as("probe_cell"))
@@ -134,7 +148,7 @@ object VectorOps {
       val wRank = Window.partitionBy($"qid").orderBy($"cos".desc, $"nid")
       assigned.select($"vec_id".as("nid"), $"v".as("nv"), $"nm".as("nn"), $"cell")
         .join(broadcast(probes), $"cell" === $"probe_cell" && $"nid" =!= $"qid")
-        .withColumn("cos", dot($"qv", $"nv") / ($"qn" * $"nn"))
+        .withColumn("cos", dotf($"qv", $"nv") / ($"qn" * $"nn"))
         .withColumn("rk", row_number().over(wRank).cast("long"))
         .filter($"rk" <= 3)
         .select($"qid", $"nid", $"cell".cast("long").as("cell"),
@@ -184,10 +198,10 @@ object VectorOps {
       import s.implicits._
       Tables.embeddings(s, dir)
         .select($"label".cast("long").as("label"),
-          posexplode(vcol($"embedding")))
+          posexplode($"embedding"))
         .groupBy($"label", ($"pos" + 1).cast("long").as("pos"))
         .agg(
-          Incremental.r4(sum($"col".cast("decimal(28,10)")).cast("double") /
+          Incremental.r4(sum($"col".cast("double").cast("decimal(28,10)")).cast("double") /
             count(lit(1))).as("centroid"),
           count(lit(1)).as("n"))
         .orderBy($"label", $"pos")

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.VectorOps
+
+/** Native codegen kernels (graft.functions.{DotProduct, L2Norm}) must be
+  * bit-identical to the built-in higher-order-function formulation —
+  * they are a physical optimization, never a semantic change. */
+class ExpressionSpec extends SparkSpec {
+
+  test("graft_dot / graft_l2norm registered via SparkSessionExtensions") {
+    assert(spark.catalog.functionExists("graft_dot"))
+    assert(spark.catalog.functionExists("graft_l2norm"))
+  }
+
+  test("native dot == built-in fold, bit for bit, on the fixture vectors") {
+    import spark.implicits._
+    val e = spark.read.parquet(s"$sf/embeddings.parquet").limit(200)
+    val pairs = e.select($"vec_id".as("ida"), $"embedding".as("ea"))
+      .crossJoin(e.select($"vec_id".as("idb"), $"embedding".as("eb")))
+      .filter($"ida" < $"idb").limit(5000)
+    val native = call_function("graft_dot", $"ea", $"eb")
+    val builtin = VectorOps.dot(VectorOps.vcol($"ea"), VectorOps.vcol($"eb"))
+    val diff = pairs.select(native.as("n"), builtin.as("b"))
+      .filter($"n" =!= $"b") // exact compare — no tolerance
+    assert(diff.count() === 0)
+  }
+
+  test("native l2norm == built-in fold, bit for bit") {
+    import spark.implicits._
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val native = call_function("graft_l2norm", $"embedding")
+    val builtin = VectorOps.l2(VectorOps.vcol($"embedding"))
+    assert(e.select(native.as("n"), builtin.as("b")).filter($"n" =!= $"b").count() === 0)
+  }
+
+  test("native kernels handle nulls and mixed float/double arrays") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(Array(1.0f, 2.0f)), Some(Array(3.0, 4.0))),
+      (None, Some(Array(1.0, 1.0)))).toDF("a", "b")
+    val r = df.select(call_function("graft_dot", $"a", $"b").as("d"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(r(0) === Some(11.0)) // 1*3 + 2*4
+    assert(r(1) === None)       // null array → null, no crash
+  }
+
+  test("native string hashes == built-in folds on the documents corpus") {
+    import spark.implicits._
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val P = 1000000007L
+    val fpHof = aggregate(
+      sequence(lit(1), length($"text")), lit(0L),
+      (acc, i) => (acc * 31L + ascii($"text".substr(i, lit(1))).cast("long")) % P)
+    assert(d.select(call_function("graft_fp", $"text").as("n"), fpHof.as("b"))
+      .filter($"n" =!= $"b").count() === 0)
+    val shHof = aggregate(
+      sequence(lit(1), least(length($"text"), lit(12))), lit(0L),
+      (acc, i) => acc + ascii($"text".substr(i, lit(1))).cast("long") *
+        pow(lit(13.0), (i - 1).cast("double")).cast("long"))
+    assert(d.select(call_function("graft_shingle_hash", $"text").as("n"), shHof.as("b"))
+      .filter($"n" =!= $"b").count() === 0)
+  }
+
+  test("q_sim_topk plan uses the native kernel (not interpreted HOFs)") {
+    val p = SparkEntry.all("q_sim_topk").fn(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    assert(p.toLowerCase.contains("dotproduct"), p)
+  }
+}
