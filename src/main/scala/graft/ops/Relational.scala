@@ -122,6 +122,25 @@ object Relational {
       |       COUNT(*) AS n
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
 
+  /** Approximate COUNT(DISTINCT) via the built-in HyperLogLog++ sketch
+    * (§2.4 — no custom TypedImperativeAggregate needed). No oracle:
+    * approximate results are engine-specific, so the driver records a
+    * rows-only check (SURVEY.md §2.11 "no-oracle" list); the exactness
+    * envelope is asserted in OperatorSpec instead. Scale: the sketch is
+    * a fixed-size buffer per group — the shuffle carries sketches, not
+    * distinct values, which is the point at 100 TB. */
+  private val aggApprox = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      Tables.orders(s, dir)
+        .groupBy($"o_orderstatus")
+        .agg(
+          approx_count_distinct($"o_custkey", 0.02).as("approx_cust"),
+          countDistinct($"o_custkey").as("exact_cust"))
+        .orderBy($"o_orderstatus")
+    },
+    None)
+
   /** ROLLUP + grouping_id (§2.4). gid disambiguates the NULL rollup rows. */
   private val rollup = QueryDef(
     (s, dir) => {
@@ -436,6 +455,7 @@ object Relational {
     "q_filter_pred" -> filterPred,
     "q_agg_basic" -> aggBasic,
     "q_agg_distinct" -> aggDistinct,
+    "q_agg_approx" -> aggApprox,
     "q_rollup" -> rollup,
     "q_pivot" -> pivot,
     "q_sort_multi" -> sortMulti,

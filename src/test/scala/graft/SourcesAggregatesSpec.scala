@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.VectorAggregates
+import graft.sources.Sources
+
+/** Source resilience (PERMISSIVE/FAILFAST JSON) and the typed Aggregator
+  * UDAF surface. */
+class SourcesAggregatesSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("zone", StringType), StructField("value", DoubleType)))
+
+  test("jsonWithQuarantine splits good and malformed records") {
+    import spark.implicits._
+    val raw = Seq(
+      """{"zone":"SE1","value":1.5}""",
+      """{"zone":"SE2","value":}""", // malformed
+      """not json at all""",
+      """{"zone":"SE3","value":3.0}""").toDF("body")
+    val (good, bad) = Sources.jsonWithQuarantine(raw, "body", schema)
+    assert(good.count() === 2)
+    assert(bad.count() === 2)
+    assert(good.select(sum($"value")).as[Double].head() === 4.5)
+    // quarantine keeps the raw record for replay
+    assert(bad.columns.toSeq === Seq("raw_record"))
+  }
+
+  test("jsonStrict fails fast on malformed input") {
+    import spark.implicits._
+    val raw = Seq("""{"zone":"SE1","value":}""").toDF("body")
+    intercept[Exception] {
+      Sources.jsonStrict(raw, "body", schema).collect()
+    }
+  }
+
+  test("vectorMean Aggregator matches the posexplode centroid") {
+    import spark.implicits._
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    // typed aggregator path
+    val typed = e.select($"label", $"embedding").as[(Int, Array[Float])]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(VectorAggregates.vectorMean.toColumn.name("centroid"))
+      .collect().toMap
+    // reference path: posexplode + avg
+    val ref = e.select($"label", posexplode(col("embedding")))
+      .groupBy($"label", $"pos")
+      .agg(avg($"col".cast("double")).as("m"))
+      .collect()
+      .groupBy(_.getInt(0))
+      .map { case (l, rows) =>
+        l -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray }
+    ref.foreach { case (label, exp) =>
+      val got = typed(label)
+      assert(got.length === exp.length)
+      exp.indices.foreach { i =>
+        assert(math.abs(got(i) - exp(i)) < 1e-9, s"label=$label pos=$i")
+      }
+    }
+  }
+
+  test("approx_count_distinct lands within its rsd envelope") {
+    import spark.implicits._
+    val r = SparkEntry.all("q_agg_approx").fn(spark, sf)
+      .select($"approx_cust".cast("double"), $"exact_cust".cast("double"))
+      .as[(Double, Double)].collect()
+    r.foreach { case (approx, exact) =>
+      assert(math.abs(approx - exact) / exact < 0.1,
+        s"approx=$approx exact=$exact")
+    }
+  }
+}
