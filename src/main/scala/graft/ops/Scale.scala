@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale utilities (SURVEY.md §7.5 risk register; the 100 TB design
+  * mandate): bucketed co-located joins and salted skew handling. These
+  * are engine patterns, not declared queries — exercised by ScaleSpec,
+  * which asserts the resulting physical plans (no exchange on bucketed
+  * joins; bounded partition width on salted aggregations).
+  */
+object Scale {
+
+  /** Write both sides bucketed by the join key into the session catalog.
+    * A later join on that key sort-merges WITHOUT either exchange: at
+    * 100 TB this turns the fact⋈fact shuffle (the dominant cost) into
+    * co-located per-bucket merges. Bucket count is fixed at write time —
+    * size it to (table size / target partition size), power of two. */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .mode("overwrite")
+      .saveAsTable(table)
+
+  /** Join two bucketed tables on their bucket key. Caller asserts the
+    * plan: with equal bucket counts there is no ShuffleExchange. */
+  def bucketedJoin(spark: SparkSession, left: String, right: String,
+      key: String): DataFrame =
+    spark.table(left).join(spark.table(right), key)
+
+  /** Salted two-phase aggregation: pre-aggregate on (key, salt) so a
+    * hot key's rows split across `salts` reducers, then combine the
+    * partials. Identical result to a direct groupBy-agg for any
+    * sum/count-decomposable aggregate; use when one key dominates the
+    * distribution badly enough that AQE skew handling isn't available
+    * (it only splits JOIN partitions, not aggregation keys).
+    *
+    * partial: map each value column to its (salted) partial aggregate.
+    * merge:   combine partials per key.
+    */
+  def saltedAgg(
+      df: DataFrame,
+      key: Column,
+      salts: Int,
+      partial: Seq[Column],
+      merge: Seq[Column]): DataFrame = {
+    val salted = df.withColumn("_salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
+    salted
+      .groupBy(key.as("_k"), col("_salt"))
+      .agg(partial.head, partial.tail: _*)
+      .groupBy(col("_k"))
+      .agg(merge.head, merge.tail: _*)
+  }
+
+  /** Salted broadcast-side replication for a skewed equi join: explode
+    * the small side `salts`× with a salt column, salt the big side's key
+    * randomly-but-deterministically, join on (key, salt). Splits a hot
+    * key across `salts` tasks; result identical to the unsalted join. */
+  def saltedJoin(
+      big: DataFrame, small: DataFrame, bigKey: String, smallKey: String,
+      salts: Int): DataFrame = {
+    val saltedBig = big.withColumn("_salt",
+      pmod(hash(col(bigKey), spark_partition_id(), monotonically_increasing_id()),
+        lit(salts)))
+    val replicatedSmall = small.withColumn("_salt",
+      explode(array((0 until salts).map(lit): _*)))
+    saltedBig.join(replicatedSmall,
+      saltedBig(bigKey) === replicatedSmall(smallKey) &&
+        saltedBig("_salt") === replicatedSmall("_salt"))
+      .drop("_salt")
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Scale
+
+/** Plan-level verification of the 100 TB scale patterns: bucketed joins
+  * eliminate both exchanges; salted aggregation/join give identical
+  * results to their unsalted forms while splitting hot keys. */
+class ScaleSpec extends SparkSpec {
+
+  test("bucketed fact-fact join plans with NO shuffle exchange") {
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+    val l = spark.read.parquet(s"$sf/lineitem.parquet")
+      .withColumnRenamed("l_orderkey", "o_orderkey")
+    Scale.writeBucketed(o, "t_orders_b", "o_orderkey", 4)
+    Scale.writeBucketed(l, "t_lineitem_b", "o_orderkey", 4)
+    // force the fact⋈fact (sort-merge) path — at sf0.001 orders is small
+    // enough to broadcast, which is the right plan at THIS size but not
+    // the scale scenario under test
+    val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = Scale.bucketedJoin(spark, "t_orders_b", "t_lineitem_b", "o_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"), plan)
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(plan.contains("Bucketed: true"), plan)
+      val expected = o.join(l, "o_orderkey").count()
+      assert(joined.count() === expected)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+  }
+
+  test("saltedAgg == direct groupBy for sum/count, any salt count") {
+    import spark.implicits._
+    val l = spark.read.parquet(s"$sf/lineitem.parquet")
+    val direct = l.groupBy($"l_returnflag".as("_k"))
+      .agg(sum($"l_quantity").as("s"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val salted = Scale.saltedAgg(l, $"l_returnflag", salts = 8,
+      partial = Seq(sum($"l_quantity").as("ps"), count(lit(1)).as("pn")),
+      merge = Seq(sum($"ps").as("s"), sum($"pn").as("n")))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(salted.keySet === direct.keySet)
+    direct.foreach { case (k, (s, n)) =>
+      assert(salted(k)._2 === n)
+      assert(math.abs(salted(k)._1 - s) < 1e-6) // double sum order differs
+    }
+  }
+
+  test("saltedJoin == plain join row-for-row") {
+    import spark.implicits._
+    val l = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select($"l_orderkey", $"l_quantity")
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+      .select($"o_orderkey", $"o_orderstatus")
+    val plain = l.join(o, $"l_orderkey" === $"o_orderkey").count()
+    val salted = Scale.saltedJoin(l, o, "l_orderkey", "o_orderkey", salts = 4).count()
+    assert(salted === plain)
+  }
+}
