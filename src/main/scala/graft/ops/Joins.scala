@@ -135,24 +135,37 @@ object Joins {
       |  AND l_shipdate <  TIMESTAMP '1997-07-01 00:00:00'
       |GROUP BY p_partkey ORDER BY p_partkey""".stripMargin)
 
-  /** As-of join: latest order at-or-before each event's timestamp for that
-    * user. Spark: equi+range join then row_number()=1 with an explicit
-    * total tie-break (SURVEY.md §7.5 — mirrored in the oracle as a
-    * correlated LIMIT 1 rather than DuckDB ASOF, whose tie choice is
-    * unspecified). */
+  /** As-of join: latest order at-or-before each event's timestamp for
+    * that user, via the scalable union+window plan (SURVEY.md §2.3):
+    * tag both inputs, union, one shuffle+sort per user, and carry the
+    * most recent order struct with last(ignoreNulls) over the running
+    * frame. LINEAR in |events|+|orders| — the join-then-rank
+    * formulation first materializes every (event, earlier-order) pair,
+    * which is quadratic per hot user at 100 TB.
+    * Tie semantics (mirrored exactly in the oracle's correlated LIMIT 1,
+    * not DuckDB ASOF whose tie choice is unspecified): at equal
+    * timestamp the order is visible to the event (inclusive ≤, orders
+    * sort first); among same-timestamp orders the highest o_orderkey
+    * wins (sort asc + last). */
   private val joinAsof = QueryDef(
     (s, dir) => {
       import s.implicits._
-      val e = Tables.events(s, dir).select($"event_id", $"user_id", $"ts")
+      val e = Tables.events(s, dir)
+        .select($"user_id".as("u"), $"ts".as("t"), lit(1).as("is_event"),
+          $"event_id", lit(null).cast("struct<d:timestamp,k:bigint>").as("ord"))
       val o = Tables.orders(s, dir)
-        .select($"o_orderkey", $"o_custkey", $"o_orderdate")
-      val w = Window.partitionBy($"event_id")
-        .orderBy($"o_orderdate".desc, $"o_orderkey".desc)
-      e.join(o, $"user_id" === $"o_custkey" && $"o_orderdate" <= $"ts", "left")
-        .withColumn("rn", row_number().over(w))
-        .filter($"rn" === 1)
-        .select($"event_id", $"user_id", $"o_orderkey".as("asof_orderkey"),
-          to_date($"o_orderdate").as("asof_date"))
+        .select($"o_custkey".as("u"), $"o_orderdate".as("t"),
+          lit(0).as("is_event"), lit(null).cast("long").as("event_id"),
+          struct($"o_orderdate".as("d"), $"o_orderkey".as("k")).as("ord"))
+      val w = Window.partitionBy($"u")
+        .orderBy($"t", $"is_event", $"ord.k")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      e.unionByName(o)
+        .withColumn("last_ord", last($"ord", ignoreNulls = true).over(w))
+        .filter($"is_event" === 1)
+        .select($"event_id", $"u".as("user_id"),
+          $"last_ord.k".as("asof_orderkey"),
+          to_date($"last_ord.d").as("asof_date"))
         .orderBy($"event_id")
     },
     """WITH m AS (

@@ -50,6 +50,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WholeStageCodegen") || p.contains("*("), p)
   }
 
+  test("q_join_asof is the linear union+window plan: no join operator at all") {
+    val p = plan("q_join_asof")
+    assert(!p.contains("Join"), p) // union+window, never a pairwise join
+    assert(p.contains("Window"), p)
+    assert(p.contains("Union"), p)
+  }
+
   test("q_sim_topk broadcasts the query side (small) not the corpus") {
     val p = plan("q_sim_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
