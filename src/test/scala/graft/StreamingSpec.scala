@@ -87,6 +87,63 @@ class StreamingSpec extends SparkSpec {
     assert(byEvent(3L) === ((1L, 5.0)))  // independent per-key state
   }
 
+  test("complete vs update output modes (the §2.10 sink-mode row)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // complete mode: every trigger re-emits the full aggregate state
+    val in = MemoryStream[Event]
+    val counts = in.toDF().groupBy($"event_type").count()
+    val name = s"mem_${System.nanoTime()}"
+    val q = counts.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Complete).start()
+    try {
+      in.addData(Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      assert(spark.table(name).collect().map(r => r.getString(0) -> r.getLong(1))
+        .toMap === Map("click" -> 1L))
+      in.addData(Event(2, ts("2024-01-01 11:00:00"), 1, "click", 1.0),
+        Event(3, ts("2024-01-01 12:00:00"), 1, "view", 1.0))
+      q.processAllAvailable()
+      // full state again — click count REPLACED with 2, not appended
+      assert(spark.table(name).collect().map(r => r.getString(0) -> r.getLong(1))
+        .toMap === Map("click" -> 2L, "view" -> 1L))
+    } finally q.stop()
+  }
+
+  test("checkpointed file sink resumes exactly-once across a restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val (out, ckpt) = (s"$dir/out", s"$dir/ckpt")
+    // the streaming upgrade of the reference's watermark+append pattern:
+    // the checkpoint replaces the MAX(date) sink read as the resume point
+    def start(in: MemoryStream[Event]) =
+      in.toDF().select($"event_id", $"event_type", $"value")
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt).outputMode(OutputMode.Append).start()
+
+    val in1 = MemoryStream[Event]
+    val q1 = start(in1)
+    in1.addData(Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+      Event(2, ts("2024-01-01 11:00:00"), 1, "view", 2.0))
+    q1.processAllAvailable(); q1.stop()
+    assert(spark.read.parquet(out).count() === 2)
+
+    // "restart": a new query over a replayed source, same checkpoint +
+    // sink. The replayed history batch (offset 0) is already recorded in
+    // the checkpoint, so it must NOT be written again — only the new
+    // batch lands. This is the exactly-once upgrade over the reference's
+    // at-least-once WRITE_APPEND (energy_etl.py:105).
+    val in2 = MemoryStream[Event]
+    in2.addData(Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+      Event(2, ts("2024-01-01 11:00:00"), 1, "view", 2.0)) // replayed history
+    in2.addData(Event(3, ts("2024-01-01 12:00:00"), 2, "click", 3.0)) // new
+    val q2 = start(in2)
+    q2.processAllAvailable(); q2.stop()
+    val ids = spark.read.parquet(out).select($"event_id").as[Long].collect().sorted
+    assert(ids.toSeq === Seq(1L, 2L, 3L), s"got ${ids.toSeq}") // no dups, no loss
+  }
+
   test("session windows merge events within the gap and split across it") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
