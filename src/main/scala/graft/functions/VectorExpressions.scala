@@ -153,5 +153,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_shingle_hash"),
       new ExpressionInfo(classOf[ShingleHash].getName, "graft_shingle_hash"),
       (children: Seq[Expression]) => ShingleHash(children.head)))
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

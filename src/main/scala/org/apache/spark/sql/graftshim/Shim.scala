@@ -1,0 +1,22 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.classic.{ClassicConversions, Dataset, ExpressionUtils}
+
+/** Minimal bridge into Spark's `private[sql]` surface, required to hand
+  * a custom LogicalPlan (graft.plans.AsOfJoin) back to the public
+  * Dataset API. Placing one shim object inside the org.apache.spark.sql
+  * namespace is the standard technique external connectors/extensions
+  * use (the alternative — reflection — is slower and more brittle).
+  * Everything else in this repo lives in the graft.* namespace. */
+object Shim {
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    Dataset.ofRows(ClassicConversions.castToImpl(spark), plan)
+
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  def logicalPlan(df: DataFrame): LogicalPlan =
+    ClassicConversions.castToImpl(df).logicalPlan
+}

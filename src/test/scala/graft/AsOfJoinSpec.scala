@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.plans.AsOfJoinApi
+import graft.util.Tables
+
+/** The custom-operator tier (plans.AsOfJoin + AsOfJoinExec +
+  * AsOfJoinStrategy): the native single-pass merge must return exactly
+  * the oracle-verified union+window formulation's rows, and its plan
+  * must be the co-partitioned exec with no Union/Window machinery. */
+class AsOfJoinSpec extends SparkSpec {
+
+  private def native = {
+    val e = Tables.events(spark, sf).select(col("event_id"), col("user_id"), col("ts"))
+    val o = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    AsOfJoinApi.asof(e, o,
+      e("user_id"), o("o_custkey"), e("ts"), o("o_orderdate"),
+      tieBreak = Seq(o("o_orderkey")))
+      .select(col("event_id"), col("user_id"),
+        col("o_orderkey").as("asof_orderkey"),
+        to_date(col("o_orderdate")).as("asof_date"))
+      .orderBy(col("event_id"))
+  }
+
+  test("native as-of exec returns exactly the union+window rows") {
+    val expected = SparkEntry.all("q_join_asof").fn(spark, sf).collect()
+    val got = native.collect()
+    assert(got.length === expected.length)
+    got.zip(expected).foreach { case (g, e) => assert(g === e) }
+  }
+
+  test("plan is AsOfJoinExec with co-partitioning, no Union/Window") {
+    val p = native.queryExecution.executedPlan.toString
+    assert(p.contains("AsOfJoin"), p)
+    assert(!p.contains("Union"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("handles events before any order and empty right side") {
+    import spark.implicits._
+    val e = Seq((1L, 10L, "2024-01-01 00:00:00"), (2L, 10L, "2024-03-01 00:00:00"))
+      .toDF("event_id", "uid", "t").withColumn("t", to_timestamp($"t"))
+    val o = Seq((100L, 10L, "2024-02-01 00:00:00"))
+      .toDF("ok", "ouid", "ot").withColumn("ot", to_timestamp($"ot"))
+    val r = AsOfJoinApi.asof(e, o, e("uid"), o("ouid"), e("t"), o("ot"))
+      .select($"event_id", $"ok").orderBy($"event_id")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+    assert(r.toSeq === Seq(1L -> None, 2L -> Some(100L)))
+
+    val empty = o.filter($"ok" < 0)
+    val r2 = AsOfJoinApi.asof(e, empty, e("uid"), empty("ouid"), e("t"), empty("ot"))
+      .select($"event_id", $"ok").collect()
+    assert(r2.length === 2)
+    assert(r2.forall(_.isNullAt(1)))
+  }
+}
