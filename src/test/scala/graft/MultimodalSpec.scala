@@ -61,4 +61,25 @@ class MultimodalSpec extends SparkSpec {
     val dims = feats.select(size(col("embedding"))).distinct().collect()
     assert(dims.length === 1 && dims(0).getInt(0) === 8)
   }
+
+  test("end-to-end: media → features → cosine top-k via the native kernel") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the full multimodal similarity pipeline: decode-side features feed
+    // the same top-k machinery as the embeddings fixture queries
+    val feats = Multimodal.features(media)
+    val q = feats.filter($"media_id" < 3)
+      .select($"media_id".as("qid"), $"embedding".as("qv"))
+    val scored = feats.select($"media_id".as("nid"), $"embedding".as("nv"))
+      .join(broadcast(q), $"nid" =!= $"qid")
+      .withColumn("cos",
+        call_function("graft_dot", $"qv", $"nv") /
+          (call_function("graft_l2norm", $"qv") * call_function("graft_l2norm", $"nv")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"qid").orderBy($"cos".desc, $"nid")
+    val top = scored.withColumn("rk", row_number().over(w)).filter($"rk" <= 3)
+    assert(top.count() === 9) // 3 queries × top-3
+    top.select($"cos").as[Double].collect()
+      .foreach(c => assert(c >= -1.0000001 && c <= 1.0000001))
+  }
 }
