@@ -1,0 +1,70 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data corpus pipeline (BASELINE.json north_star: "the
+  * operations a large-scale training-data pipeline would need",
+  * composed): quality-filter → exact dedup → near-dup removal →
+  * language-partitioned write. Each stage is the same logic the
+  * declared queries verify (q_text_quality, q_dedup_exact,
+  * q_dedup_near's candidate semantics), chained into one lazy plan.
+  *
+  * Scale shape: stages 1-2 are narrow + one keyed shuffle each; stage 3
+  * shuffles only (band, bucket) keys; the final write partitions by
+  * lang so downstream per-language jobs get partition pruning.
+  */
+object CorpusPipeline {
+
+  case class Stats(input: Long, afterQuality: Long, afterExact: Long,
+      afterNear: Long)
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  /** Composite quality score in [0,1] — q_text_quality's formula. */
+  def qualityScore(text: Column): Column = {
+    val words = split(text, " ")
+    val nTok = size(words).cast("double")
+    val nStop = size(filter(words, w => w.isInCollection(stopwords))).cast("double")
+    val nDistinct = size(array_distinct(words)).cast("double")
+    when(nTok > 20, lit(1.0)).otherwise(nTok / 20.0) *
+      (lit(1.0) - nStop / nTok) * (nDistinct / nTok)
+  }
+
+  /** Exact dedup: keep the lowest doc_id per identical text
+    * (q_dedup_exact's rule). At 100 TB group on a 128-bit fingerprint
+    * of the text rather than the raw string to keep shuffle rows small. */
+  def dedupExact(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("text")).orderBy(col("doc_id"))
+    docs.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+  }
+
+  /** Near-dup removal: among MinHash/LSH candidate pairs with exact
+    * Jaccard ≥ threshold, drop the higher doc_id of each pair (the
+    * TextDedup candidate machinery re-grounded as a filter). */
+  def dropNearDups(docs: DataFrame, nearPairs: DataFrame): DataFrame = {
+    val losers = nearPairs.select(col("db").as("doc_id")).distinct()
+    docs.join(losers, Seq("doc_id"), "left_anti")
+  }
+
+  /** Full pipeline: returns per-stage counts and writes the surviving
+    * corpus partitioned by lang. `nearPairs` comes from the verified
+    * near-dup query (or any (da, db) pair frame). */
+  def run(
+      docs: DataFrame,
+      nearPairs: DataFrame,
+      sinkDir: String,
+      minQuality: Double = 0.3): Stats = {
+    val input = docs.count()
+    val q = docs.filter(qualityScore(col("text")) >= minQuality)
+    val afterQuality = q.count()
+    val e = dedupExact(q)
+    val afterExact = e.count()
+    val n = dropNearDups(e, nearPairs)
+    val afterNear = n.count()
+    n.write.partitionBy("lang").mode(SaveMode.Overwrite).parquet(sinkDir)
+    Stats(input, afterQuality, afterExact, afterNear)
+  }
+}

@@ -1,0 +1,37 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.etl.CorpusPipeline
+import graft.util.Tables
+
+/** The composed training-data pipeline: monotone stage counts, correct
+  * per-stage semantics, and a lang-partitioned sink. */
+class CorpusPipelineSpec extends SparkSpec {
+
+  test("quality → exact-dedup → near-dedup → partitioned write") {
+    val docs = Tables.documents(spark, sf)
+    val nearPairs = SparkEntry.all("q_dedup_near").fn(spark, sf)
+      .select(col("da"), col("db"))
+    val sink = Files.createTempDirectory("graft_corpus").toString + "/c"
+    val stats = CorpusPipeline.run(docs, nearPairs, sink, minQuality = 0.3)
+
+    assert(stats.input === 500)
+    assert(stats.afterQuality <= stats.input)
+    assert(stats.afterExact <= stats.afterQuality)
+    assert(stats.afterNear <= stats.afterExact)
+    assert(stats.afterNear > 0)
+
+    val out = spark.read.parquet(sink)
+    assert(out.count() === stats.afterNear)
+    // partitioned by lang: each partition dir holds exactly one lang
+    assert(out.select("lang").distinct().count() > 1)
+    val dirs = new java.io.File(sink).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.forall(_.startsWith("lang=")), dirs.toSeq)
+    // no surviving doc is a near-dup loser
+    val losers = nearPairs.select(col("db").as("doc_id")).distinct()
+    assert(out.join(losers, Seq("doc_id"), "inner").count() === 0)
+    // exact-dedup really removed the duplicate texts
+    assert(out.groupBy("text").count().filter(col("count") > 1).count() === 0)
+  }
+}
