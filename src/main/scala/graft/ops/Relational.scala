@@ -160,6 +160,66 @@ object Relational {
       |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
       |ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
 
+  /** CUBE over (status, priority) — all 4 grouping-set combinations
+    * (§2.4 "Grouping sets / ROLLUP / CUBE"). */
+  private val cube = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      Tables.orders(s, dir)
+        .cube($"o_orderstatus", $"o_orderpriority")
+        .agg(
+          grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n"),
+          round(sum($"o_totalprice"), 4).as("total"))
+        .orderBy($"gid", $"o_orderstatus".asc_nulls_first,
+          $"o_orderpriority".asc_nulls_first)
+    },
+    """SELECT o_orderstatus, o_orderpriority,
+      |       CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+      |       COUNT(*) AS n, ROUND(SUM(o_totalprice),4) AS total
+      |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      |ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
+
+  /** Exact percentiles (disc + cont median) per group — the statistical
+    * aggregate family (§2.4 REF↑ of stddev/variance). percentile_disc
+    * returns an actual data value (exact on both engines); the
+    * interpolated median is identical double math on identical inputs. */
+  private val percentile = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .groupBy($"l_returnflag")
+        .agg(
+          expr("percentile(l_quantity, 0.5)").as("p50_cont"),
+          expr("percentile_approx(l_quantity, 0.5, 2147483647)")
+            .as("p50_disc_lo"), // exact when accuracy = MaxInt
+          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"))
+        .orderBy($"l_returnflag")
+    },
+    """SELECT l_returnflag,
+      |       quantile_cont(l_quantity, 0.5) AS p50_cont,
+      |       quantile_disc(l_quantity, 0.5) AS p50_disc_lo,
+      |       ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+
+  /** Correlation / covariance per group (§2.4). */
+  private val corr_ = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .groupBy($"l_returnflag")
+        .agg(
+          round(corr($"l_quantity", $"l_extendedprice"), 4).as("corr_qp"),
+          round(covar_samp($"l_quantity", $"l_extendedprice"), 4).as("cov_qp"),
+          round(var_samp($"l_quantity"), 4).as("var_q"))
+        .orderBy($"l_returnflag")
+    },
+    """SELECT l_returnflag,
+      |       ROUND(CORR(l_quantity, l_extendedprice), 4) AS corr_qp,
+      |       ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 4) AS cov_qp,
+      |       ROUND(VAR_SAMP(l_quantity), 4) AS var_q
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+
   /** Pivot event_type → columns — the Power BI per-zone-card analog
     * (reference images/Powerbi.png; SURVEY.md §2.4). Mean = exact
     * decimal SUM / COUNT, not AVG(double) — see Incremental.dailyAvg. */
@@ -457,6 +517,9 @@ object Relational {
     "q_agg_distinct" -> aggDistinct,
     "q_agg_approx" -> aggApprox,
     "q_rollup" -> rollup,
+    "q_cube" -> cube,
+    "q_percentile" -> percentile,
+    "q_corr" -> corr_,
     "q_pivot" -> pivot,
     "q_sort_multi" -> sortMulti,
     "q_topk" -> topk,

@@ -164,10 +164,37 @@ object TextOps {
       |  FROM scored)
       |WHERE rn = 1 ORDER BY doc_id""".stripMargin)
 
+  /** Edit-distance near-dup scoring (SURVEY.md §2.9 dedup family):
+    * exact Levenshtein over 40-char prefixes of a bounded doc subset —
+    * integer-exact on both engines. Scale: edit distance is O(n·m) per
+    * pair, so it only ever runs as a verify stage on a pre-filtered
+    * candidate set (here: the bounded id range stands in for LSH
+    * candidates). */
+  private val editDistance = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val d = Tables.documents(s, dir).filter($"doc_id" < 40)
+        .select($"doc_id", substring($"text", 1, 40).as("t"))
+      val a = d.select($"doc_id".as("da"), $"t".as("ta"))
+      val b = d.select($"doc_id".as("db"), $"t".as("tb"))
+      a.join(b, $"da" < $"db")
+        .select($"da", $"db", levenshtein($"ta", $"tb").cast("long").as("dist"))
+        .filter($"dist" <= 25)
+        .orderBy($"da", $"db")
+    },
+    """WITH d AS (SELECT doc_id, substring(text, 1, 40) AS t
+      |           FROM documents WHERE doc_id < 40)
+      |SELECT a.doc_id AS da, b.doc_id AS db,
+      |       CAST(levenshtein(a.t, b.t) AS BIGINT) AS dist
+      |FROM d a JOIN d b ON a.doc_id < b.doc_id
+      |WHERE levenshtein(a.t, b.t) <= 25
+      |ORDER BY da, db""".stripMargin)
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q_text_stats" -> textStats,
     "q_dedup_exact" -> dedupExact,
     "q_text_tokens" -> textTokens,
     "q_text_quality" -> textQuality,
-    "q_lang_id" -> langId)
+    "q_lang_id" -> langId,
+    "q_edit_distance" -> editDistance)
 }
