@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.QueryDef
 import graft.util.Tables
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The reference's own semantics, re-grounded on the `events` fixture
@@ -155,10 +156,62 @@ object Incremental {
       |FROM sessions GROUP BY user_id, sid
       |ORDER BY user_id, session_start""".stripMargin)
 
+  /** Gap filling + LOCF (last-observation-carried-forward) — the
+    * canonical daily-price-series repair the reference's dashboard
+    * implicitly needs (a zone-day with no API data is a gap). Sparse
+    * series = days whose events exceed a value threshold; the full
+    * (day × event_type) grid is generated, then missing days carry the
+    * last observed value forward per type. No driver-side collection:
+    * the date bounds come from a broadcast 1-row aggregate. */
+  private val gapFill = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+      val sparse = ev.filter($"value" > 250)
+        .groupBy(to_date($"ts").as("d"), $"event_type")
+        .agg(r4(sum($"value".cast("decimal(28,10)")).cast("double") /
+          count(lit(1))).as("v"))
+      val bounds = ev.agg(min(to_date($"ts")).as("lo"), max(to_date($"ts")).as("hi"))
+      val days = bounds
+        .select(explode(sequence($"lo", $"hi", expr("interval 1 day"))).as("d"))
+      val types = ev.select($"event_type").distinct()
+      val w = Window.partitionBy($"event_type").orderBy($"d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      days.crossJoin(types)
+        .join(sparse, Seq("d", "event_type"), "left")
+        .withColumn("filled", last($"v", ignoreNulls = true).over(w))
+        .select($"d", $"event_type",
+          coalesce($"filled", lit(0.0)).as("filled"),
+          $"v".isNull.as("was_gap"))
+        .orderBy($"d", $"event_type")
+    },
+    """WITH sparse AS (
+      |  SELECT CAST(ts AS DATE) AS d, event_type,
+      |         FLOOR(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) * 10000 + 0.5) / 10000.0 AS v
+      |  FROM events WHERE value > 250 GROUP BY 1, 2),
+      |days AS (
+      |  SELECT CAST(UNNEST(generate_series(
+      |           (SELECT MIN(CAST(ts AS DATE)) FROM events),
+      |           (SELECT MAX(CAST(ts AS DATE)) FROM events),
+      |           INTERVAL 1 DAY)) AS DATE) AS d),
+      |grid AS (SELECT d, event_type
+      |         FROM days CROSS JOIN (SELECT DISTINCT event_type FROM events)),
+      |joined AS (
+      |  SELECT g.d, g.event_type, s.v,
+      |         LAST_VALUE(s.v IGNORE NULLS) OVER (
+      |           PARTITION BY g.event_type ORDER BY g.d
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+      |  FROM grid g LEFT JOIN sparse s
+      |    ON g.d = s.d AND g.event_type = s.event_type)
+      |SELECT d, event_type, COALESCE(filled, 0.0) AS filled,
+      |       v IS NULL AS was_gap
+      |FROM joined ORDER BY d, event_type""".stripMargin)
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q_daily_avg" -> dailyAvg,
     "q_watermark_max" -> watermarkMax,
     "q_incremental_delta" -> incrementalDelta,
+    "q_gap_fill" -> gapFill,
     "q_stream_tumbling" -> streamTumbling,
     "q_stream_sliding" -> streamSliding,
     "q_session_window" -> sessionWindow)
