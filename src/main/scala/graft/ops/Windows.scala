@@ -115,9 +115,53 @@ object Windows {
       |  FROM lineitem)
       |WHERE rn <= 3 ORDER BY l_returnflag, l_linestatus, rn""".stripMargin)
 
+  /** Ordered funnel per user: first click → first view AFTER that click
+    * → first purchase AFTER that view (event_id order = event order).
+    * The staged-conversion analytic every event pipeline needs; each
+    * stage is one keyed aggregation + broadcast-size join back, so the
+    * fact table streams through narrow conditional aggregates — no
+    * window buffering, no per-user sort at 100 TB. */
+  private val funnel = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+        .select($"user_id", $"event_id", $"event_type")
+      val c = ev.filter($"event_type" === "click")
+        .groupBy($"user_id").agg(min($"event_id").as("c_id"))
+      val v = ev.join(c, "user_id")
+        .filter($"event_type" === "view" && $"event_id" > $"c_id")
+        .groupBy($"user_id").agg(min($"event_id").as("v_id"))
+      val p = ev.join(v, "user_id")
+        .filter($"event_type" === "purchase" && $"event_id" > $"v_id")
+        .groupBy($"user_id").agg(min($"event_id").as("p_id"))
+      ev.select($"user_id").distinct()
+        .join(c, Seq("user_id"), "left")
+        .join(v, Seq("user_id"), "left")
+        .join(p, Seq("user_id"), "left")
+        .select($"user_id", $"c_id", $"v_id", $"p_id",
+          ($"c_id".isNotNull.cast("int") + $"v_id".isNotNull.cast("int") +
+            $"p_id".isNotNull.cast("int")).cast("long").as("stages_reached"))
+        .orderBy($"user_id")
+    },
+    """WITH ev AS (SELECT user_id, event_id, event_type FROM events),
+      |c AS (SELECT user_id, MIN(event_id) AS c_id FROM ev
+      |      WHERE event_type = 'click' GROUP BY user_id),
+      |v AS (SELECT ev.user_id, MIN(event_id) AS v_id FROM ev JOIN c USING (user_id)
+      |      WHERE event_type = 'view' AND event_id > c_id GROUP BY ev.user_id),
+      |p AS (SELECT ev.user_id, MIN(event_id) AS p_id FROM ev JOIN v USING (user_id)
+      |      WHERE event_type = 'purchase' AND event_id > v_id GROUP BY ev.user_id)
+      |SELECT u.user_id, c.c_id, v.v_id, p.p_id,
+      |       CAST((c.c_id IS NOT NULL)::INT + (v.v_id IS NOT NULL)::INT +
+      |            (p.p_id IS NOT NULL)::INT AS BIGINT) AS stages_reached
+      |FROM (SELECT DISTINCT user_id FROM ev) u
+      |LEFT JOIN c USING (user_id) LEFT JOIN v USING (user_id)
+      |LEFT JOIN p USING (user_id)
+      |ORDER BY user_id""".stripMargin)
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q_window_rank" -> windowRank,
     "q_window_analytic" -> windowAnalytic,
     "q_window_frame" -> windowFrame,
-    "q_topk_per_group" -> topkPerGroup)
+    "q_topk_per_group" -> topkPerGroup,
+    "q_funnel" -> funnel)
 }
