@@ -190,11 +190,44 @@ object TextOps {
       |WHERE levenshtein(a.t, b.t) <= 25
       |ORDER BY da, db""".stripMargin)
 
+  /** TF-IDF term scoring: tf = in-doc count, df = docs containing the
+    * word, idf = ln(N/df) — integer counts everywhere except the final
+    * rounded score, identical ln/round arithmetic on both engines.
+    * Scale: one narrow explode + two keyed aggregations; df is a
+    * |vocab|-row broadcast join. Top-100 by (score desc, doc, word). */
+  private val tfidf = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val nDocs = docs.select(countDistinct($"doc_id").as("n_docs"))
+      val words = docs.select($"doc_id", explode(split($"text", " ")).as("word"))
+      val tf = words.groupBy($"doc_id", $"word").agg(count(lit(1)).as("tf"))
+      val df_ = words.distinct().groupBy($"word").agg(count(lit(1)).as("df"))
+      tf.join(broadcast(df_), "word")
+        .crossJoin(broadcast(nDocs))
+        .select($"doc_id", $"word", $"tf", $"df",
+          round($"tf" * log($"n_docs".cast("double") / $"df".cast("double")), 4)
+            .as("tfidf"))
+        .orderBy($"tfidf".desc, $"doc_id", $"word")
+        .limit(100)
+    },
+    """WITH words AS (
+      |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents),
+      |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM words GROUP BY 1, 2),
+      |df AS (SELECT word, COUNT(*) AS df
+      |       FROM (SELECT DISTINCT doc_id, word FROM words) GROUP BY 1),
+      |n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents)
+      |SELECT doc_id, word, tf, df,
+      |       ROUND(tf * LN(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 4) AS tfidf
+      |FROM tf JOIN df USING (word) CROSS JOIN n
+      |ORDER BY tfidf DESC, doc_id, word LIMIT 100""".stripMargin)
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q_text_stats" -> textStats,
     "q_dedup_exact" -> dedupExact,
     "q_text_tokens" -> textTokens,
     "q_text_quality" -> textQuality,
     "q_lang_id" -> langId,
-    "q_edit_distance" -> editDistance)
+    "q_edit_distance" -> editDistance,
+    "q_tfidf" -> tfidf)
 }
