@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -48,6 +48,18 @@ object HashKernels {
     }
     acc
   }
+
+  /** Char n-grams as UTF8String array — shared by CharNGrams eval+codegen.
+    * substringSQL is 1-based and clamps at the end, exactly like the SQL
+    * `substring(text, i, n)` the fallback and oracle use. */
+  def ngrams(s: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val len = s.numChars()
+    val m = math.max(len - (n - 1), 1)
+    val arr = new Array[Any](m)
+    var i = 0
+    while (i < m) { arr(i) = s.substringSQL(i + 1, n); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
 }
 
 abstract class StringHashExpression extends UnaryExpression {
@@ -71,6 +83,36 @@ abstract class StringHashExpression extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
       s"graft.functions.HashKernels.$kernel($c)")
+}
+
+/** Character n-grams of a string as array<string>: positions 1..max(len-n+1, 1),
+  * each `substring(pos, n)` (the final grams may be shorter, matching the
+  * built-in `transform(sequence(...), i => substr(i, n))` formulation and
+  * the oracle's substring replay). SQL function `graft_ngrams(str, n)`.
+  * The interpreted eval and generated code share [[HashKernels.ngrams]]. */
+case class CharNGrams(child: Expression, n: Expression)
+    extends BinaryExpression {
+  override def left: Expression = child
+  override def right: Expression = n
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (child.dataType, n.dataType) match {
+      case (StringType, IntegerType) if n.foldable => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"graft_ngrams expects (string, foldable int), got ${child.dataType.sql}, ${n.dataType.sql}")
+    }
+
+  override def nullSafeEval(s: Any, nv: Any): Any =
+    HashKernels.ngrams(s.asInstanceOf[UTF8String], nv.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, nn) =>
+      s"graft.functions.HashKernels.ngrams($s, $nn)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(child = newLeft, n = newRight)
 }
 
 /** SQL function `graft_fp` (see [[GraftExtensions]]). */

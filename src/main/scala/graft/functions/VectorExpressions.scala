@@ -153,6 +153,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_shingle_hash"),
       new ExpressionInfo(classOf[ShingleHash].getName, "graft_shingle_hash"),
       (children: Seq[Expression]) => ShingleHash(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_ngrams"),
+      new ExpressionInfo(classOf[CharNGrams].getName, "graft_ngrams"),
+      (children: Seq[Expression]) => CharNGrams(children(0), children(1))))
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

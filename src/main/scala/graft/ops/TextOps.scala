@@ -128,11 +128,14 @@ object TextOps {
   private val langId = QueryDef(
     (s, dir) => {
       import s.implicits._
-      def trigrams(df: org.apache.spark.sql.DataFrame) = df.select(
-        $"doc_id", $"lang",
-        explode(transform(
+      val triCol =
+        if (s.catalog.functionExists("graft_ngrams"))
+          call_function("graft_ngrams", $"text", lit(3)) // native kernel
+        else transform(
           sequence(lit(1), greatest(length($"text") - 2, lit(1))),
-          i => $"text".substr(i, lit(3)))).as("tg"))
+          i => $"text".substr(i, lit(3)))
+      def trigrams(df: org.apache.spark.sql.DataFrame) = df.select(
+        $"doc_id", $"lang", explode(triCol).as("tg"))
       val docs = Tables.documents(s, dir)
       val prof = trigrams(docs.filter($"doc_id" % 5 =!= 0))
         .groupBy($"lang".as("plang"), $"tg").agg(count(lit(1)).as("pc"))

@@ -62,6 +62,24 @@ class ExpressionSpec extends SparkSpec {
       .filter($"n" =!= $"b").count() === 0)
   }
 
+  test("native ngrams == substring-transform fold on the documents corpus") {
+    import spark.implicits._
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val hof = transform(
+      sequence(lit(1), greatest(length($"text") - 2, lit(1))),
+      i => $"text".substr(i, lit(3)))
+    val diff = d.select(call_function("graft_ngrams", $"text", lit(3)).as("n"),
+      hof.as("b")).filter($"n" =!= $"b")
+    assert(diff.count() === 0)
+    // short-string edge: len < n yields one truncated gram, same as HOF
+    val edge = Seq("ab", "", "abcd").toDF("text")
+      .select(call_function("graft_ngrams", $"text", lit(3)).as("n"),
+        transform(sequence(lit(1), greatest(length($"text") - 2, lit(1))),
+          i => $"text".substr(i, lit(3))).as("b"))
+      .filter($"n" =!= $"b")
+    assert(edge.count() === 0)
+  }
+
   test("q_sim_topk plan uses the native kernel (not interpreted HOFs)") {
     val p = SparkEntry.all("q_sim_topk").fn(spark, sf)
       .queryExecution.optimizedPlan.toString
