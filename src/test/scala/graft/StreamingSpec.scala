@@ -1,7 +1,7 @@
 package graft
 
 import java.sql.Timestamp
-import org.apache.spark.sql.functions.{count, lit, sum}
+import org.apache.spark.sql.functions.{count, lit, sum, to_date, window}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
 import graft.streaming.{Event, Streams}
@@ -179,6 +179,38 @@ class StreamingSpec extends SparkSpec {
     // files aggregated into the complete-state output
     assert(spark.table("file_agg").collect().map(r =>
       r.getString(0) -> r.getLong(1)).toMap === Map("e1" -> 3L, "e2" -> 2L))
+  }
+
+  test("streaming daily aggregate == batch daily aggregate on the same rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // consistency across the two execution modes: the reference's daily
+    // mean computed by the batch path and the streaming path must agree
+    val rows = graft.util.Tables.events(spark, sf)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect().toSeq.sortBy(_.event_id).take(300)
+    val in = MemoryStream[Event]
+    in.addData(rows)
+    val name = s"mem_${System.nanoTime()}"
+    val q = in.toDF()
+      .groupBy(window($"ts", "1 day"), $"event_type")
+      .agg(count(lit(1)).as("n"), sum($"value").as("s"))
+      .select($"window.start".cast("date").as("day"), $"event_type", $"n", $"s")
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Complete).start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table(name).collect()
+        .map(r => (r.getDate(0).toString, r.getString(1)) ->
+          (r.getLong(2), math.round(r.getDouble(3) * 1e6))).toMap
+      val batch = rows.toDS()
+        .groupBy(to_date($"ts").as("day"), $"event_type")
+        .agg(count(lit(1)).as("n"), sum($"value").as("s"))
+        .collect()
+        .map(r => (r.getDate(0).toString, r.getString(1)) ->
+          (r.getLong(2), math.round(r.getDouble(3) * 1e6))).toMap
+      assert(streamed === batch)
+    } finally q.stop()
   }
 
   test("session windows merge events within the gap and split across it") {
