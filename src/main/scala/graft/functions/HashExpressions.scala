@@ -49,6 +49,24 @@ object HashKernels {
     acc
   }
 
+  /** |a ∩ b| for string arrays with distinct elements — shared by
+    * ArrayIntersectCard eval+codegen. Equals size(array_intersect(a, b))
+    * on distinct inputs without materializing the intersection array. */
+  def intersectCard(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    val (small, big) = if (a.numElements() <= b.numElements()) (a, b) else (b, a)
+    val set = new java.util.HashSet[UTF8String](small.numElements() * 2)
+    var i = 0
+    while (i < small.numElements()) { set.add(small.getUTF8String(i)); i += 1 }
+    var n = 0L
+    var j = 0
+    while (j < big.numElements()) {
+      if (set.contains(big.getUTF8String(j))) n += 1
+      j += 1
+    }
+    n
+  }
+
   /** Char n-grams as UTF8String array — shared by CharNGrams eval+codegen.
     * substringSQL is 1-based and clamps at the end, exactly like the SQL
     * `substring(text, i, n)` the fallback and oracle use. */
@@ -113,6 +131,34 @@ case class CharNGrams(child: Expression, n: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(child = newLeft, n = newRight)
+}
+
+/** |a ∩ b| for distinct string arrays — the near-dup verify hot path.
+  * SQL function `graft_intersect_card(a, b)`. */
+case class ArrayIntersectCard(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_intersect_card expects (array<string>, array<string>), got ${l.sql}, ${r.sql}")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    HashKernels.intersectCard(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.HashKernels.intersectCard($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 /** SQL function `graft_fp` (see [[GraftExtensions]]). */

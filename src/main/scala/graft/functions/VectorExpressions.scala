@@ -154,6 +154,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ShingleHash].getName, "graft_shingle_hash"),
       (children: Seq[Expression]) => ShingleHash(children.head)))
     ext.injectFunction((
+      FunctionIdentifier("graft_intersect_card"),
+      new ExpressionInfo(classOf[ArrayIntersectCard].getName, "graft_intersect_card"),
+      (children: Seq[Expression]) => ArrayIntersectCard(children(0), children(1))))
+    ext.injectFunction((
       FunctionIdentifier("graft_ngrams"),
       new ExpressionInfo(classOf[CharNGrams].getName, "graft_ngrams"),
       (children: Seq[Expression]) => CharNGrams(children(0), children(1))))

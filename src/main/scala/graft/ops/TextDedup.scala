@@ -169,10 +169,17 @@ object TextDedup {
         .select($"doc_id", array_distinct($"shingles").as("ss"))
         .persist() // joined twice (da + db side)
       val cand = lshCandidates(s, dir)
+      // |sa ∩ sb| via the native count-only kernel when available —
+      // size(array_intersect(...)) materializes the intersection array
+      // per pair; on distinct inputs the two are identical
+      val interCol =
+        if (s.catalog.functionExists("graft_intersect_card"))
+          call_function("graft_intersect_card", $"sa", $"sb")
+        else size(array_intersect($"sa", $"sb"))
       cand
         .join(sets.select($"doc_id".as("da"), $"ss".as("sa")), "da")
         .join(sets.select($"doc_id".as("db"), $"ss".as("sb")), "db")
-        .withColumn("inter", size(array_intersect($"sa", $"sb")).cast("double"))
+        .withColumn("inter", interCol.cast("double"))
         .withColumn("uni",
           (size($"sa") + size($"sb")).cast("double") - $"inter")
         .withColumn("jac", round($"inter" / $"uni", 4))

@@ -80,6 +80,25 @@ class ExpressionSpec extends SparkSpec {
     assert(edge.count() === 0)
   }
 
+  test("native intersect-card == size(array_intersect) on distinct arrays") {
+    import spark.implicits._
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", array_distinct(split($"text", " ")).as("w"))
+    val pairs = d.select($"doc_id".as("da"), $"w".as("wa"))
+      .crossJoin(d.select($"doc_id".as("db"), $"w".as("wb")))
+      .filter($"da" < $"db").limit(3000)
+    val diff = pairs.select(
+      call_function("graft_intersect_card", $"wa", $"wb").as("n"),
+      size(array_intersect($"wa", $"wb")).cast("long").as("b"))
+      .filter($"n" =!= $"b")
+    assert(diff.count() === 0)
+    // empty-array edge
+    val e = Seq((Array("a", "b"), Array.empty[String])).toDF("x", "y")
+      .select(call_function("graft_intersect_card", $"x", $"y").as("n"))
+      .as[Long].head()
+    assert(e === 0L)
+  }
+
   test("q_sim_topk plan uses the native kernel (not interpreted HOFs)") {
     val p = SparkEntry.all("q_sim_topk").fn(spark, sf)
       .queryExecution.optimizedPlan.toString
