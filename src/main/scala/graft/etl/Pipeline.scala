@@ -83,6 +83,22 @@ object Pipeline {
       .filter(col("load_date") === lit(loadDate)).count()
   }
 
+  /** Idempotent-consumer read over the append-only sink: the reference's
+    * WRITE_APPEND can duplicate a (date, group) on re-run after a partial
+    * failure (energy_etl.py:103-107 — no merge); readers recover
+    * exactly-once semantics by keeping only the LATEST load per key.
+    * This is the standard at-least-once-writer / dedup-on-read pattern;
+    * at 100 TB the window shuffles only the sink (already daily rows,
+    * not raw events). */
+  def readDeduped(spark: SparkSession, sinkDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("date"), col("group_key"))
+      .orderBy(col("load_date").desc)
+    spark.read.parquet(sinkDir)
+      .withColumn("_rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+  }
+
   /** The reference's raw ingest shape (energy_etl.py:64-69): each payload is
     * a JSON array of hourly records carrying a price field. Parse with an
     * explicit schema (no runtime inference), explode, and hand back typed
