@@ -55,6 +55,29 @@ object Scale {
       .agg(merge.head, merge.tail: _*)
   }
 
+  /** Binned range join: `big.v ∈ [small.lo, small.hi)` without a
+    * nested-loop. Each big row maps to bin floor(v/w); each small
+    * interval is replicated to every bin it covers (sequence — intervals
+    * are bounded, so replication is |interval|/w per row); the join is
+    * then EQUI on the bin plus the residual range filter. At 100 TB this
+    * is the strategy when the interval side is too big to broadcast:
+    * one keyed shuffle instead of O(n·m) loops. Result rows are
+    * identical to the plain non-equi join (ScaleSpec pins it). */
+  def binnedRangeJoin(
+      big: DataFrame, small: DataFrame,
+      bigValue: String, lo: String, hi: String,
+      binWidth: Double): DataFrame = {
+    val binned = big.withColumn("_bin",
+      floor(col(bigValue) / binWidth).cast("long"))
+    val replicated = small.withColumn("_bin",
+      explode(sequence(
+        floor(col(lo) / binWidth).cast("long"),
+        floor(col(hi) / binWidth).cast("long"))))
+    binned.join(replicated, Seq("_bin"))
+      .filter(col(bigValue) >= col(lo) && col(bigValue) < col(hi))
+      .drop("_bin")
+  }
+
   /** Salted broadcast-side replication for a skewed equi join: explode
     * the small side `salts`× with a salt column, salt the big side's key
     * randomly-but-deterministically, join on (key, salt). Splits a hot

@@ -47,6 +47,27 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("binnedRangeJoin == plain non-equi join, and plans an equi join") {
+    import spark.implicits._
+    val l = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select($"l_orderkey", $"l_linenumber", $"l_extendedprice")
+    val p = spark.read.parquet(s"$sf/part.parquet")
+      .select($"p_partkey",
+        ($"p_retailprice" - 200).as("lo"), ($"p_retailprice" + 200).as("hi"))
+    val plain = l.join(p, $"l_extendedprice" >= $"lo" && $"l_extendedprice" < $"hi")
+    val binned = Scale.binnedRangeJoin(l, p, "l_extendedprice", "lo", "hi", 500.0)
+    assert(binned.count() === plain.count())
+    // row-level equality on the join keys
+    val key = Seq("l_orderkey", "l_linenumber", "p_partkey")
+    assert(binned.select(key.map(col): _*).except(
+      plain.select(key.map(col): _*)).count() === 0)
+    assert(plain.select(key.map(col): _*).except(
+      binned.select(key.map(col): _*)).count() === 0)
+    // the whole point: no nested loop in the binned plan
+    val plan = binned.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+  }
+
   test("saltedJoin == plain join row-for-row") {
     import spark.implicits._
     val l = spark.read.parquet(s"$sf/lineitem.parquet")
