@@ -248,6 +248,27 @@ object Relational {
 
   // ------------------------------------------------------- sorts / limits
 
+  /** Fixed-width histogram per group — floor-arithmetic bin assignment
+    * (exact integers on both engines; no engine histogram function
+    * involved). The profiling aggregate every pipeline needs: one
+    * hash-agg pass, |groups × bins| output rows. */
+  private val histogram = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val bin = least(floor($"value" / 50.0).cast("long"), lit(9L))
+      Tables.events(s, dir)
+        .groupBy($"event_type", bin.as("bin"))
+        .agg(count(lit(1)).as("n"),
+          round(min($"value"), 4).as("lo_obs"),
+          round(max($"value"), 4).as("hi_obs"))
+        .orderBy($"event_type", $"bin")
+    },
+    """SELECT event_type,
+      |       LEAST(CAST(FLOOR(value / 50.0) AS BIGINT), 9) AS bin,
+      |       COUNT(*) AS n,
+      |       ROUND(MIN(value), 4) AS lo_obs, ROUND(MAX(value), 4) AS hi_obs
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+
   /** Multi-key sort with explicit null ordering (§2.6). */
   private val sortMulti = QueryDef(
     (s, dir) => {
@@ -520,6 +541,7 @@ object Relational {
     "q_cube" -> cube,
     "q_percentile" -> percentile,
     "q_corr" -> corr_,
+    "q_histogram" -> histogram,
     "q_pivot" -> pivot,
     "q_sort_multi" -> sortMulti,
     "q_topk" -> topk,

@@ -225,6 +225,31 @@ object TextOps {
       |FROM tf JOIN df USING (word) CROSS JOIN n
       |ORDER BY tfidf DESC, doc_id, word LIMIT 100""".stripMargin)
 
+  /** Deterministic stratified sampling: keep k docs per language,
+    * chosen by a replayable integer hash order (doc_id·2654435761 mod
+    * 2^31 — Knuth multiplicative; exact int64 arithmetic both engines).
+    * The training-data downsampling shape: engine-native `sampleBy` is
+    * seed-dependent and not oracle-replayable, this is — and at 100 TB
+    * it's one window per stratum, no global sort. */
+  private val sampleStratified = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val h = ($"doc_id" * 2654435761L) % 2147483648L
+      val w = Window.partitionBy($"lang").orderBy($"h", $"doc_id")
+      Tables.documents(s, dir)
+        .select($"doc_id", $"lang", $"source", h.as("h"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter($"rn" <= 20)
+        .select($"doc_id", $"lang", $"source", $"rn")
+        .orderBy($"lang", $"rn")
+    },
+    """SELECT doc_id, lang, source, rn FROM (
+      |  SELECT doc_id, lang, source,
+      |         CAST(ROW_NUMBER() OVER (PARTITION BY lang
+      |           ORDER BY (doc_id * 2654435761) % 2147483648, doc_id) AS BIGINT) AS rn
+      |  FROM documents)
+      |WHERE rn <= 20 ORDER BY lang, rn""".stripMargin)
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q_text_stats" -> textStats,
     "q_dedup_exact" -> dedupExact,
@@ -232,5 +257,6 @@ object TextOps {
     "q_text_quality" -> textQuality,
     "q_lang_id" -> langId,
     "q_edit_distance" -> editDistance,
-    "q_tfidf" -> tfidf)
+    "q_tfidf" -> tfidf,
+    "q_sample_stratified" -> sampleStratified)
 }
