@@ -19,4 +19,17 @@ object Shim {
 
   def logicalPlan(df: DataFrame): LogicalPlan =
     ClassicConversions.castToImpl(df).logicalPlan
+
+  /** Test-only: unregister a session function (lets specs exercise the
+    * built-in fallback paths that run when GraftExtensions is absent). */
+  def dropFunction(spark: SparkSession, name: String): Unit =
+    ClassicConversions.castToImpl(spark).sessionState.functionRegistry
+      .dropFunction(org.apache.spark.sql.catalyst.FunctionIdentifier(name))
+
+  /** Test-only: (re-)register a function on a LIVE session — builder
+    * extensions only apply at session construction. */
+  def registerFunction(spark: SparkSession, name: String,
+      builder: Seq[Expression] => Expression): Unit =
+    ClassicConversions.castToImpl(spark).sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "scala_udf")
 }
