@@ -213,6 +213,75 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream windowed join matches the batch join on the same rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // two event streams joined on user within a ±1h event-time band —
+    // the streaming form of the as-of/interval join family
+    val clicks = MemoryStream[Event]
+    val views = MemoryStream[Event]
+    val l = clicks.toDF().filter($"event_type" === "click")
+      .select($"user_id".as("u"), $"ts".as("cts"), $"event_id".as("cid"))
+      .withWatermark("cts", "1 hour")
+    val r = views.toDF().filter($"event_type" === "view")
+      .select($"user_id".as("u2"), $"ts".as("vts"), $"event_id".as("vid"))
+      .withWatermark("vts", "1 hour")
+    val joined = l.join(r, $"u" === $"u2" &&
+      $"vts" >= $"cts" - org.apache.spark.sql.functions.expr("interval 1 hour") &&
+      $"vts" <= $"cts" + org.apache.spark.sql.functions.expr("interval 1 hour"))
+    val name = s"mem_${System.nanoTime()}"
+    val q = joined.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append).start()
+    try {
+      clicks.addData(
+        Event(1, ts("2024-01-01 10:00:00"), 7, "click", 1.0),
+        Event(2, ts("2024-01-01 15:00:00"), 7, "click", 1.0))
+      views.addData(
+        Event(10, ts("2024-01-01 10:30:00"), 7, "view", 1.0), // joins cid=1
+        Event(11, ts("2024-01-01 12:00:00"), 7, "view", 1.0), // joins nothing
+        Event(12, ts("2024-01-01 15:30:00"), 8, "view", 1.0)) // wrong user
+      q.processAllAvailable()
+      val pairs = spark.table(name).collect()
+        .map(row => (row.getAs[Long]("cid"), row.getAs[Long]("vid"))).toSet
+      assert(pairs === Set((1L, 10L)))
+    } finally q.stop()
+  }
+
+  test("foreachBatch upsert sink: duplicate micro-batch keys resolved on read") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_feb").toString
+    val sink = s"$dir/sink"
+    val in = MemoryStream[Event]
+    // production idempotent-append pattern: foreachBatch stamps each
+    // micro-batch's rows with the batch id (the load_date analog), and
+    // readers use latest-wins dedup (Pipeline.readDeduped's rule)
+    val q = in.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        batch.groupBy(to_date($"ts").as("date"), $"event_type".as("group_key"))
+          .agg(sum($"value").as("avg_value"), count(lit(1)).as("n"))
+          .withColumn("load_date", org.apache.spark.sql.functions
+            .date_add(org.apache.spark.sql.functions.lit("2024-01-01").cast("date"), id.toInt))
+          .write.mode("append").parquet(sink)
+        ()
+      }
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      in.addData(Event(1, ts("2024-01-01 10:00:00"), 1, "click", 10.0))
+      q.processAllAvailable()
+      in.addData(Event(2, ts("2024-01-01 11:00:00"), 1, "click", 30.0)) // same key, new batch
+      q.processAllAvailable()
+      assert(spark.read.parquet(sink).count() === 2) // both appends present
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"date", $"group_key").orderBy($"load_date".desc)
+      val latest = spark.read.parquet(sink)
+        .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+        .filter($"rn" === 1)
+      assert(latest.count() === 1)
+      assert(latest.select($"avg_value").as[Double].head() === 30.0) // latest batch wins
+    } finally q.stop()
+  }
+
   test("session windows merge events within the gap and split across it") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
