@@ -55,6 +55,22 @@ class PipelineSpec extends SparkSpec {
     assert(got("date") === "date") // partition column survives round-trip
   }
 
+  test("date-partitioned sink gives partition pruning to downstream readers") {
+    import spark.implicits._
+    val sink = Files.createTempDirectory("graft_prune").toString + "/t"
+    val rows = events(Seq(
+      ("2024-01-01 01:00:00", "SE1", 1.0), ("2024-01-02 01:00:00", "SE1", 2.0),
+      ("2024-01-03 01:00:00", "SE1", 3.0)))
+    Pipeline.runIncremental(spark, rows, "zone", sink, Date.valueOf("2024-01-04"))
+    val read = spark.read.parquet(sink)
+      .filter($"date" === lit("2024-01-02").cast("date"))
+    val plan = read.queryExecution.executedPlan.toString
+    // the filter must land in PartitionFilters (directory pruning), so a
+    // daily job over a 100 TB sink reads one partition, not the table
+    assert(plan.contains("PartitionFilters: [isnotnull(date"), plan)
+    assert(read.count() === 1)
+  }
+
   test("JSON payload ingest parses the reference's hourly-array shape") {
     import spark.implicits._
     val payload =
