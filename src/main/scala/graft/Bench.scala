@@ -22,21 +22,25 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // warm-up: exercise scan → hash-agg → exchange → sort → codegen once
-    try {
-      import org.apache.spark.sql.functions._
-      spark.read.parquet(s"$sfDir/lineitem.parquet")
-        .groupBy(col("l_returnflag")).agg(sum(col("l_quantity")))
-        .orderBy(col("l_returnflag"))
-        .write.format("noop").mode("overwrite").save()
-    } catch { case _: Throwable => () }
+    // pass 1 (untimed): warms JIT/codegen caches and materializes the
+    // persisted dedup-pipeline intermediates, so pass 2 measures
+    // steady-state query cost rather than which query happened to run
+    // first. Sorted order so the warm pass is deterministic.
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    ordered.foreach { case (_, fn) =>
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
+    // drop cached intermediates: pass 2 re-runs every computation (only
+    // JIT/codegen warmth carries over, not data)
+    spark.catalog.clearCache()
 
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
-    }
+    }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
