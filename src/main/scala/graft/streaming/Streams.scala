@@ -83,6 +83,41 @@ object Streams {
   }
 }
 
+object IncrementalTopK {
+  /** Incremental top-k similarity maintenance (cf. PAPERS.md: top-k
+    * similarity search in interactive sessions, EDBT 2020 — public):
+    * candidate (query, neighbor, score) pairs stream in; per-query state
+    * holds only the current top-k, so state is O(k) per query
+    * regardless of how many candidates ever arrived. Emits the updated
+    * top-k snapshot for each query touched in a batch.
+    *
+    * Scale: candidates are produced upstream by any pruning scheme (LSH
+    * bucket, IVF cell); this operator never re-ranks history — the
+    * incremental merge is associative, so the result equals the batch
+    * top-k over all arrivals (pinned by StreamingSpec). */
+  def run(pairs: Dataset[CandidatePair], k: Int): Dataset[TopKSnapshot] = {
+    import pairs.sparkSession.implicits._
+    pairs
+      .groupByKey(_.qid)
+      .flatMapGroupsWithState[List[(Long, Double)], TopKSnapshot](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (qid: Long, rows: Iterator[CandidatePair],
+         state: GroupState[List[(Long, Double)]]) =>
+          val merged = (state.getOption.getOrElse(Nil) ++
+            rows.map(p => (p.nid, p.score)))
+            .sortBy { case (nid, s) => (-s, nid) } // score desc, id asc
+            .take(k)
+          state.update(merged)
+          Iterator.single(TopKSnapshot(qid,
+            merged.map(_._1).toArray, merged.map(_._2).toArray))
+      }
+  }
+}
+
+case class CandidatePair(qid: Long, nid: Long, score: Double)
+case class TopKSnapshot(qid: Long, neighbor_ids: Array[Long],
+    scores: Array[Double])
+
 /** Typed row for the flatMapGroupsWithState surface. */
 case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
     event_type: String, value: Double)

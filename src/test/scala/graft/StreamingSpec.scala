@@ -282,6 +282,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("incremental top-k state equals the batch top-k over all arrivals") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{CandidatePair, IncrementalTopK}
+    val in = MemoryStream[CandidatePair]
+    val out = IncrementalTopK.run(in.toDS(), k = 3).toDF()
+    val name = s"mem_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(CandidatePair(1, 10, 0.9), CandidatePair(1, 11, 0.5),
+        CandidatePair(1, 12, 0.7))
+      q.processAllAvailable()
+      in.addData(CandidatePair(1, 13, 0.8), CandidatePair(1, 14, 0.1),
+        CandidatePair(2, 20, 0.6))
+      q.processAllAvailable()
+      // last snapshot per query = incremental result
+      val snaps = spark.table(name).collect()
+      val q1 = snaps.filter(_.getAs[Long]("qid") == 1L).last
+      assert(q1.getAs[Seq[Long]]("neighbor_ids") === Seq(10L, 13L, 12L))
+      val q2 = snaps.filter(_.getAs[Long]("qid") == 2L).last
+      assert(q2.getAs[Seq[Long]]("neighbor_ids") === Seq(20L))
+      // equals the batch top-3 over ALL pairs
+      val all = Seq((1L, 10L, 0.9), (1L, 11L, 0.5), (1L, 12L, 0.7),
+        (1L, 13L, 0.8), (1L, 14L, 0.1))
+      val batchTop = all.sortBy { case (_, n, s) => (-s, n) }.take(3).map(_._2)
+      assert(q1.getAs[Seq[Long]]("neighbor_ids") === batchTop)
+    } finally q.stop()
+  }
+
   test("session windows merge events within the gap and split across it") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
