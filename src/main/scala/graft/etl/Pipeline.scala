@@ -57,11 +57,22 @@ object Pipeline {
       events: DataFrame,
       groupCol: String,
       sinkDir: String,
-      loadDate: java.sql.Date): Long = {
+      loadDate: java.sql.Date,
+      coldStartLookbackDays: Option[Int] = None): Long = {
     val wm = watermark(spark, sinkDir)
     val delta = wm match {
       case Some(d) => events.filter(to_date(col("ts")) > lit(d))
-      case None    => events // cold start: full history (vs :44-46's 10-day cap)
+      case None => coldStartLookbackDays match {
+        // the reference's bounded cold start (energy_etl.py:44-46): only
+        // the trailing n days of source history. The bound is relative to
+        // the source's own max date (a broadcast scalar, no collect).
+        case Some(n) =>
+          val maxD = events.agg(max(to_date(col("ts"))).as("hi"))
+          events.crossJoin(broadcast(maxD))
+            .filter(to_date(col("ts")) > date_sub(col("hi"), n))
+            .drop("hi")
+        case None => events // unbounded cold start: full history
+      }
     }
     val daily = delta
       .groupBy(to_date(col("ts")).as("date"), col(groupCol).as("group_key"))

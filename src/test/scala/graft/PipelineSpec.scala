@@ -55,6 +55,20 @@ class PipelineSpec extends SparkSpec {
     assert(got("date") === "date") // partition column survives round-trip
   }
 
+  test("cold-start lookback caps history like the reference's 10-day bound") {
+    val sink = Files.createTempDirectory("graft_lookback").toString + "/t"
+    val history = events(Seq(
+      ("2024-01-01 01:00:00", "SE1", 1.0), // beyond lookback — skipped
+      ("2024-01-08 01:00:00", "SE1", 2.0),
+      ("2024-01-10 01:00:00", "SE1", 3.0)))
+    val n = Pipeline.runIncremental(spark, history, "zone", sink,
+      Date.valueOf("2024-01-11"), coldStartLookbackDays = Some(3))
+    assert(n === 2) // only days within max(date)-3
+    val dates = spark.read.parquet(sink).select(col("date").cast("string"))
+      .collect().map(_.getString(0)).sorted
+    assert(dates.toSeq === Seq("2024-01-08", "2024-01-10"))
+  }
+
   test("date-partitioned sink gives partition pruning to downstream readers") {
     import spark.implicits._
     val sink = Files.createTempDirectory("graft_prune").toString + "/t"
