@@ -85,6 +85,28 @@ class PipelineSpec extends SparkSpec {
     assert(read.count() === 1)
   }
 
+  test("schema evolution: appended column surfaces via mergeSchema, old rows null") {
+    import spark.implicits._
+    val sink = Files.createTempDirectory("graft_evo").toString + "/t"
+    Seq(("2024-01-01", "SE1", 1.0)).toDF("date", "zone", "v")
+      .withColumn("date", to_date($"date"))
+      .write.mode("append").parquet(sink)
+    // v2 of the producer adds a column; append-only sink must tolerate it
+    Seq(("2024-01-02", "SE1", 2.0, "api-v2")).toDF("date", "zone", "v", "src")
+      .withColumn("date", to_date($"date"))
+      .write.mode("append").parquet(sink)
+    val merged = spark.read.option("mergeSchema", "true").parquet(sink)
+    assert(merged.columns.toSet === Set("date", "zone", "v", "src"))
+    val bySrc = merged.select($"v", $"src").collect()
+      .map(r => r.getDouble(0) -> Option(r.getString(1))).toMap
+    assert(bySrc(1.0) === None)          // old rows: new column is null
+    assert(bySrc(2.0) === Some("api-v2"))
+    // without mergeSchema the read keys off one footer — document that
+    // readers of an evolving sink must opt in
+    val plain = spark.read.parquet(sink)
+    assert(plain.columns.length >= 3)
+  }
+
   test("JSON payload ingest parses the reference's hourly-array shape") {
     import spark.implicits._
     val payload =
