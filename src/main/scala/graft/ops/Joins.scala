@@ -179,7 +179,45 @@ object Joins {
       |FROM m LEFT JOIN orders o ON m.asof_orderkey = o.o_orderkey
       |ORDER BY m.event_id""".stripMargin)
 
+  /** SCD2-style temporal dimension join: build validity intervals from
+    * the orders history per customer (valid_from = order date, valid_to
+    * = next order's date via lead — half-open, so same-date orders
+    * produce empty intervals deterministically), then land each event in
+    * the interval covering its timestamp. The slowly-changing-dimension
+    * lookup every warehouse needs; intervals partition time per key so
+    * each fact matches at most one version. Scale: one shuffle per side
+    * on the customer key; the window that builds the dim is keyed by the
+    * same column, so dim-build and join share a partitioning. */
+  private val scdJoin = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val wv = Window.partitionBy($"o_custkey")
+        .orderBy($"valid_from", $"o_orderkey")
+      val dim = Tables.orders(s, dir)
+        .select($"o_orderkey", $"o_custkey", $"o_orderdate".as("valid_from"))
+        .withColumn("valid_to", lead($"valid_from", 1).over(wv))
+      val ev = Tables.events(s, dir).select($"event_id", $"user_id", $"ts")
+      ev.join(dim,
+          $"user_id" === $"o_custkey" && $"ts" >= $"valid_from" &&
+            ($"valid_to".isNull || $"ts" < $"valid_to"))
+        .select($"event_id", $"user_id", $"o_orderkey".as("active_order"),
+          to_date($"valid_from").as("since"))
+        .orderBy($"event_id")
+    },
+    """WITH dim AS (
+      |  SELECT o_orderkey, o_custkey, o_orderdate AS valid_from,
+      |         LEAD(o_orderdate, 1) OVER (PARTITION BY o_custkey
+      |           ORDER BY o_orderdate, o_orderkey) AS valid_to
+      |  FROM orders)
+      |SELECT event_id, user_id, o_orderkey AS active_order,
+      |       CAST(valid_from AS DATE) AS since
+      |FROM events JOIN dim
+      |  ON user_id = o_custkey AND ts >= valid_from
+      | AND (valid_to IS NULL OR ts < valid_to)
+      |ORDER BY event_id""".stripMargin)
+
   val defs: Seq[(String, QueryDef)] = Seq(
+    "q_scd_join" -> scdJoin,
     "q_join_inner" -> joinInner,
     "q_join_multiway" -> joinMultiway,
     "q_join_outer" -> joinOuter,
