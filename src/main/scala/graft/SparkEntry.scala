@@ -19,7 +19,8 @@ object SparkEntry {
     Windows.defs,
     TextOps.defs,
     VectorOps.defs,
-    TextDedup.defs)
+    TextDedup.defs,
+    Media.defs)
 
   val all: Map[String, QueryDef] = modules.flatten.toMap
 
