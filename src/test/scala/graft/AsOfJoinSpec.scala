@@ -37,6 +37,39 @@ class AsOfJoinSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
   }
 
+  test("EnsureRequirements repairs adversarial input partitioning") {
+    import spark.implicits._
+    // children arrive partitioned by the WRONG keys — the exec's
+    // requiredChildDistribution must force re-exchange on the join key
+    val e = Tables.events(spark, sf).select($"event_id", $"user_id", $"ts")
+      .repartition(7, $"event_id")
+    val o = Tables.orders(spark, sf)
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate")
+      .repartition(3, $"o_orderdate")
+    val res = AsOfJoinApi.asof(e, o,
+      e("user_id"), o("o_custkey"), e("ts"), o("o_orderdate"),
+      tieBreak = Seq(o("o_orderkey")))
+      .select($"event_id", $"o_orderkey").orderBy($"event_id")
+    val expected = SparkEntry.all("q_join_asof").fn(spark, sf)
+      .select(col("event_id"), col("asof_orderkey")).orderBy(col("event_id"))
+    assert(res.collect().toSeq === expected.collect().toSeq)
+  }
+
+  test("equal timestamps: order visible to event, highest tie-break wins") {
+    import spark.implicits._
+    val e = Seq((1L, 5L, "2024-01-05 00:00:00"))
+      .toDF("event_id", "uid", "t").withColumn("t", to_timestamp($"t"))
+    val o = Seq(
+      (10L, 5L, "2024-01-05 00:00:00"), // same instant as the event
+      (11L, 5L, "2024-01-05 00:00:00"), // tie — higher key must win
+      (12L, 5L, "2024-01-06 00:00:00")) // future — invisible
+      .toDF("ok", "ouid", "ot").withColumn("ot", to_timestamp($"ot"))
+    val r = AsOfJoinApi.asof(e, o, e("uid"), o("ouid"), e("t"), o("ot"),
+      tieBreak = Seq(o("ok")))
+      .select($"ok").as[Long].collect()
+    assert(r.toSeq === Seq(11L)) // inclusive <=, last-in-sort-order wins
+  }
+
   test("handles events before any order and empty right side") {
     import spark.implicits._
     val e = Seq((1L, 10L, "2024-01-01 00:00:00"), (2L, 10L, "2024-03-01 00:00:00"))
