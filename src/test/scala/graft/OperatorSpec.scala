@@ -89,6 +89,25 @@ class OperatorSpec extends SparkSpec {
     assert(roll === full + sub + 1)
   }
 
+  test("cached and uncached dedup pipelines return identical rows") {
+    val cached = SparkEntry.all("q_dedup_near").fn(spark, sf).collect()
+    spark.catalog.clearCache()
+    val fresh = SparkEntry.all("q_dedup_near").fn(spark, sf).collect()
+    assert(fresh.toSeq === cached.toSeq)
+  }
+
+  test("sliding window assigns boundary events to exactly size/slide windows") {
+    import spark.implicits._
+    // 6h window / 3h slide: every event belongs to exactly 2 windows,
+    // including events exactly on a window boundary
+    val df = Seq("2024-01-01 00:00:00", "2024-01-01 03:00:00", "2024-01-01 04:30:00")
+      .toDF("ts").withColumn("ts", to_timestamp($"ts"))
+    val counts = df
+      .select($"ts", window($"ts", "6 hours", "3 hours").as("w"))
+      .groupBy($"ts").count().select($"count").as[Long].collect()
+    assert(counts.forall(_ === 2L))
+  }
+
   test("decimal-sum mean is partition-order independent") {
     import spark.implicits._
     val vals = (1 to 1000).map(i => ("g", i * 0.730000001))
