@@ -246,6 +246,29 @@ object Relational {
       |             / COUNT(value) FILTER (WHERE event_type='error') * 10000 + 0.5) / 10000.0    AS error
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
 
+  /** UNPIVOT — melt the per-type daily means back to long form (the
+    * inverse of q_pivot; Spark 4 unpivot/melt). Oracle replays it as a
+    * UNION ALL so the SQL stays engine-portable. */
+  private val unpivot = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val types = Seq("click", "view", "purchase", "signup", "error")
+      Tables.events(s, dir)
+        .groupBy(to_date($"ts").as("date"))
+        .pivot("event_type", types)
+        .agg(Incremental.r4(sum($"value".cast("decimal(28,10)")).cast("double") /
+          count($"value")))
+        .unpivot(Array($"date"), types.map(col).toArray, "event_type", "avg_value")
+        .orderBy($"date", $"event_type")
+    },
+    """WITH p AS (
+      |  SELECT CAST(ts AS DATE) AS date, event_type,
+      |         FLOOR(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE)
+      |               / COUNT(value) * 10000 + 0.5) / 10000.0 AS avg_value
+      |  FROM events GROUP BY 1, 2)
+      |SELECT date, event_type, avg_value FROM p
+      |ORDER BY date, event_type""".stripMargin)
+
   // ------------------------------------------------------- sorts / limits
 
   /** Fixed-width histogram per group — floor-arithmetic bin assignment
@@ -543,6 +566,7 @@ object Relational {
     "q_corr" -> corr_,
     "q_histogram" -> histogram,
     "q_pivot" -> pivot,
+    "q_unpivot" -> unpivot,
     "q_sort_multi" -> sortMulti,
     "q_topk" -> topk,
     "q_union_all" -> unionAll,
