@@ -9,8 +9,12 @@ import org.apache.spark.unsafe.types.UTF8String
 /** Native codegen string-hash kernels for the dedup/fingerprint family
   * (SURVEY.md §2.9, §7.5). Semantically identical to the built-in
   * higher-order-function formulations in TextDedup (and to the DuckDB
-  * oracle SQL): plain integer arithmetic over code points, so both
-  * engines and both physical paths agree exactly.
+  * oracle SQL): plain integer arithmetic over CODE POINTS. Both Spark and
+  * DuckDB define `length`/`substr`/`ascii` over code points (not UTF-16
+  * units or bytes — `ascii('𝄞')` = 119070 in both engines), and the
+  * kernels iterate the Java String with codePointAt/charCount, so all
+  * three paths agree exactly even on supplementary-plane text
+  * (ExpressionSpec pins the mixed-script equality).
   */
 object HashKernels {
   val P: Long = 1000000007L
@@ -30,9 +34,12 @@ object HashKernels {
   }
 
   /** Positional shingle hash: Σ codepoint_i · 13^(i-1) over the first
-    * 12 code points — TextDedup.shingleHash's formula (every
-    * intermediate fits in int64; 13^11 < 2^53 keeps the oracle's
-    * double-pow replay exact). */
+    * 12 code points — TextDedup.shingleHash's formula. Every intermediate
+    * fits in int64 even at the Unicode maximum: Σ 0x10FFFF·13^i for
+    * i = 0..11 = 0x10FFFF·(13^12−1)/12 ≈ 2.2e18 < 2^63. The powers
+    * themselves (13^11 < 2^53) are exact doubles, so the fallback/oracle's
+    * `pow(13, i−1)::BIGINT` replay is exact; the codepoint·power product
+    * is integer arithmetic on all paths, never a double. */
   def shingleHash(s: UTF8String): Long = {
     val str = s.toString
     var acc = 0L

@@ -22,6 +22,31 @@ import org.apache.spark.sql.functions._
   */
 object TextDedup {
 
+  /** Persisted intermediates memoized per (session, dir): repeated query
+    * invocations in one session (Verify runs every query; several share
+    * the shingle/signature lineage) reuse ONE cached DataFrame handle
+    * instead of re-calling persist() per invocation (which re-registers
+    * with the CacheManager and warns "already cached"). Weak session keys
+    * so stopped sessions are collectable. */
+  private val memo = new java.util.WeakHashMap[
+    SparkSession, java.util.HashMap[String, DataFrame]]()
+  private def memoized(s: SparkSession, dir: String, key: String)(
+      build: => DataFrame): DataFrame = memo.synchronized {
+    val perSession = {
+      val m = memo.get(s)
+      if (m != null) m
+      else { val m2 = new java.util.HashMap[String, DataFrame](); memo.put(s, m2); m2 }
+    }
+    val k = s"$key|$dir"
+    val hit = perSession.get(k)
+    if (hit != null) {
+      // spark.catalog.clearCache() (Bench between passes) drops the entry
+      // but not this handle — re-register so the lineage is shared again
+      if (hit.storageLevel == org.apache.spark.storage.StorageLevel.NONE) hit.persist()
+      hit
+    } else { val df = build.persist(); perSession.put(k, df); df }
+  }
+
   /** Vocabulary is tiny (31 words at sf0.01) so unigram sets degenerate;
     * 3-word shingles give meaningful document fingerprints. */
   private val K = 3
@@ -42,10 +67,13 @@ object TextDedup {
         ).as("shingles"))
   }
 
-  /** Exact integer hash of a shingle string: sum of char codes weighted
-    * by 13^(pos-1) over the first 12 chars — every intermediate fits in
-    * int64 (122 * 13^11 * 12 < 2^63) and 13^11 < 2^53 so the double
-    * `pow` is exact; DuckDB replays the identical arithmetic.
+  /** Exact integer hash of a shingle string: sum of CODEPOINT values
+    * weighted by 13^(pos-1) over the first 12 codepoints — Spark and
+    * DuckDB both define length/substr/ascii over codepoints, so the
+    * arithmetic is identical cross-engine even beyond ASCII. Every
+    * intermediate fits in int64 at the Unicode max
+    * (0x10FFFF·(13^12−1)/12 ≈ 2.2e18 < 2^63) and 13^11 < 2^53 so the
+    * double `pow` is exact before its integer cast.
     * Built-in higher-order-function form (interpreted — the fallback). */
   private def shingleHashHof(sh: Column): Column =
     aggregate(
@@ -85,25 +113,26 @@ object TextDedup {
     * verify, and simhash — identical logical plans share one cache
     * entry, so the work runs once per Verify/Bench session rather than
     * ~8×. At 100 TB this materialization is a bucketed table write. */
-  private def hashedShingles(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    shingled(s, dir)
-      .select($"doc_id",
-        array_distinct(transform($"shingles", sh => shingleHash(s)(sh))).as("hs"))
-      .persist()
-  }
+  private def hashedShingles(s: SparkSession, dir: String): DataFrame =
+    memoized(s, dir, "hashedShingles") {
+      import s.implicits._
+      shingled(s, dir)
+        .select($"doc_id",
+          array_distinct(transform($"shingles", sh => shingleHash(s)(sh))).as("hs"))
+    }
 
   /** MinHash signature: mh_s = MIN over distinct shingle hashes of
     * (a_s * h + b_s) mod P, s = 0..NumHashes-1, a_s/b_s fixed odd seeds. */
-  private def signatures(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    (0 until NumHashes).foldLeft(hashedShingles(s, dir)) { (df, i) =>
-      val a = 2L * i + 3L
-      val b = 17L * i + 7L
-      df.withColumn(s"mh$i",
-        array_min(transform($"hs", h => (h * a + b) % P)))
-    }.drop("hs").persist()
-  }
+  private def signatures(s: SparkSession, dir: String): DataFrame =
+    memoized(s, dir, "signatures") {
+      import s.implicits._
+      (0 until NumHashes).foldLeft(hashedShingles(s, dir)) { (df, i) =>
+        val a = 2L * i + 3L
+        val b = 17L * i + 7L
+        df.withColumn(s"mh$i",
+          array_min(transform($"hs", h => (h * a + b) % P)))
+      }.drop("hs")
+    }
 
   private def oracleSignatures: String =
     oracleShingleBase + s""",
@@ -165,9 +194,10 @@ object TextDedup {
   private val dedupNear = QueryDef(
     (s, dir) => {
       import s.implicits._
-      val sets = shingled(s, dir)
-        .select($"doc_id", array_distinct($"shingles").as("ss"))
-        .persist() // joined twice (da + db side)
+      val sets = memoized(s, dir, "sets") { // joined twice (da + db side)
+        shingled(s, dir)
+          .select($"doc_id", array_distinct($"shingles").as("ss"))
+      }
       val cand = lshCandidates(s, dir)
       // |sa ∩ sb| via the native count-only kernel when available —
       // size(array_intersect(...)) materializes the intersection array

@@ -4,7 +4,7 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.execution.SparkStrategy
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.catalyst.util.TypeUtils
@@ -81,9 +81,14 @@ case class AsOfJoinExec(
     val timeOrd = TypeUtils.getInterpretedOrdering(leftTime.dataType)
     val rightWidth = right.output.size
 
+    val outputAttrs = output
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val nullRight = new GenericInternalRow(rightWidth)
       val joined = new JoinedRow
+      // project to UnsafeRow (the SMJ resultProj pattern) so any parent —
+      // shuffle serializer, sort, buffering exec — sees the row format it
+      // expects rather than a reused mutable JoinedRow
+      val resultProj = UnsafeProjection.create(outputAttrs, outputAttrs)
 
       new Iterator[InternalRow] {
         // one-row lookahead on the right (copied — unsafe rows are reused)
@@ -97,13 +102,20 @@ case class AsOfJoinExec(
         private var held: InternalRow = _
         private var heldKey: Any = _
 
-        private def advanceRight(): Unit =
-          if (rIter.hasNext) {
+        // skip right rows with null key/time: SQL join semantics — null
+        // never matches, and the interpreted orderings would NPE on null
+        private def advanceRight(): Unit = {
+          var found = false
+          while (!found && rIter.hasNext) {
             val r = rIter.next()
-            rHeadKey = rKey.eval(r)
-            rHeadTime = rTime.eval(r)
-            rHead = r.copy()
-          } else { rDone = true; rHead = null }
+            val k = rKey.eval(r)
+            val t = rTime.eval(r)
+            if (k != null && t != null) {
+              rHeadKey = k; rHeadTime = t; rHead = r.copy(); found = true
+            }
+          }
+          if (!found) { rDone = true; rHead = null }
+        }
 
         override def hasNext: Boolean = lIter.hasNext
 
@@ -111,24 +123,30 @@ case class AsOfJoinExec(
           val l = lIter.next()
           val k = lKey.eval(l)
           val t = lTime.eval(l)
-          if (held != null && keyOrd.compare(heldKey, k) != 0) held = null
-          // consume right rows visible to this left row: key < k is
-          // drained (left is key-ascending, those keys never match
-          // again); key == k with time ≤ t updates the held match
-          var continue = !rDone
-          while (continue) {
-            if (rHead == null) continue = false
-            else {
-              val kc = keyOrd.compare(rHeadKey, k)
-              if (kc < 0) advanceRight()
-              else if (kc == 0 && timeOrd.compare(rHeadTime, t) <= 0) {
-                held = rHead; heldKey = rHeadKey
-                advanceRight()
-              } else continue = false
+          if (k == null || t == null) {
+            // null key/time on the left never matches — null-padded row,
+            // held state untouched (later left rows may still use it)
+            resultProj(joined(l, nullRight))
+          } else {
+            if (held != null && keyOrd.compare(heldKey, k) != 0) held = null
+            // consume right rows visible to this left row: key < k is
+            // drained (left is key-ascending, those keys never match
+            // again); key == k with time ≤ t updates the held match
+            var continue = !rDone
+            while (continue) {
+              if (rHead == null) continue = false
+              else {
+                val kc = keyOrd.compare(rHeadKey, k)
+                if (kc < 0) advanceRight()
+                else if (kc == 0 && timeOrd.compare(rHeadTime, t) <= 0) {
+                  held = rHead; heldKey = rHeadKey
+                  advanceRight()
+                } else continue = false
+              }
+              if (rDone) continue = false
             }
-            if (rDone) continue = false
+            resultProj(joined(l, if (held != null) held else nullRight))
           }
-          joined(l, if (held != null) held else nullRight)
         }
       }
     }

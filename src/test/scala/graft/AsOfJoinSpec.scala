@@ -70,6 +70,48 @@ class AsOfJoinSpec extends SparkSpec {
     assert(r.toSeq === Seq(11L)) // inclusive <=, last-in-sort-order wins
   }
 
+  test("null join keys / timestamps follow SQL semantics (never match, no crash)") {
+    import spark.implicits._
+    val e = Seq(
+      (1L, Some(10L), Some("2024-03-01 00:00:00")),
+      (2L, None, Some("2024-03-01 00:00:00")),      // null key → null-padded
+      (3L, Some(10L), None),                        // null time → null-padded
+      (4L, Some(10L), Some("2024-04-01 00:00:00")))
+      .toDF("event_id", "uid", "t").withColumn("t", to_timestamp($"t"))
+    val o = Seq(
+      (100L, Some(10L), Some("2024-02-01 00:00:00")),
+      (101L, None, Some("2024-01-01 00:00:00")),    // null key — never matches
+      (102L, Some(10L), None),                      // null time — never matches
+      (103L, Some(10L), Some("2024-03-15 00:00:00")))
+      .toDF("ok", "ouid", "ot").withColumn("ot", to_timestamp($"ot"))
+    val r = AsOfJoinApi.asof(e, o, e("uid"), o("ouid"), e("t"), o("ot"),
+      tieBreak = Seq(o("ok")))
+      .select($"event_id", $"ok").orderBy($"event_id")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+    assert(r.toSeq === Seq(
+      1L -> Some(100L), 2L -> None, 3L -> None, 4L -> Some(103L)))
+  }
+
+  test("exec output survives a direct shuffle/sort parent (UnsafeRow contract)") {
+    import spark.implicits._
+    // no projection between the exec and the exchange: the sort's shuffle
+    // serializer requires UnsafeRow — a reused mutable JoinedRow would
+    // ClassCastException or corrupt buffered rows
+    val e = Tables.events(spark, sf).select($"event_id", $"user_id", $"ts")
+    val o = Tables.orders(spark, sf)
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate")
+    val joined = AsOfJoinApi.asof(e, o,
+      e("user_id"), o("o_custkey"), e("ts"), o("o_orderdate"),
+      tieBreak = Seq(o("o_orderkey")))
+    val viaShuffle = joined.orderBy($"o_orderkey".desc_nulls_last, $"event_id")
+      .collect()
+    assert(viaShuffle.length === joined.count())
+    // a repartition parent also round-trips the rows through serialization
+    val viaRepart = joined.repartition(5, $"o_orderkey").collect()
+    assert(viaRepart.map(_.getLong(0)).sorted.toSeq ===
+      viaShuffle.map(_.getLong(0)).sorted.toSeq)
+  }
+
   test("handles events before any order and empty right side") {
     import spark.implicits._
     val e = Seq((1L, 10L, "2024-01-01 00:00:00"), (2L, 10L, "2024-03-01 00:00:00"))

@@ -62,6 +62,34 @@ class ExpressionSpec extends SparkSpec {
       .filter($"n" =!= $"b").count() === 0)
   }
 
+  test("native string hashes == built-in folds on mixed-script / supplementary-plane text") {
+    import spark.implicits._
+    // all three paths (native kernel, HOF fallback, DuckDB oracle) iterate
+    // CODEPOINTS with full codepoint values — Spark and DuckDB both define
+    // length/substr/ascii over codepoints (ascii('𝄞') = 119070 in
+    // both engines). Pin native == fallback beyond ASCII: accents, CJK,
+    // emoji, and musical symbols (supplementary plane, surrogate pairs).
+    val texts = Seq(
+      "café naïve résumé",
+      "日本語のテスト",
+      "mixed 𝄞 ascii 😀 text",
+      "𝄞𝄟𝄠 leading supplementary",
+      "é", "", "a𝄞b")
+    val d = texts.toDF("text")
+    val P = 1000000007L
+    val fpHof = aggregate(
+      sequence(lit(1), length($"text")), lit(0L),
+      (acc, i) => (acc * 31L + ascii($"text".substr(i, lit(1))).cast("long")) % P)
+    assert(d.select(call_function("graft_fp", $"text").as("n"), fpHof.as("b"))
+      .filter($"n" =!= $"b").count() === 0)
+    val shHof = aggregate(
+      sequence(lit(1), least(length($"text"), lit(12))), lit(0L),
+      (acc, i) => acc + ascii($"text".substr(i, lit(1))).cast("long") *
+        pow(lit(13.0), (i - 1).cast("double")).cast("long"))
+    assert(d.select(call_function("graft_shingle_hash", $"text").as("n"), shHof.as("b"))
+      .filter($"n" =!= $"b").count() === 0)
+  }
+
   test("native ngrams == substring-transform fold on the documents corpus") {
     import spark.implicits._
     val d = spark.read.parquet(s"$sf/documents.parquet")
