@@ -16,6 +16,13 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Local-mode fixtures are tiny single-file parquet: AQE's
+      // partition coalescing would fold the requested `cpus` shuffle
+      // partitions back to 1-2 (64 MB advisory target), serializing all
+      // post-shuffle compute. On a real cluster at 100 TB the advisory
+      // target is right; at bench scale parallelism-first wins, so keep
+      // AQE (broadcast demotion, skew splitting) but not coalescing.
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")

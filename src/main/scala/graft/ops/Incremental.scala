@@ -39,7 +39,7 @@ object Incremental {
   private val dailyAvg = QueryDef(
     (s, dir) => {
       import s.implicits._
-      Tables.events(s, dir)
+      Tables.spread(Tables.events(s, dir), "event_id")
         .groupBy(to_date($"ts").as("date"), $"event_type")
         .agg(
           r4(sum($"value".cast("decimal(28,10)")).cast("double") /
@@ -95,14 +95,16 @@ object Incremental {
   private val streamTumbling = QueryDef(
     (s, dir) => {
       import s.implicits._
-      Tables.events(s, dir)
+      Tables.spread(Tables.events(s, dir), "event_id")
         .groupBy(window($"ts", "1 day"), $"event_type")
-        .agg(count(lit(1)).as("n"), round(sum($"value"), 4).as("sval"))
+        .agg(count(lit(1)).as("n"),
+          r4(sum($"value".cast("decimal(28,10)")).cast("double")).as("sval"))
         .select($"window.start".cast("date").as("day"), $"event_type", $"n", $"sval")
         .orderBy($"day", $"event_type")
     },
     """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
-      |       COUNT(*) AS n, ROUND(SUM(value),4) AS sval
+      |       COUNT(*) AS n,
+      |       FLOOR(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) * 10000 + 0.5) / 10000.0 AS sval
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 
   /** Sliding window (6h size, 3h slide): each event lands in exactly two
@@ -111,14 +113,16 @@ object Incremental {
   private val streamSliding = QueryDef(
     (s, dir) => {
       import s.implicits._
-      Tables.events(s, dir)
+      Tables.spread(Tables.events(s, dir), "event_id")
         .groupBy(window($"ts", "6 hours", "3 hours"), $"event_type")
-        .agg(count(lit(1)).as("n"), round(sum($"value"), 4).as("sval"))
+        .agg(count(lit(1)).as("n"),
+          r4(sum($"value".cast("decimal(28,10)")).cast("double")).as("sval"))
         .select($"window.start".cast("long").as("ws_epoch"), $"event_type",
           $"n", $"sval")
         .orderBy($"ws_epoch", $"event_type")
     },
-    """SELECT ws_epoch, event_type, COUNT(*) AS n, ROUND(SUM(value),4) AS sval
+    """SELECT ws_epoch, event_type, COUNT(*) AS n,
+      |       FLOOR(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) * 10000 + 0.5) / 10000.0 AS sval
       |FROM (
       |  SELECT CAST(FLOOR(epoch(ts)/10800) AS BIGINT)*10800 - o.o*10800 AS ws_epoch,
       |         event_type, value
@@ -131,9 +135,10 @@ object Incremental {
   private val sessionWindow = QueryDef(
     (s, dir) => {
       import s.implicits._
-      Tables.events(s, dir)
+      Tables.spread(Tables.events(s, dir), "event_id")
         .groupBy(session_window($"ts", "6 hours"), $"user_id")
-        .agg(count(lit(1)).as("n"), round(sum($"value"), 4).as("sval"))
+        .agg(count(lit(1)).as("n"),
+          r4(sum($"value".cast("decimal(28,10)")).cast("double")).as("sval"))
         .select($"user_id",
           $"session_window.start".cast("long").as("session_start"),
           $"n", $"sval")
@@ -152,7 +157,8 @@ object Incremental {
       |                          ROWS UNBOUNDED PRECEDING) AS sid
       |  FROM marked)
       |SELECT user_id, CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS session_start,
-      |       COUNT(*) AS n, ROUND(SUM(value),4) AS sval
+      |       COUNT(*) AS n,
+      |       FLOOR(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) * 10000 + 0.5) / 10000.0 AS sval
       |FROM sessions GROUP BY user_id, sid
       |ORDER BY user_id, session_start""".stripMargin)
 
@@ -166,7 +172,7 @@ object Incremental {
   private val gapFill = QueryDef(
     (s, dir) => {
       import s.implicits._
-      val ev = Tables.events(s, dir)
+      val ev = Tables.spread(Tables.events(s, dir), "event_id")
       val sparse = ev.filter($"value" > 250)
         .groupBy(to_date($"ts").as("d"), $"event_type")
         .agg(r4(sum($"value".cast("decimal(28,10)")).cast("double") /

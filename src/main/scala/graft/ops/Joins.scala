@@ -191,17 +191,31 @@ object Joins {
   private val scdJoin = QueryDef(
     (s, dir) => {
       import s.implicits._
-      val wv = Window.partitionBy($"o_custkey")
-        .orderBy($"valid_from", $"o_orderkey")
-      val dim = Tables.orders(s, dir)
-        .select($"o_orderkey", $"o_custkey", $"o_orderdate".as("valid_from"))
-        .withColumn("valid_to", lead($"valid_from", 1).over(wv))
-      val ev = Tables.events(s, dir).select($"event_id", $"user_id", $"ts")
-      ev.join(dim,
-          $"user_id" === $"o_custkey" && $"ts" >= $"valid_from" &&
-            ($"valid_to".isNull || $"ts" < $"valid_to"))
-        .select($"event_id", $"user_id", $"o_orderkey".as("active_order"),
-          to_date($"valid_from").as("since"))
+      // Because the validity intervals are half-open and contiguous per
+      // customer (valid_to = next order's valid_from), "the interval
+      // covering ts" is exactly "the LAST order at-or-before ts, by
+      // (valid_from, o_orderkey)" — so the lookup runs as the same
+      // linear union+window plan as joinAsof: ONE shuffle+sort on the
+      // customer key instead of dim-build window + equi-join + range
+      // filter (two shuffles of the same data plus a join). Events
+      // before a user's first order match no interval → inner-join
+      // semantics via the isNotNull filter.
+      val e = Tables.events(s, dir)
+        .select($"user_id".as("u"), $"ts".as("t"), lit(1).as("is_event"),
+          $"event_id", lit(null).cast("struct<d:timestamp,k:bigint>").as("ord"))
+      val o = Tables.orders(s, dir)
+        .select($"o_custkey".as("u"), $"o_orderdate".as("t"),
+          lit(0).as("is_event"), lit(null).cast("long").as("event_id"),
+          struct($"o_orderdate".as("d"), $"o_orderkey".as("k")).as("ord"))
+      val w = Window.partitionBy($"u")
+        .orderBy($"t", $"is_event", $"ord.k")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      e.unionByName(o)
+        .withColumn("last_ord", last($"ord", ignoreNulls = true).over(w))
+        .filter($"is_event" === 1 && $"last_ord".isNotNull)
+        .select($"event_id", $"u".as("user_id"),
+          $"last_ord.k".as("active_order"),
+          to_date($"last_ord.d").as("since"))
         .orderBy($"event_id")
     },
     """WITH dim AS (

@@ -132,11 +132,20 @@ object Relational {
   private val aggApprox = QueryDef(
     (s, dir) => {
       import s.implicits._
-      Tables.orders(s, dir)
+      // Distinct (status, custkey) FIRST — a codegen hash aggregate with
+      // map-side partial dedup — then sketch + count the support set.
+      // HLL registers only depend on the distinct hashed values, so the
+      // estimate is identical to sketching the raw multiset, and the
+      // exact count becomes a plain COUNT(*); keeping both measures in
+      // one Aggregate over raw rows would instead plan an Expand (2×
+      // rows) with codegen disabled by the imperative HLL buffer —
+      // measured 1.7× slower at sf0.1.
+      Tables.spread(Tables.orders(s, dir), "o_orderkey")
+        .select($"o_orderstatus", $"o_custkey").distinct()
         .groupBy($"o_orderstatus")
         .agg(
           approx_count_distinct($"o_custkey", 0.02).as("approx_cust"),
-          countDistinct($"o_custkey").as("exact_cust"))
+          count(lit(1)).as("exact_cust"))
         .orderBy($"o_orderstatus")
     },
     None)
@@ -187,12 +196,15 @@ object Relational {
   private val percentile = QueryDef(
     (s, dir) => {
       import s.implicits._
-      Tables.lineitem(s, dir)
+      Tables.spread(Tables.lineitem(s, dir), "l_orderkey")
         .groupBy($"l_returnflag")
         .agg(
           expr("percentile(l_quantity, 0.5)").as("p50_cont"),
-          expr("percentile_approx(l_quantity, 0.5, 2147483647)")
-            .as("p50_disc_lo"), // exact when accuracy = MaxInt
+          // true discrete percentile — sort-based exact aggregate, not
+          // the percentile_approx(…, MaxInt) sketch whose buffer holds
+          // every value
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)")
+            .as("p50_disc_lo"),
           round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"))
         .orderBy($"l_returnflag")
     },
@@ -437,7 +449,7 @@ object Relational {
   private val mathFuncs = QueryDef(
     (s, dir) => {
       import s.implicits._
-      Tables.lineitem(s, dir)
+      Tables.spread(Tables.lineitem(s, dir), "l_orderkey")
         .select(
           $"l_orderkey",
           $"l_linenumber".cast("long").as("l_linenumber"),
@@ -509,7 +521,7 @@ object Relational {
   private val jsonExtract = QueryDef(
     (s, dir) => {
       import s.implicits._
-      Tables.events(s, dir)
+      Tables.spread(Tables.events(s, dir), "event_id")
         .select(
           $"event_id",
           $"event_type",
@@ -529,7 +541,7 @@ object Relational {
   private val arrayFuncs = QueryDef(
     (s, dir) => {
       import s.implicits._
-      Tables.embeddings(s, dir)
+      Tables.spread(Tables.embeddings(s, dir), "vec_id")
         .select(
           $"vec_id",
           $"label".cast("long").as("label"),

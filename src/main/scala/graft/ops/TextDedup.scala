@@ -57,7 +57,7 @@ object TextDedup {
   /** doc_id + array of word-K-gram shingle strings. */
   private def shingled(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.documents(s, dir)
+    Tables.spread(Tables.documents(s, dir), "doc_id")
       .select($"doc_id", split($"text", " ").as("w"))
       .select($"doc_id",
         transform(
@@ -282,7 +282,7 @@ object TextDedup {
           sequence(lit(1), length($"text")),
           lit(0L),
           (acc, i) => (acc * 31L + ascii($"text".substr(i, lit(1))).cast("long")) % P)
-      Tables.documents(s, dir)
+      Tables.spread(Tables.documents(s, dir), "doc_id")
         .select($"doc_id", $"text")
         .withColumn("fp", fpCol)
         .select($"doc_id", $"fp", length($"text").cast("long").as("n_chars_m"))

@@ -24,7 +24,7 @@ object TextOps {
   private val textStats = QueryDef(
     (s, dir) => {
       import s.implicits._
-      Tables.documents(s, dir)
+      Tables.spread(Tables.documents(s, dir), "doc_id")
         .select($"lang", explode(split($"text", " ")).as("word"))
         .groupBy($"lang", $"word")
         .agg(count(lit(1)).as("n"))
@@ -60,7 +60,7 @@ object TextOps {
   private val textTokens = QueryDef(
     (s, dir) => {
       import s.implicits._
-      Tables.documents(s, dir)
+      Tables.spread(Tables.documents(s, dir), "doc_id")
         .select(
           $"doc_id",
           size(split($"text", " ")).cast("long").as("ws_tokens"),
@@ -85,7 +85,7 @@ object TextOps {
       val nTok = size(words).cast("double")
       val nStop = size(filter(words, w => w.isInCollection(stop))).cast("double")
       val nDistinct = size(array_distinct(words)).cast("double")
-      Tables.documents(s, dir)
+      Tables.spread(Tables.documents(s, dir), "doc_id")
         .select(
           $"doc_id", $"lang",
           size(words).cast("long").as("n_tokens"),
@@ -136,7 +136,7 @@ object TextOps {
           i => $"text".substr(i, lit(3)))
       def trigrams(df: org.apache.spark.sql.DataFrame) = df.select(
         $"doc_id", $"lang", explode(triCol).as("tg"))
-      val docs = Tables.documents(s, dir)
+      val docs = Tables.spread(Tables.documents(s, dir), "doc_id")
       val prof = trigrams(docs.filter($"doc_id" % 5 =!= 0))
         .groupBy($"lang".as("plang"), $"tg").agg(count(lit(1)).as("pc"))
       val tf = trigrams(docs.filter($"doc_id" % 5 === 0))
@@ -201,7 +201,7 @@ object TextOps {
   private val tfidf = QueryDef(
     (s, dir) => {
       import s.implicits._
-      val docs = Tables.documents(s, dir)
+      val docs = Tables.spread(Tables.documents(s, dir), "doc_id")
       val nDocs = docs.select(countDistinct($"doc_id").as("n_docs"))
       val words = docs.select($"doc_id", explode(split($"text", " ")).as("word"))
       val tf = words.groupBy($"doc_id", $"word").agg(count(lit(1)).as("tf"))

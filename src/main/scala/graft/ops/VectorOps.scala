@@ -33,7 +33,7 @@ object VectorOps {
 
   private def normed(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.embeddings(s, dir)
+    Tables.spread(Tables.embeddings(s, dir), "vec_id")
       .select($"vec_id", vcol($"embedding").as("v"))
       .withColumn("nm", l2($"v"))
   }
@@ -46,7 +46,8 @@ object VectorOps {
   private def base(s: SparkSession, dir: String): (DataFrame, (Column, Column) => Column) = {
     import s.implicits._
     if (s.catalog.functionExists("graft_dot")) {
-      val df = Tables.embeddings(s, dir).select($"vec_id", $"embedding".as("v"),
+      val df = Tables.spread(Tables.embeddings(s, dir), "vec_id")
+        .select($"vec_id", $"embedding".as("v"),
         call_function("graft_l2norm", $"embedding").as("nm"))
       (df, (a, b) => call_function("graft_dot", a, b))
     } else (normed(s, dir), dot)
@@ -196,7 +197,7 @@ object VectorOps {
   private val vecCentroid = QueryDef(
     (s, dir) => {
       import s.implicits._
-      Tables.embeddings(s, dir)
+      Tables.spread(Tables.embeddings(s, dir), "vec_id")
         .select($"label".cast("long").as("label"),
           posexplode($"embedding"))
         .groupBy($"label", ($"pos" + 1).cast("long").as("pos"))

@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.QueryDef
 import graft.util.Tables
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -97,13 +98,29 @@ object Windows {
   private val topkPerGroup = QueryDef(
     (s, dir) => {
       import s.implicits._
+      // Two-phase top-k: the group key (returnflag, linestatus) has only
+      // 6 values, so a single window would sort 1/6 of the fact table
+      // per task no matter how many cores exist. Phase 1 salts the
+      // partition key (deterministic hash of the row's own keys) and
+      // keeps top-3 per (group, salt) — any global top-3 row is
+      // necessarily within its salt bucket's top-3 — then phase 2 ranks
+      // the ≤ groups×salts×3 survivors. Same hierarchical pruning that
+      // keeps per-group top-k scalable under key skew at 100 TB.
+      val ord = Seq($"l_extendedprice".desc, $"l_orderkey", $"l_linenumber")
+      val w1 = Window.partitionBy($"l_returnflag", $"l_linestatus", $"salt")
+        .orderBy(ord: _*)
       val w = Window.partitionBy($"l_returnflag", $"l_linestatus")
-        .orderBy($"l_extendedprice".desc, $"l_orderkey", $"l_linenumber")
+        .orderBy(ord: _*)
       Tables.lineitem(s, dir)
         .select($"l_returnflag", $"l_linestatus", $"l_orderkey",
           $"l_linenumber".cast("long").as("l_linenumber"), $"l_extendedprice")
+        .withColumn("salt", pmod(hash($"l_orderkey", $"l_linenumber"), lit(32)))
+        .withColumn("rn1", row_number().over(w1))
+        .filter($"rn1" <= 3)
         .withColumn("rn", row_number().over(w).cast("long"))
         .filter($"rn" <= 3)
+        .select($"l_returnflag", $"l_linestatus", $"l_orderkey",
+          $"l_linenumber", $"l_extendedprice", $"rn")
         .orderBy($"l_returnflag", $"l_linestatus", $"rn")
     },
     """SELECT * FROM (
@@ -124,20 +141,28 @@ object Windows {
   private val funnel = QueryDef(
     (s, dir) => {
       import s.implicits._
-      val ev = Tables.events(s, dir)
+      // ONE keyed aggregation: gather each user's (event_id, type) pairs
+      // sorted by id, then the three stage markers are pure array
+      // arithmetic over that list — vs the naive 4-aggregation +
+      // 4-join plan (5 shuffles of the fact table's keys). Per-user
+      // event lists are bounded (funnel state is per-entity, not
+      // per-corpus), so the collect_list buffer is small at any scale.
+      val ev = Tables.spread(Tables.events(s, dir), "event_id")
         .select($"user_id", $"event_id", $"event_type")
-      val c = ev.filter($"event_type" === "click")
-        .groupBy($"user_id").agg(min($"event_id").as("c_id"))
-      val v = ev.join(c, "user_id")
-        .filter($"event_type" === "view" && $"event_id" > $"c_id")
-        .groupBy($"user_id").agg(min($"event_id").as("v_id"))
-      val p = ev.join(v, "user_id")
-        .filter($"event_type" === "purchase" && $"event_id" > $"v_id")
-        .groupBy($"user_id").agg(min($"event_id").as("p_id"))
-      ev.select($"user_id").distinct()
-        .join(c, Seq("user_id"), "left")
-        .join(v, Seq("user_id"), "left")
-        .join(p, Seq("user_id"), "left")
+      def firstAfter(evs: Column, tpe: String, after: Column): Column =
+        array_min(transform(
+          filter(evs, e => e("event_type") === tpe && e("event_id") > after),
+          e => e("event_id")))
+      // collect_list skips nulls, so non-funnel event types contribute
+      // nothing to the buffer while their users still group (funnel rows
+      // with stages_reached = 0); min-based stage math needs no sort
+      ev.groupBy($"user_id")
+        .agg(collect_list(when(
+          $"event_type".isin("click", "view", "purchase"),
+          struct($"event_id", $"event_type"))).as("evs"))
+        .withColumn("c_id", firstAfter($"evs", "click", lit(Long.MinValue)))
+        .withColumn("v_id", firstAfter($"evs", "view", $"c_id"))
+        .withColumn("p_id", firstAfter($"evs", "purchase", $"v_id"))
         .select($"user_id", $"c_id", $"v_id", $"p_id",
           ($"c_id".isNotNull.cast("int") + $"v_id".isNotNull.cast("int") +
             $"p_id".isNotNull.cast("int")).cast("long").as("stages_reached"))

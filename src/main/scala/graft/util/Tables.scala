@@ -14,6 +14,20 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Fan a single-file scan out across the worker threads. The fixture
+    * parquet has ONE row group per table, so Spark's split machinery
+    * yields a single input partition and every narrow transform
+    * downstream (shingle hashing, trigram explode, vector arithmetic,
+    * regex tokenization) runs on one core regardless of `local[n]`.
+    * Hash-repartitioning on a unique key restores the parallelism a
+    * many-file / many-row-group production layout gives for free, and is
+    * deterministic (hash partitioning — no round-robin local sort, no
+    * sampling). At 100 TB inputs arrive pre-split, so this is a local
+    * layout shim, not a scale crutch; it is only applied where the
+    * downstream per-row work dwarfs the one extra exchange. */
+  def spread(df: DataFrame, key: String): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism, col(key))
+
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = load(s, d, "customer")
