@@ -41,7 +41,7 @@ object Joins {
   private val joinMultiway = QueryDef(
     (s, dir) => {
       import s.implicits._
-      Tables.lineitem(s, dir)
+      Tables.spread(Tables.lineitem(s, dir), "l_orderkey")
         .join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey")
         .join(Tables.customer(s, dir), $"o_custkey" === $"c_custkey")
         .join(broadcast(Tables.nation(s, dir)), $"c_nationkey" === $"n_nationkey")

@@ -566,7 +566,103 @@ object Relational {
       |       list_max(v) AS vmax
       |FROM b ORDER BY vec_id""".stripMargin)
 
+  /** Explicit GROUPING SETS through the SQL entry point (rollup/cube
+    * cover the sugar forms; this pins the general form + the spark.sql
+    * surface over a registered temp view — SURVEY.md §3.4 lifecycle). */
+  private val groupingSets = QueryDef(
+    (s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("orders_gsets")
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority,
+          |       CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+          |       COUNT(*) AS n, ROUND(SUM(o_totalprice), 4) AS total
+          |FROM orders_gsets
+          |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+          |                        (o_orderstatus), (o_orderpriority), ())
+          |ORDER BY gid, o_orderstatus ASC NULLS FIRST,
+          |         o_orderpriority ASC NULLS FIRST""".stripMargin)
+    },
+    """SELECT o_orderstatus, o_orderpriority,
+      |       CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+      |       COUNT(*) AS n, ROUND(SUM(o_totalprice), 4) AS total
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+      |                        (o_orderstatus), (o_orderpriority), ())
+      |ORDER BY gid, o_orderstatus ASC NULLS FIRST,
+      |         o_orderpriority ASC NULLS FIRST""".stripMargin)
+
+  /** MapType operator family: construct / merge / filter / transform /
+    * introspect maps (§2.8 "Map" row beyond the single element_at in
+    * q_json_extract). The oracle recomputes each scalar from the raw
+    * columns, which is exactly what makes the map round-trip checkable. */
+  private val mapFuncs = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val mv = from_json($"props", MapType(StringType, StringType))
+      val m2 = map(lit("type"), $"event_type",
+        lit("day"), to_date($"ts").cast("string"))
+      Tables.spread(Tables.events(s, dir), "event_id")
+        .select($"event_id", $"props", $"event_type", $"ts")
+        .withColumn("m3", map_concat(mv, m2))
+        .select(
+          $"event_id",
+          size($"m3").cast("long").as("n_keys"),
+          array_join(array_sort(map_keys($"m3")), ",").as("keys"),
+          element_at(
+            transform_values(mv, (_, v) => v.cast("long") * 2), "k").as("k2"),
+          element_at($"m3", "day").as("day_val"),
+          map_contains_key(mv, "k").cast("long").as("has_k"),
+          size(map_filter(mv, (_, v) => v.rlike("^[0-9]+$")))
+            .cast("long").as("n_numeric"))
+        .orderBy($"event_id")
+    },
+    """SELECT event_id,
+      |       CAST(3 AS BIGINT) AS n_keys,
+      |       'day,k,type' AS keys,
+      |       2 * CAST(json_extract_string(props, '$.k') AS BIGINT) AS k2,
+      |       CAST(CAST(ts AS DATE) AS VARCHAR) AS day_val,
+      |       CAST(1 AS BIGINT) AS has_k,
+      |       CAST(1 AS BIGINT) AS n_numeric
+      |FROM events ORDER BY event_id""".stripMargin)
+
+  /** Subquery family through the SQL surface: uncorrelated scalar,
+    * IN-subquery, and a correlated scalar COUNT — exercising Catalyst's
+    * subquery decorrelation rules (SURVEY.md §4.2). The mean-balance
+    * predicate is stated as `bal·N > Σbal` with an exact decimal sum so
+    * neither engine's double summation order can flip the comparison. */
+  private val subquery = QueryDef(
+    (s, dir) => {
+      Tables.customer(s, dir).createOrReplaceTempView("customer_sq")
+      Tables.orders(s, dir).createOrReplaceTempView("orders_sq")
+      s.sql(
+        """SELECT c.c_custkey, c.c_acctbal,
+          |       (SELECT COUNT(*) FROM orders_sq o
+          |        WHERE o.o_custkey = c.c_custkey
+          |          AND o.o_orderpriority = '1-URGENT') AS n_urgent
+          |FROM customer_sq c
+          |WHERE c.c_acctbal * (SELECT COUNT(*) FROM customer_sq) >
+          |      CAST((SELECT SUM(CAST(c_acctbal AS DECIMAL(18,4)))
+          |            FROM customer_sq) AS DOUBLE)
+          |  AND c.c_custkey IN (SELECT o_custkey FROM orders_sq
+          |                      WHERE o_totalprice > 400000)
+          |ORDER BY c.c_custkey""".stripMargin)
+    },
+    """SELECT c.c_custkey, c.c_acctbal,
+      |       (SELECT COUNT(*) FROM orders o
+      |        WHERE o.o_custkey = c.c_custkey
+      |          AND o.o_orderpriority = '1-URGENT') AS n_urgent
+      |FROM customer c
+      |WHERE c.c_acctbal * (SELECT COUNT(*) FROM customer) >
+      |      CAST((SELECT SUM(CAST(c_acctbal AS DECIMAL(18,4)))
+      |            FROM customer) AS DOUBLE)
+      |  AND c.c_custkey IN (SELECT o_custkey FROM orders
+      |                      WHERE o_totalprice > 400000)
+      |ORDER BY c.c_custkey""".stripMargin)
+
   val defs: Seq[(String, QueryDef)] = Seq(
+    "q_grouping_sets" -> groupingSets,
+    "q_map_funcs" -> mapFuncs,
+    "q_subquery" -> subquery,
     "q_scan_project" -> scanProject,
     "q_filter_pred" -> filterPred,
     "q_agg_basic" -> aggBasic,

@@ -296,10 +296,59 @@ object TextDedup {
        |       CAST(length(text) AS BIGINT) AS n_chars_m
        |FROM documents ORDER BY doc_id""".stripMargin)
 
+  /** Character-n-gram Jaccard near-dup (the remaining dedup family next
+    * to word-shingle MinHash/LSH, SimHash and embedding-cosine):
+    * distinct char-4-grams per document, exact Jaccard over a bounded
+    * candidate id range (stand-in for an LSH candidate set — same
+    * verify-stage contract as q_dedup_near, which prunes candidates
+    * properly; this one pins the char-level gram family). */
+  private val dedupNgram = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val n = 4
+      val gramCol =
+        if (s.catalog.functionExists("graft_ngrams"))
+          call_function("graft_ngrams", $"text", lit(n))
+        else transform(
+          sequence(lit(1), greatest(length($"text") - (n - 1), lit(1))),
+          i => $"text".substr(i, lit(n)))
+      val d = Tables.spread(Tables.documents(s, dir), "doc_id")
+        .filter($"doc_id" < 200)
+        .select($"doc_id", array_distinct(gramCol).as("gs"))
+      val a = d.select($"doc_id".as("da"), $"gs".as("ga"))
+      val b = d.select($"doc_id".as("db"), $"gs".as("gb"))
+      val interCol =
+        if (s.catalog.functionExists("graft_intersect_card"))
+          call_function("graft_intersect_card", $"ga", $"gb")
+        else size(array_intersect($"ga", $"gb"))
+      a.join(b, $"da" < $"db")
+        .withColumn("inter", interCol.cast("double"))
+        .withColumn("uni",
+          (size($"ga") + size($"gb")).cast("double") - $"inter")
+        .withColumn("jac", round($"inter" / $"uni", 4))
+        .filter($"jac" >= 0.4)
+        .select($"da", $"db", $"jac")
+        .orderBy($"da", $"db")
+    },
+    """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+      |g AS (SELECT doc_id,
+      |        list_distinct(list_transform(range(1, greatest(length(text)-3,1)+1),
+      |                                     i -> substring(text, i, 4))) AS gs
+      |      FROM d),
+      |scored AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db,
+      |         CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE) AS inter,
+      |         CAST(len(a.gs) + len(b.gs) AS DOUBLE)
+      |           - CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE) AS uni
+      |  FROM g a JOIN g b ON a.doc_id < b.doc_id)
+      |SELECT da, db, ROUND(inter / uni, 4) AS jac FROM scored
+      |WHERE ROUND(inter / uni, 4) >= 0.4 ORDER BY da, db""".stripMargin)
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q_dedup_minhash" -> dedupMinhash,
     "q_dedup_lsh" -> dedupLsh,
     "q_dedup_near" -> dedupNear,
+    "q_dedup_ngram" -> dedupNgram,
     "q_dedup_simhash" -> simhash,
     "q_text_fingerprint" -> fingerprint)
 }

@@ -205,7 +205,9 @@ object TextOps {
       val nDocs = docs.select(countDistinct($"doc_id").as("n_docs"))
       val words = docs.select($"doc_id", explode(split($"text", " ")).as("word"))
       val tf = words.groupBy($"doc_id", $"word").agg(count(lit(1)).as("tf"))
-      val df_ = words.distinct().groupBy($"word").agg(count(lit(1)).as("df"))
+      // df derived FROM tf — tf's (doc, word) rows are already distinct,
+      // so the second corpus explode + distinct shuffle is redundant
+      val df_ = tf.groupBy($"word").agg(count(lit(1)).as("df"))
       tf.join(broadcast(df_), "word")
         .crossJoin(broadcast(nDocs))
         .select($"doc_id", $"word", $"tf", $"df",

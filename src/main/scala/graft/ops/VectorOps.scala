@@ -218,9 +218,81 @@ object VectorOps {
       |       COUNT(*) AS n
       |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 
+  /** LSH-bucketed ANN — the third retrieval tier next to brute force
+    * (q_sim_topk) and IVF cells (q_sim_ivf): 8 sign-random-hyperplane
+    * bits → bucket id; each query ranks only its own bucket. Planes are
+    * ±1 vectors from exact integer arithmetic (parity of a mixed linear
+    * hash), mean-centered so a shared positive component can't collapse
+    * every dot to one sign — all double math replayed bit-identically by
+    * the oracle. On this corpus the vectors hug one direction, so the
+    * planes agree and yield few buckets — which IS correct cosine-LSH
+    * behavior (same-direction vectors must share buckets; recall of the
+    * bucketed top-k is pinned in RecallSpec). Scale: bucket id becomes
+    * the partition key; candidate generation never leaves the bucket. */
+  private val NumPlanes = 8
+  private val Dim = 64
+  private def planeSign(i: Int, j: Int): Double =
+    if (((i.toLong * 2654435761L + j.toLong * 998244353L) % 1000000007L) % 2 == 0) 1.0
+    else -1.0
+  private val planes: Seq[Array[Double]] =
+    (0 until NumPlanes).map(j => Array.tabulate(Dim)(i => planeSign(i, j)))
+  private val planeSums: Seq[Double] = planes.map(_.sum)
+
+  private val simLsh = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val (b0, dotf) = base(s, dir)
+      val vd = transform($"v", x => x.cast("double"))
+      val svec = aggregate(vd, lit(0.0), (acc, x) => acc + x)
+      val bucketCol = (0 until NumPlanes).map { j =>
+        val plane = array(planes(j).map(lit): _*)
+        val d = aggregate(zip_with(vd, plane, (x, y) => x * y), lit(0.0),
+          (acc, x) => acc + x)
+        when(d - svec * lit(planeSums(j) / Dim) >= 0, lit(1L << j))
+          .otherwise(lit(0L))
+      }.reduce(_ + _)
+      val vecs = b0.withColumn("bucket", bucketCol)
+      val q = vecs.filter($"vec_id" < 50)
+        .select($"vec_id".as("qid"), $"v".as("qv"), $"nm".as("qn"),
+          $"bucket".as("qb"))
+      val cand = vecs.select($"vec_id".as("nid"), $"v".as("nv"),
+        $"nm".as("nn"), $"bucket")
+      val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"nid")
+      cand.join(broadcast(q), $"bucket" === $"qb" && $"nid" =!= $"qid")
+        .withColumn("cos", dotf($"qv", $"nv") / ($"qn" * $"nn"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter($"rk" <= 3)
+        .select($"qid", $"nid", $"bucket", round($"cos", 4).as("cos"), $"rk")
+        .orderBy($"qid", $"rk")
+    }, {
+      val terms = (0 until NumPlanes).map { j =>
+        s"""(CASE WHEN list_sum(list_transform(range(0,$Dim), i -> ve[i+1] *
+           |  (CASE WHEN ((i*2654435761 + CAST($j AS BIGINT)*998244353) % 1000000007) % 2 = 0
+           |        THEN 1.0 ELSE -1.0 END)))
+           |  - list_sum(ve) * (${planeSums(j)}/$Dim.0) >= 0
+           |  THEN ${1L << j} ELSE 0 END)""".stripMargin
+      }.mkString(" + ")
+      oracleBase +
+      s""",
+        |b AS (SELECT vec_id, ve, nm, $terms AS bucket FROM n),
+        |ranked AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS nid, c.bucket,
+        |         list_sum(list_transform(list_zip(q.ve, c.ve), p -> p[1]*p[2]))
+        |           / (q.nm * c.nm) AS cos,
+        |         ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        |           list_sum(list_transform(list_zip(q.ve, c.ve), p -> p[1]*p[2]))
+        |             / (q.nm * c.nm) DESC, c.vec_id) AS rk
+        |  FROM b q JOIN b c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 50)
+        |SELECT qid, nid, CAST(bucket AS BIGINT) AS bucket, ROUND(cos, 4) AS cos,
+        |       CAST(rk AS BIGINT) AS rk
+        |FROM ranked WHERE rk <= 3 ORDER BY qid, rk""".stripMargin
+    })
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q_sim_topk" -> simTopk,
     "q_dedup_embed" -> dedupEmbed,
     "q_sim_ivf" -> simIvf,
+    "q_sim_lsh" -> simLsh,
     "q_vec_centroid" -> vecCentroid)
 }

@@ -183,7 +183,37 @@ object Windows {
       |LEFT JOIN p USING (user_id)
       |ORDER BY user_id""".stripMargin)
 
+  /** Distribution window functions: percent_rank / cume_dist /
+    * nth_value (§2.5 ranking family completion). The window orders by a
+    * unique key so the rank ratios are exact integer divisions — both
+    * engines produce the identical double. nth_value gets an explicit
+    * running ROWS frame on both sides (frame defaults are the classic
+    * cross-engine trap). */
+  private val windowDist = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_orderstatus")
+        .orderBy($"o_totalprice", $"o_orderkey")
+      Tables.orders(s, dir)
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+        .withColumn("pr", percent_rank().over(w))
+        .withColumn("cd", cume_dist().over(w))
+        .withColumn("nth2", nth_value($"o_totalprice", 2).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .orderBy($"o_orderstatus", $"o_orderkey")
+    },
+    """SELECT o_orderkey, o_orderstatus, o_totalprice,
+      |       PERCENT_RANK() OVER w AS pr,
+      |       CUME_DIST() OVER w AS cd,
+      |       NTH_VALUE(o_totalprice, 2) OVER
+      |         (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nth2
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+      |ORDER BY o_orderstatus, o_orderkey""".stripMargin)
+
   val defs: Seq[(String, QueryDef)] = Seq(
+    "q_window_dist" -> windowDist,
     "q_window_rank" -> windowRank,
     "q_window_analytic" -> windowAnalytic,
     "q_window_frame" -> windowFrame,
