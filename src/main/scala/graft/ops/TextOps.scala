@@ -134,13 +134,19 @@ object TextOps {
         else transform(
           sequence(lit(1), greatest(length($"text") - 2, lit(1))),
           i => $"text".substr(i, lit(3)))
-      def trigrams(df: org.apache.spark.sql.DataFrame) = df.select(
-        $"doc_id", $"lang", explode(triCol).as("tg"))
+      // ONE trigram explode over the corpus: per-(doc, trigram) counts
+      // first, then the train profile is a re-aggregation of those
+      // counts (Σ per-doc counts ≡ counting all train instances) and
+      // the test tf rows are a filter — instead of exploding the corpus
+      // once per branch. At 100 TB the (doc, trigram) count table is
+      // the thing you'd materialize anyway.
       val docs = Tables.spread(Tables.documents(s, dir), "doc_id")
-      val prof = trigrams(docs.filter($"doc_id" % 5 =!= 0))
-        .groupBy($"lang".as("plang"), $"tg").agg(count(lit(1)).as("pc"))
-      val tf = trigrams(docs.filter($"doc_id" % 5 === 0))
-        .groupBy($"doc_id", $"lang", $"tg").agg(count(lit(1)).as("tf"))
+      val counts = docs.select($"doc_id", $"lang", explode(triCol).as("tg"))
+        .groupBy($"doc_id", $"lang", $"tg").agg(count(lit(1)).as("c"))
+      val prof = counts.filter($"doc_id" % 5 =!= 0)
+        .groupBy($"lang".as("plang"), $"tg").agg(sum($"c").as("pc"))
+      val tf = counts.filter($"doc_id" % 5 === 0)
+        .select($"doc_id", $"lang", $"tg", $"c".as("tf"))
       val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"plang")
       tf.join(broadcast(prof), "tg")
         .groupBy($"doc_id", $"lang", $"plang")
