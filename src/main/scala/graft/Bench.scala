@@ -23,6 +23,7 @@ object Bench {
       // target is right; at bench scale parallelism-first wins, so keep
       // AQE (broadcast demotion, skew splitting) but not coalescing.
       .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")
