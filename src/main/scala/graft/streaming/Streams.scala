@@ -60,6 +60,31 @@ object Streams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream inner join with event-time range + watermarks on
+    * BOTH sides (SURVEY.md §2.10): each click joins the purchases the
+    * same user makes within the next hour. The watermark pair plus the
+    * two-sided time bound is what lets Spark expire join state — without
+    * either, a 100 TB/day stream buffers forever. Self-join of one
+    * input stream (clicks vs purchases are filters of the same source),
+    * the standard enrichment shape.
+    * Condition uses half-open [c_ts, c_ts + 1h) so an event never
+    * matches purchases exactly one hour later (boundary pinned in
+    * StreamingSpec). */
+  def clickPurchaseJoin(events: DataFrame, horizon: String = "1 hour"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"), col("value").as("amount"))
+      .withWatermark("p_ts", "1 hour")
+    clicks.join(purchases,
+      expr(s"c_user = p_user AND p_ts >= c_ts AND p_ts < c_ts + interval $horizon"))
+      .select(col("c_user").as("user_id"), col("click_id"),
+        col("purchase_id"), col("c_ts"), col("p_ts"), col("amount"))
+  }
+
   /** Per-user running state via typed flatMapGroupsWithState: emits one
     * row per input event carrying the user's running count and mean —
     * the custom-state surface (KeyValueGroupedDataset, SURVEY.md §2.10).

@@ -312,6 +312,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream join matches purchases within the horizon, half-open boundary") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val rows = runBatches(in, Streams.clickPurchaseJoin(in.toDF(), "1 hour"),
+      OutputMode.Append, Seq(
+        Seq(Event(1, ts("2024-01-01 10:00:00"), 1, "click", 0.0),
+            Event(2, ts("2024-01-01 10:30:00"), 1, "purchase", 50.0), // in horizon
+            Event(3, ts("2024-01-01 11:00:00"), 1, "purchase", 70.0), // exactly +1h → excluded
+            Event(4, ts("2024-01-01 10:30:00"), 2, "purchase", 9.0)), // other user
+        Seq(Event(5, ts("2024-01-01 09:59:00"), 1, "purchase", 1.0),  // before the click
+            Event(6, ts("2024-01-02 00:00:00"), 3, "click", 0.0))))   // advance watermark
+    val pairs = rows.map(r =>
+      (r.getAs[Long]("click_id"), r.getAs[Long]("purchase_id"))).toSet
+    assert(pairs === Set((1L, 2L)),
+      s"expected only (click 1, purchase 2): ${rows.mkString(";")}")
+  }
+
+  test("stream-stream join result equals the equivalent batch join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = Seq(
+      Event(1, ts("2024-01-01 10:00:00"), 1, "click", 0.0),
+      Event(2, ts("2024-01-01 10:10:00"), 1, "purchase", 5.0),
+      Event(3, ts("2024-01-01 10:20:00"), 1, "click", 0.0),
+      Event(4, ts("2024-01-01 10:50:00"), 1, "purchase", 6.0),
+      Event(5, ts("2024-01-01 13:00:00"), 2, "click", 0.0),
+      Event(6, ts("2024-01-01 13:30:00"), 2, "purchase", 7.0),
+      Event(7, ts("2024-01-02 12:00:00"), 9, "click", 0.0)) // watermark flush
+    val in = MemoryStream[Event]
+    val streamed = runBatches(in, Streams.clickPurchaseJoin(in.toDF(), "1 hour"),
+      OutputMode.Append, Seq(events.take(4), events.drop(4)))
+      .map(r => (r.getAs[Long]("click_id"), r.getAs[Long]("purchase_id"))).toSet
+    val batch = Streams.clickPurchaseJoin(events.toDF(), "1 hour")
+      .collect().map(r => (r.getAs[Long]("click_id"), r.getAs[Long]("purchase_id"))).toSet
+    assert(streamed === batch)
+    assert(streamed === Set((1L, 2L), (1L, 4L), (3L, 4L), (5L, 6L)))
+  }
+
   test("session windows merge events within the gap and split across it") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
