@@ -47,13 +47,17 @@ object Joins {
         .join(broadcast(Tables.nation(s, dir)), $"c_nationkey" === $"n_nationkey")
         .join(broadcast(Tables.region(s, dir)), $"n_regionkey" === $"r_regionkey")
         .groupBy($"r_name", $"n_name")
+        // decimal accumulation of the per-row double product: with the
+        // fanned-out scan each group merges many partials, so the sum
+        // must not depend on merge order (Incremental.r4 discipline)
         .agg(
-          round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4).as("rev"),
+          Incremental.r4(sum(($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+            .cast("decimal(28,10)")).cast("double")).as("rev"),
           count(lit(1)).as("n"))
         .orderBy($"r_name", $"n_name")
     },
     """SELECT r_name, n_name,
-      |       ROUND(SUM(l_extendedprice * (1.0 - l_discount)),4) AS rev,
+      |       FLOOR(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))) AS DOUBLE) * 10000 + 0.5) / 10000.0 AS rev,
       |       COUNT(*) AS n
       |FROM lineitem
       |JOIN orders   ON l_orderkey = o_orderkey
