@@ -150,6 +150,34 @@ object Relational {
     },
     None)
 
+  /** Conditional + argmin/argmax aggregates (§2.4): count_if, bool_or /
+    * bool_and, max_by / min_by, median. The max_by/min_by ordering key
+    * is the UNIQUE o_orderkey so the picked row is deterministic — both
+    * engines leave arg-extrema ties unspecified, so never feed them a
+    * tied key ("price of the latest/first loaded order per status"). */
+  private val aggConditional = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      Tables.orders(s, dir)
+        .groupBy($"o_orderstatus")
+        .agg(
+          expr("count_if(o_totalprice > 300000)").as("n_big"),
+          expr("bool_or(o_orderpriority = '1-URGENT')").cast("long").as("has_urgent"),
+          expr("bool_and(o_totalprice > 1000)").cast("long").as("all_over_1k"),
+          max_by($"o_totalprice", $"o_orderkey").as("last_price"),
+          min_by($"o_totalprice", $"o_orderkey").as("first_price"),
+          expr("median(o_custkey)").cast("double").as("med_cust"))
+        .orderBy($"o_orderstatus")
+    },
+    """SELECT o_orderstatus,
+      |       COUNT(*) FILTER (WHERE o_totalprice > 300000) AS n_big,
+      |       CAST(bool_or(o_orderpriority = '1-URGENT') AS BIGINT) AS has_urgent,
+      |       CAST(bool_and(o_totalprice > 1000) AS BIGINT) AS all_over_1k,
+      |       arg_max(o_totalprice, o_orderkey) AS last_price,
+      |       arg_min(o_totalprice, o_orderkey) AS first_price,
+      |       CAST(median(o_custkey) AS DOUBLE) AS med_cust
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)
+
   /** ROLLUP + grouping_id (§2.4). gid disambiguates the NULL rollup rows. */
   private val rollup = QueryDef(
     (s, dir) => {
@@ -666,6 +694,7 @@ object Relational {
     "q_scan_project" -> scanProject,
     "q_filter_pred" -> filterPred,
     "q_agg_basic" -> aggBasic,
+    "q_agg_conditional" -> aggConditional,
     "q_agg_distinct" -> aggDistinct,
     "q_agg_approx" -> aggApprox,
     "q_rollup" -> rollup,
