@@ -305,24 +305,24 @@ object TextDedup {
   private val dedupNgram = QueryDef(
     (s, dir) => {
       import s.implicits._
-      val n = 4
-      val gramCol =
-        if (s.catalog.functionExists("graft_ngrams"))
-          call_function("graft_ngrams", $"text", lit(n))
-        else transform(
-          sequence(lit(1), greatest(length($"text") - (n - 1), lit(1))),
-          i => $"text".substr(i, lit(n)))
+      // Each 4-gram packs into ONE int64 by base-1021 positional
+      // codepoint arithmetic — injective below codepoint 1021 (the
+      // corpus is ASCII; max observed codepoint 121), so the packed-gram
+      // Jaccard EQUALS the string-gram Jaccard while the pair
+      // intersection runs on primitive longs instead of a string hash
+      // set (the verify stage dominates this query). Both engines
+      // replay identical integer arithmetic.
+      def cp(i: Column): Column = ascii($"text".substr(i, lit(1))).cast("long")
+      val packed = transform(
+        sequence(lit(1), greatest(length($"text") - 3, lit(1))),
+        i => ((cp(i) * 1021L + cp(i + 1)) * 1021L + cp(i + 2)) * 1021L + cp(i + 3))
       val d = Tables.spread(Tables.documents(s, dir), "doc_id")
         .filter($"doc_id" < 200)
-        .select($"doc_id", array_distinct(gramCol).as("gs"))
+        .select($"doc_id", array_distinct(packed).as("gs"))
       val a = d.select($"doc_id".as("da"), $"gs".as("ga"))
       val b = d.select($"doc_id".as("db"), $"gs".as("gb"))
-      val interCol =
-        if (s.catalog.functionExists("graft_intersect_card"))
-          call_function("graft_intersect_card", $"ga", $"gb")
-        else size(array_intersect($"ga", $"gb"))
       a.join(b, $"da" < $"db")
-        .withColumn("inter", interCol.cast("double"))
+        .withColumn("inter", size(array_intersect($"ga", $"gb")).cast("double"))
         .withColumn("uni",
           (size($"ga") + size($"gb")).cast("double") - $"inter")
         .withColumn("jac", round($"inter" / $"uni", 4))
@@ -333,7 +333,10 @@ object TextDedup {
     """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
       |g AS (SELECT doc_id,
       |        list_distinct(list_transform(range(1, greatest(length(text)-3,1)+1),
-      |                                     i -> substring(text, i, 4))) AS gs
+      |          i -> ((CAST(ascii(substring(text,i,1)) AS BIGINT) * 1021
+      |                 + ascii(substring(text,i+1,1))) * 1021
+      |                 + ascii(substring(text,i+2,1))) * 1021
+      |                 + ascii(substring(text,i+3,1)))) AS gs
       |      FROM d),
       |scored AS (
       |  SELECT a.doc_id AS da, b.doc_id AS db,
