@@ -178,6 +178,26 @@ object Relational {
       |       CAST(median(o_custkey) AS DOUBLE) AS med_cust
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)
 
+  /** Approximate quantiles via the built-in Greenwald-Khanna-style
+    * sketch (§2.4 sketch family, alongside the HLL distinct-count): the
+    * shuffle carries a bounded sketch per group instead of every value,
+    * which is the 100 TB point. No oracle — sketch internals are
+    * engine-specific — so the driver records rows-only;
+    * SourcesAggregatesSpec pins the rank-error envelope against the
+    * exact percentiles. */
+  private val quantileApprox = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      Tables.spread(Tables.lineitem(s, dir), "l_orderkey")
+        .groupBy($"l_returnflag")
+        .agg(
+          expr("percentile_approx(l_extendedprice, array(0.1, 0.5, 0.9), 1000)")
+            .as("approx_p10_p50_p90"),
+          expr("percentile(l_extendedprice, 0.5)").as("exact_p50"))
+        .orderBy($"l_returnflag")
+    },
+    None)
+
   /** ROLLUP + grouping_id (§2.4). gid disambiguates the NULL rollup rows. */
   private val rollup = QueryDef(
     (s, dir) => {
@@ -696,6 +716,7 @@ object Relational {
     "q_agg_basic" -> aggBasic,
     "q_agg_conditional" -> aggConditional,
     "q_agg_distinct" -> aggDistinct,
+    "q_quantile_approx" -> quantileApprox,
     "q_agg_approx" -> aggApprox,
     "q_rollup" -> rollup,
     "q_cube" -> cube,

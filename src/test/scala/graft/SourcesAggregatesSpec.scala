@@ -71,4 +71,27 @@ class SourcesAggregatesSpec extends SparkSpec {
         s"approx=$approx exact=$exact")
     }
   }
+
+  test("approx quantiles: ordered, bounded by group min/max, median near exact") {
+    import spark.implicits._
+    val r = SparkEntry.all("q_quantile_approx").fn(spark, sf)
+      .select($"l_returnflag", $"approx_p10_p50_p90", $"exact_p50")
+      .as[(String, Seq[Double], Double)].collect()
+    assert(r.nonEmpty)
+    val bounds = spark.read.parquet(s"$sf/lineitem.parquet")
+      .groupBy($"l_returnflag")
+      .agg(min($"l_extendedprice").as("lo"), max($"l_extendedprice").as("hi"))
+      .as[(String, Double, Double)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    r.foreach { case (flag, qs, exact50) =>
+      assert(qs.length === 3)
+      assert(qs(0) <= qs(1) && qs(1) <= qs(2), s"$flag quantiles unordered: $qs")
+      val (lo, hi) = bounds(flag)
+      assert(qs.head >= lo && qs.last <= hi, s"$flag out of [$lo,$hi]: $qs")
+      // accuracy=1000 → rank error ≤ n/1000; translate loosely to value
+      // space via a 5% relative tolerance on this smooth distribution
+      assert(math.abs(qs(1) - exact50) / exact50 < 0.05,
+        s"$flag p50 approx=${qs(1)} exact=$exact50")
+    }
+  }
 }
