@@ -11,8 +11,31 @@ import org.apache.spark.sql.types.LongType
   * `.select`/`.filter` and let the optimizer prune at the source.
   */
 object Tables {
+  /** Scan DataFrames memoized per (session, path): `spark.read.parquet`
+    * builds a fresh FileIndex + reads the footer schema on every call,
+    * and a 70-query Verify/Bench run re-plans each table many times.
+    * DataFrames are immutable lineages, so handing the same plan object
+    * to every caller is safe — this is the path-based analog of the
+    * catalog's table-metadata cache. Weak session keys so stopped
+    * sessions are collectable. */
+  private val memo = new java.util.WeakHashMap[
+    SparkSession, java.util.HashMap[String, DataFrame]]()
+  private def memoized(s: SparkSession, key: String)(
+      build: => DataFrame): DataFrame = memo.synchronized {
+    val perSession = {
+      val m = memo.get(s)
+      if (m != null) m
+      else { val m2 = new java.util.HashMap[String, DataFrame](); memo.put(s, m2); m2 }
+    }
+    val hit = perSession.get(key)
+    if (hit != null) hit
+    else { val df = build; perSession.put(key, df); df }
+  }
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    memoized(spark, s"$sfDir/$name") {
+      spark.read.parquet(s"$sfDir/$name.parquet")
+    }
 
   /** Fan a single-file scan out across the worker threads. The fixture
     * parquet has ONE row group per table, so Spark's split machinery
@@ -40,13 +63,14 @@ object Tables {
     * (legacy conf) and truncate ns → µs with integer division — the same
     * truncation DuckDB's µs comparisons see after date_trunc (SURVEY.md
     * §7.4 forbids emitting raw ts anyway). */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = load(s, d, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
-  }
+  def events(s: SparkSession, d: String): DataFrame =
+    memoized(s, s"$d/events+ts") {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = s.read.parquet(s"$d/events.parquet")
+      if (raw.schema("ts").dataType == LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw
+    }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }
