@@ -90,6 +90,33 @@ object Incremental {
       |       WHERE ts < TIMESTAMP '2024-01-15 00:00:00')
       |GROUP BY 1 ORDER BY 1""".stripMargin)
 
+  /** Salted two-phase aggregation over the maximally-skewed key
+    * (event_type: 5 values over the whole fact table) — the
+    * Scale.saltedAgg skew pattern as a verified query. Partials are
+    * exact decimals, so the result is bit-identical to the direct
+    * groupBy no matter how the nondeterministic salt scatters rows
+    * (that independence is the point of the pattern: AQE splits skewed
+    * JOIN partitions but not aggregation keys). */
+  private val aggSalted = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val partial = Seq(
+        sum($"value".cast("decimal(28,10)")).as("s"),
+        count(lit(1)).as("c"))
+      val merge = Seq(
+        r4(sum($"s").cast("double") / sum($"c")).as("avg_value"),
+        sum($"c").as("n"))
+      Scale.saltedAgg(
+          Tables.spread(Tables.events(s, dir), "event_id"),
+          $"event_type", 16, partial, merge)
+        .select($"_k".as("event_type"), $"avg_value", $"n")
+        .orderBy($"event_type")
+    },
+    """SELECT event_type,
+      |       FLOOR(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) * 10000 + 0.5) / 10000.0 AS avg_value,
+      |       COUNT(*) AS n
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
+
   /** Tumbling 1-day window — batch analog of the streaming daily agg
     * (reference's daily bucketing :69-70 = 1-day tumbling window). */
   private val streamTumbling = QueryDef(
@@ -215,6 +242,7 @@ object Incremental {
 
   val defs: Seq[(String, QueryDef)] = Seq(
     "q_daily_avg" -> dailyAvg,
+    "q_agg_salted" -> aggSalted,
     "q_watermark_max" -> watermarkMax,
     "q_incremental_delta" -> incrementalDelta,
     "q_gap_fill" -> gapFill,
