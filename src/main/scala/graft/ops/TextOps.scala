@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.QueryDef
 import graft.util.Tables
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -128,12 +129,15 @@ object TextOps {
   private val langId = QueryDef(
     (s, dir) => {
       import s.implicits._
-      val triCol =
-        if (s.catalog.functionExists("graft_ngrams"))
-          call_function("graft_ngrams", $"text", lit(3)) // native kernel
-        else transform(
-          sequence(lit(1), greatest(length($"text") - 2, lit(1))),
-          i => $"text".substr(i, lit(3)))
+      // trigrams packed into int64 (base-1021 codepoint arithmetic —
+      // injective below codepoint 1021, ASCII corpus; the dedup_ngram
+      // trick): the (doc, trigram)-count shuffle and the profile join
+      // key carry primitive longs instead of 3-char strings, and the
+      // score is invariant under any bijection of the trigram keys
+      def cp3(i: Column): Column = ascii($"text".substr(i, lit(1))).cast("long")
+      val triCol = transform(
+        sequence(lit(1), greatest(length($"text") - 2, lit(1))),
+        i => (cp3(i) * 1021L + cp3(i + 1)) * 1021L + cp3(i + 2))
       // ONE trigram explode over the corpus: per-(doc, trigram) counts
       // first, then the train profile is a re-aggregation of those
       // counts (Σ per-doc counts ≡ counting all train instances) and
@@ -157,7 +161,10 @@ object TextOps {
         .orderBy($"doc_id")
     },
     """WITH tri AS (
-      |  SELECT doc_id, lang, substring(text, i.i, 3) AS tg
+      |  SELECT doc_id, lang,
+      |         (CAST(ascii(substring(text, i.i, 1)) AS BIGINT) * 1021
+      |          + ascii(substring(text, i.i+1, 1))) * 1021
+      |          + ascii(substring(text, i.i+2, 1)) AS tg
       |  FROM documents CROSS JOIN (SELECT UNNEST(range(1, 1000)) AS i) i
       |  WHERE i.i <= greatest(length(text) - 2, 1)),
       |prof AS (SELECT lang AS plang, tg, COUNT(*) AS pc
