@@ -158,6 +158,12 @@ object Joins {
         .select($"user_id".as("u"), $"ts".as("t"), lit(1).as("is_event"),
           $"event_id", lit(null).cast("struct<d:timestamp,k:bigint>").as("ord"))
       val o = Tables.orders(s, dir)
+        // SQL join semantics: a null custkey/orderdate order can never
+        // match any event (`u = ... AND t <= ...` is never true on
+        // null), but the union+window formulation would land it in the
+        // null-key partition / at the partition head where a null-key
+        // event could pick it up — drop such orders before the union
+        .filter($"o_custkey".isNotNull && $"o_orderdate".isNotNull)
         .select($"o_custkey".as("u"), $"o_orderdate".as("t"),
           lit(0).as("is_event"), lit(null).cast("long").as("event_id"),
           struct($"o_orderdate".as("d"), $"o_orderkey".as("k")).as("ord"))
@@ -208,6 +214,10 @@ object Joins {
         .select($"user_id".as("u"), $"ts".as("t"), lit(1).as("is_event"),
           $"event_id", lit(null).cast("struct<d:timestamp,k:bigint>").as("ord"))
       val o = Tables.orders(s, dir)
+        // null custkey/orderdate rows can never seed a validity interval
+        // (the oracle's equi+range condition is never true on null) —
+        // drop them so the null-key window partition stays match-free
+        .filter($"o_custkey".isNotNull && $"o_orderdate".isNotNull)
         .select($"o_custkey".as("u"), $"o_orderdate".as("t"),
           lit(0).as("is_event"), lit(null).cast("long").as("event_id"),
           struct($"o_orderdate".as("d"), $"o_orderkey".as("k")).as("ord"))

@@ -651,7 +651,12 @@ object Relational {
         lit("day"), to_date($"ts").cast("string"))
       Tables.spread(Tables.events(s, dir), "event_id")
         .select($"event_id", $"props", $"event_type", $"ts")
-        .withColumn("m3", map_concat(mv, m2))
+        // exclude m2's key names from the JSON side before concat:
+        // map_concat throws on duplicate keys (default dedup policy is
+        // EXCEPTION), and props is free-form input — never let payload
+        // content crash the query
+        .withColumn("m3", map_concat(
+          map_filter(mv, (k, _) => !k.isin("type", "day")), m2))
         .select(
           $"event_id",
           size($"m3").cast("long").as("n_keys"),

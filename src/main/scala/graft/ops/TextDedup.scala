@@ -26,26 +26,17 @@ object TextDedup {
     * invocations in one session (Verify runs every query; several share
     * the shingle/signature lineage) reuse ONE cached DataFrame handle
     * instead of re-calling persist() per invocation (which re-registers
-    * with the CacheManager and warns "already cached"). Weak session keys
-    * so stopped sessions are collectable. */
-  private val memo = new java.util.WeakHashMap[
-    SparkSession, java.util.HashMap[String, DataFrame]]()
+    * with the CacheManager and warns "already cached"). On a hit after
+    * spark.catalog.clearCache() (Bench between passes) the entry is
+    * re-persisted so the lineage is shared again. Stopped sessions are
+    * evicted by the shared [[graft.util.SessionMemo]]. */
+  private val sessionMemo = new graft.util.SessionMemo(onHit = { hit =>
+    if (hit.storageLevel == org.apache.spark.storage.StorageLevel.NONE) hit.persist()
+    hit
+  })
   private def memoized(s: SparkSession, dir: String, key: String)(
-      build: => DataFrame): DataFrame = memo.synchronized {
-    val perSession = {
-      val m = memo.get(s)
-      if (m != null) m
-      else { val m2 = new java.util.HashMap[String, DataFrame](); memo.put(s, m2); m2 }
-    }
-    val k = s"$key|$dir"
-    val hit = perSession.get(k)
-    if (hit != null) {
-      // spark.catalog.clearCache() (Bench between passes) drops the entry
-      // but not this handle — re-register so the lineage is shared again
-      if (hit.storageLevel == org.apache.spark.storage.StorageLevel.NONE) hit.persist()
-      hit
-    } else { val df = build.persist(); perSession.put(k, df); df }
-  }
+      build: => DataFrame): DataFrame =
+    sessionMemo(s, s"$key|$dir")(build.persist())
 
   /** Vocabulary is tiny (31 words at sf0.01) so unigram sets degenerate;
     * 3-word shingles give meaningful document fingerprints. */

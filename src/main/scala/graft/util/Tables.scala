@@ -16,21 +16,9 @@ object Tables {
     * and a 70-query Verify/Bench run re-plans each table many times.
     * DataFrames are immutable lineages, so handing the same plan object
     * to every caller is safe — this is the path-based analog of the
-    * catalog's table-metadata cache. Weak session keys so stopped
-    * sessions are collectable. */
-  private val memo = new java.util.WeakHashMap[
-    SparkSession, java.util.HashMap[String, DataFrame]]()
-  private def memoized(s: SparkSession, key: String)(
-      build: => DataFrame): DataFrame = memo.synchronized {
-    val perSession = {
-      val m = memo.get(s)
-      if (m != null) m
-      else { val m2 = new java.util.HashMap[String, DataFrame](); memo.put(s, m2); m2 }
-    }
-    val hit = perSession.get(key)
-    if (hit != null) hit
-    else { val df = build; perSession.put(key, df); df }
-  }
+    * catalog's table-metadata cache. Stopped sessions are evicted on
+    * access (see SessionMemo). */
+  private val memoized = new SessionMemo()
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     memoized(spark, s"$sfDir/$name") {
