@@ -2,6 +2,8 @@ package graft.ops
 
 import graft.QueryDef
 import graft.util.Tables
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -140,7 +142,12 @@ object Relational {
       // one Aggregate over raw rows would instead plan an Expand (2×
       // rows) with codegen disabled by the imperative HLL buffer —
       // measured 1.7× slower at sf0.1.
+      // isNotNull keeps COUNT(*)-over-distinct ≡ COUNT(DISTINCT custkey):
+      // countDistinct excludes NULL but a distinct (status, NULL) row
+      // would survive to the count — an off-by-one if the fixture ever
+      // gains NULL custkeys
       Tables.spread(Tables.orders(s, dir), "o_orderkey")
+        .filter($"o_custkey".isNotNull)
         .select($"o_orderstatus", $"o_custkey").distinct()
         .groupBy($"o_orderstatus")
         .agg(
@@ -184,7 +191,12 @@ object Relational {
     * which is the 100 TB point. No oracle — sketch internals are
     * engine-specific — so the driver records rows-only;
     * SourcesAggregatesSpec pins the rank-error envelope against the
-    * exact percentiles. */
+    * exact percentiles. The sketch result is unpacked into SCALAR
+    * p10/p50/p90 columns: the rows-only check sorts the frame, and an
+    * array cell is unsortable/unhashable there (r02 crash). Caveat:
+    * partial GK sketches merge in shuffle-fetch order, which is not
+    * guaranteed stable run-to-run — compare row counts, not values,
+    * in any determinism check that includes this query. */
   private val quantileApprox = QueryDef(
     (s, dir) => {
       import s.implicits._
@@ -192,13 +204,22 @@ object Relational {
         .groupBy($"l_returnflag")
         .agg(
           expr("percentile_approx(l_extendedprice, array(0.1, 0.5, 0.9), 1000)")
-            .as("approx_p10_p50_p90"),
+            .as("pcts"),
           expr("percentile(l_extendedprice, 0.5)").as("exact_p50"))
+        .select($"l_returnflag",
+          element_at($"pcts", 1).as("p10"),
+          element_at($"pcts", 2).as("p50"),
+          element_at($"pcts", 3).as("p90"),
+          $"exact_p50")
         .orderBy($"l_returnflag")
     },
     None)
 
-  /** ROLLUP + grouping_id (§2.4). gid disambiguates the NULL rollup rows. */
+  /** ROLLUP + grouping_id (§2.4). gid disambiguates the NULL rollup rows.
+    * The price total sums exact decimals, not doubles — rollup output is
+    * a multi-level re-aggregation, so a double SUM's value would depend
+    * on partial-merge order the moment orders gains more than one input
+    * partition (the Incremental.r4 discipline; oracle mirrors it). */
   private val rollup = QueryDef(
     (s, dir) => {
       import s.implicits._
@@ -207,18 +228,20 @@ object Relational {
         .agg(
           grouping_id().cast("long").as("gid"),
           count(lit(1)).as("n"),
-          round(sum($"o_totalprice"), 4).as("total"))
+          Incremental.r4(sum($"o_totalprice".cast("decimal(28,10)")).cast("double"))
+            .as("total"))
         .orderBy($"gid", $"o_orderstatus".asc_nulls_first,
           $"o_orderpriority".asc_nulls_first)
     },
     """SELECT o_orderstatus, o_orderpriority,
       |       CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
-      |       COUNT(*) AS n, ROUND(SUM(o_totalprice),4) AS total
+      |       COUNT(*) AS n,
+      |       FLOOR(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10))) AS DOUBLE) * 10000 + 0.5) / 10000.0 AS total
       |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
       |ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
 
   /** CUBE over (status, priority) — all 4 grouping-set combinations
-    * (§2.4 "Grouping sets / ROLLUP / CUBE"). */
+    * (§2.4 "Grouping sets / ROLLUP / CUBE"). Decimal total as in rollup. */
   private val cube = QueryDef(
     (s, dir) => {
       import s.implicits._
@@ -227,33 +250,69 @@ object Relational {
         .agg(
           grouping_id().cast("long").as("gid"),
           count(lit(1)).as("n"),
-          round(sum($"o_totalprice"), 4).as("total"))
+          Incremental.r4(sum($"o_totalprice".cast("decimal(28,10)")).cast("double"))
+            .as("total"))
         .orderBy($"gid", $"o_orderstatus".asc_nulls_first,
           $"o_orderpriority".asc_nulls_first)
     },
     """SELECT o_orderstatus, o_orderpriority,
       |       CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
-      |       COUNT(*) AS n, ROUND(SUM(o_totalprice),4) AS total
+      |       COUNT(*) AS n,
+      |       FLOOR(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10))) AS DOUBLE) * 10000 + 0.5) / 10000.0 AS total
       |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
       |ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
 
   /** Exact percentiles (disc + cont median) per group — the statistical
-    * aggregate family (§2.4 REF↑ of stddev/variance). percentile_disc
-    * returns an actual data value (exact on both engines); the
-    * interpolated median is identical double math on identical inputs. */
+    * aggregate family (§2.4 REF↑ of stddev/variance), computed by a
+    * distributed sort + rank-pick instead of the built-in `percentile`
+    * aggregate: that aggregate buffers EVERY group value in an in-memory
+    * map on one reducer, which at 100 TB with 3 group keys is an OOM by
+    * construction. Here each group is externally sorted (spills to
+    * disk), `row_number` streams over it (running frame, no buffering),
+    * and only the ≤2 rows straddling each target rank survive to a tiny
+    * final aggregate. Bit-equivalence with `percentile`: for percentage
+    * p over n values, position pos = p·(n−1); the sorted row at index
+    * lo=⌊pos⌋ contributes v·(hi−pos) and at hi=⌈pos⌉ contributes
+    * v·(pos−lo) (v alone when lo=hi) — IEEE · and + are commutative, so
+    * summing the two terms replays the interpolation exactly.
+    * percentile_disc(p) = smallest value with cume_dist ≥ p = the row
+    * with row_number ⌈p·n⌉. Assumes non-null measure columns (the
+    * built-in skips nulls; fixture lineitem has none). */
   private val percentile = QueryDef(
     (s, dir) => {
       import s.implicits._
-      Tables.spread(Tables.lineitem(s, dir), "l_orderkey")
+      val li = Tables.spread(Tables.lineitem(s, dir), "l_orderkey")
+        .select($"l_returnflag", $"l_quantity".cast("double").as("q"),
+          $"l_extendedprice".cast("double").as("p"))
+      val counts = li.groupBy($"l_returnflag").agg(count(lit(1)).as("n"))
+      val wq = Window.partitionBy($"l_returnflag").orderBy($"q")
+      val wp = Window.partitionBy($"l_returnflag").orderBy($"p")
+      def pos(pct: Double) = lit(pct) * ($"n" - 1).cast("double")
+      // contribution of the sorted row with (1-based) rank rn to the
+      // exact continuous percentile at pct
+      def cont(rn: Column, v: Column, pct: Double): Column =
+        sum(when(rn.cast("double") - 1 === floor(pos(pct)),
+              when(floor(pos(pct)) === ceil(pos(pct)), v)
+                .otherwise(v * (ceil(pos(pct)) - pos(pct))))
+            .when(rn.cast("double") - 1 === ceil(pos(pct)),
+              v * (pos(pct) - floor(pos(pct)))))
+      val ranked = li
+        .join(broadcast(counts), "l_returnflag")
+        .withColumn("rq", row_number().over(wq))
+        .withColumn("rp", row_number().over(wp))
+      ranked
+        // keep only the ≤5 rank-straddling rows per group before the agg
+        .filter(($"rq".cast("double") - 1 === floor(pos(0.5))) ||
+          ($"rq".cast("double") - 1 === ceil(pos(0.5))) ||
+          ($"rq".cast("double") === ceil(lit(0.5) * $"n")) ||
+          ($"rp".cast("double") - 1 === floor(pos(0.9))) ||
+          ($"rp".cast("double") - 1 === ceil(pos(0.9))))
         .groupBy($"l_returnflag")
         .agg(
-          expr("percentile(l_quantity, 0.5)").as("p50_cont"),
-          // true discrete percentile — sort-based exact aggregate, not
-          // the percentile_approx(…, MaxInt) sketch whose buffer holds
-          // every value
-          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)")
+          cont($"rq", $"q", 0.5).as("p50_cont"),
+          max(when($"rq".cast("double") === ceil(lit(0.5) * $"n"), $"q"))
             .as("p50_disc_lo"),
-          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"))
+          round(cont($"rp", $"p", 0.9), 4).as("p90_price"))
         .orderBy($"l_returnflag")
     },
     """SELECT l_returnflag,
@@ -620,10 +679,14 @@ object Relational {
   private val groupingSets = QueryDef(
     (s, dir) => {
       Tables.orders(s, dir).createOrReplaceTempView("orders_gsets")
+      // decimal SUM + the explicit FLOOR rounding (Incremental.r4
+      // formula): a double SUM here would be summation-order-dependent
+      // the moment orders is read as more than one partition
       s.sql(
         """SELECT o_orderstatus, o_orderpriority,
           |       CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
-          |       COUNT(*) AS n, ROUND(SUM(o_totalprice), 4) AS total
+          |       COUNT(*) AS n,
+          |       FLOOR(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10))) AS DOUBLE) * 10000 + 0.5) / 10000.0 AS total
           |FROM orders_gsets
           |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
           |                        (o_orderstatus), (o_orderpriority), ())
@@ -632,7 +695,8 @@ object Relational {
     },
     """SELECT o_orderstatus, o_orderpriority,
       |       CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
-      |       COUNT(*) AS n, ROUND(SUM(o_totalprice), 4) AS total
+      |       COUNT(*) AS n,
+      |       FLOOR(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10))) AS DOUBLE) * 10000 + 0.5) / 10000.0 AS total
       |FROM orders
       |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
       |                        (o_orderstatus), (o_orderpriority), ())
@@ -641,8 +705,11 @@ object Relational {
 
   /** MapType operator family: construct / merge / filter / transform /
     * introspect maps (§2.8 "Map" row beyond the single element_at in
-    * q_json_extract). The oracle recomputes each scalar from the raw
-    * columns, which is exactly what makes the map round-trip checkable. */
+    * q_json_extract). NOTE: the oracle PINS the fixture's exact props
+    * shape (every event carries exactly the numeric key "k", so
+    * n_keys=3, keys='day,k,type', has_k=1, n_numeric=1 are constants) —
+    * k2 and day_val are the recomputed scalars. If the fixture's props
+    * schema ever evolves, update these pinned constants alongside it. */
   private val mapFuncs = QueryDef(
     (s, dir) => {
       import s.implicits._

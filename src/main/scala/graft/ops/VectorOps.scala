@@ -92,27 +92,68 @@ object VectorOps {
       |SELECT qid, nid, ROUND(cos, 4) AS cos, rk FROM ranked
       |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin)
 
-  /** Embedding-cosine near-duplicate pairs (cos ≥ 0.35 on this corpus —
-    * max observed pairwise cosine is ~0.51). All-pairs at this SF; the
-    * LSH/IVF cell prefilter is the documented scale path. */
+  /** Embedding-cosine near-duplicate pairs — TWO-STAGE (the scalable
+    * contract, same shape as TextDedup's MinHash→LSH→verify): stage 1
+    * assigns every vector to its 2 nearest IVF seed cells (centroids =
+    * vec_id < 10, cos desc / cid asc tie-break — the q_sim_ivf
+    * machinery) and generates candidate pairs by a self EQUI-join on the
+    * cell id; stage 2 verifies exact cosine ≥ 0.35 on candidates only.
+    * The oracle replays both stages, so the result is the declared
+    * two-stage semantic — never a corpus-wide O(n²) pair stream (the
+    * r02 all-pairs BNLJ); PlanSpec asserts the candidate join is equi on
+    * the cell key. Measured on this corpus (isotropic noise — max
+    * pairwise cos ~0.5, so 0.35 sits in the random-similarity tail, the
+    * regime where NO sublinear candidate scheme can reach recall 1):
+    * candidates ≈ 37% of all pairs, recall ≈ 0.65-0.73 vs brute force
+    * (floor pinned in RecallSpec). On a real near-dup corpus (clusters
+    * at cos ≥ 0.9) the same pipeline approaches recall 1; ncent/nprobe
+    * are the tuning knobs. At 100 TB the cell id is the partition key
+    * and centroids come from an offline k-means refinement. */
   private val dedupEmbed = QueryDef(
     (s, dir) => {
       import s.implicits._
       val (b0, dotf) = base(s, dir)
-      val a = b0.select($"vec_id".as("ida"), $"v".as("va"), $"nm".as("na"))
-      val b = b0.select($"vec_id".as("idb"), $"v".as("vb"), $"nm".as("nb"))
-      a.join(b, $"ida" < $"idb")
+      val cents = b0.filter($"vec_id" < 10)
+        .select($"vec_id".as("cid"), $"v".as("cv"), $"nm".as("cn"))
+      // stage 1: every vector probes its 2 nearest seed cells
+      val wProbe = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cid")
+      val probes = b0.crossJoin(broadcast(cents))
+        .withColumn("ccos", dotf($"v", $"cv") / ($"nm" * $"cn"))
+        .withColumn("prk", row_number().over(wProbe))
+        .filter($"prk" <= 2)
+        .select($"vec_id", $"cid".as("cell"))
+      // candidate pairs: share ≥1 probe cell — equi-join on the cell key
+      val cand = probes.select($"cell", $"vec_id".as("ida"))
+        .join(probes.select($"cell".as("cell2"), $"vec_id".as("idb")),
+          $"cell" === $"cell2" && $"ida" < $"idb")
+        .select($"ida", $"idb").distinct()
+      // stage 2: exact cosine verify on candidates only
+      val va = b0.select($"vec_id".as("ida"), $"v".as("va"), $"nm".as("na"))
+      val vb = b0.select($"vec_id".as("idb"), $"v".as("vb"), $"nm".as("nb"))
+      cand.join(va, "ida").join(vb, "idb")
         .withColumn("cos", dotf($"va", $"vb") / ($"na" * $"nb"))
         .filter($"cos" >= 0.35)
         .select($"ida", $"idb", round($"cos", 4).as("cos"))
         .orderBy($"ida", $"idb")
     },
     oracleBase +
-    """
-      |SELECT a.vec_id AS ida, b.vec_id AS idb,
+    """,
+      |cents AS (SELECT vec_id AS cid, ve AS cv, nm AS cn FROM n WHERE vec_id < 10),
+      |probes AS (
+      |  SELECT vec_id, cid AS cell FROM (
+      |    SELECT n.vec_id, c.cid,
+      |           ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+      |             list_sum(list_transform(list_zip(n.ve, c.cv), p -> p[1]*p[2]))
+      |               / (n.nm * c.cn) DESC, c.cid) AS prk
+      |    FROM n CROSS JOIN cents c)
+      |  WHERE prk <= 2),
+      |cand AS (
+      |  SELECT DISTINCT a.vec_id AS ida, b.vec_id AS idb
+      |  FROM probes a JOIN probes b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+      |SELECT c.ida, c.idb,
       |       ROUND(list_sum(list_transform(list_zip(a.ve, b.ve), p -> p[1]*p[2]))
       |             / (a.nm * b.nm), 4) AS cos
-      |FROM n a JOIN n b ON a.vec_id < b.vec_id
+      |FROM cand c JOIN n a ON c.ida = a.vec_id JOIN n b ON c.idb = b.vec_id
       |WHERE list_sum(list_transform(list_zip(a.ve, b.ve), p -> p[1]*p[2]))
       |      / (a.nm * b.nm) >= 0.35
       |ORDER BY ida, idb""".stripMargin)

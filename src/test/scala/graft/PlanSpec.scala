@@ -61,4 +61,18 @@ class PlanSpec extends SparkSpec {
     val p = plan("q_sim_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
+
+  test("q_dedup_embed generates candidates via an equi-join on the cell key") {
+    val p = plan("q_dedup_embed")
+    // the pair-space join must be hash/merge on the IVF cell id …
+    val equiOnCell = p.linesIterator.exists(l =>
+      (l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+        l.contains("BroadcastHashJoin")) && l.contains("cell"))
+    assert(equiOnCell, p)
+    // … and the only nested-loop joins are the broadcast 10-row centroid
+    // fan-outs (one per side of the probe self-join), never the corpus
+    // pair space
+    val bnlj = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj <= 2, s"unexpected BNLJ count $bnlj\n$p")
+  }
 }

@@ -63,6 +63,34 @@ class RecallSpec extends SparkSpec {
     assert(mean >= 0.35, s"mean recall $mean")
   }
 
+  test("two-stage q_dedup_embed: precision 1 vs brute force, recall above floor") {
+    import spark.implicits._
+    // brute-force ground truth: ALL pairs with cos >= 0.35 (test-only
+    // O(n²) — exactly the plan the production query must never run)
+    val b0 = graft.util.Tables.embeddings(spark, sf)
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
+      .withColumn("nm", sqrt(aggregate($"v", lit(0.0), (acc, x) => acc + x * x)))
+    val a = b0.select($"vec_id".as("ida"), $"v".as("va"), $"nm".as("na"))
+    val b = b0.select($"vec_id".as("idb"), $"v".as("vb"), $"nm".as("nb"))
+    val brute = a.join(b, $"ida" < $"idb")
+      .withColumn("cos",
+        aggregate(zip_with($"va", $"vb", (x, y) => x * y), lit(0.0),
+          (acc, x) => acc + x) / ($"na" * $"nb"))
+      .filter($"cos" >= 0.35)
+      .select($"ida", $"idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val staged = SparkEntry.all("q_dedup_embed").fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty)
+    // every emitted pair is a true >=0.35 pair (verify stage is exact)
+    assert((staged -- brute).isEmpty, s"false positives: ${(staged -- brute).size}")
+    // recall floor: measured 0.65 at sf0.001 / 0.73 at sf0.01 — partial
+    // BY CONSTRUCTION on this isotropic-noise corpus (0.35 is in the
+    // random-similarity tail, where no sublinear candidate scheme is
+    // complete); the pin is about regressions, not completeness
+    val recall = staged.size.toDouble / brute.size
+    assert(recall >= 0.5, s"recall $recall (${staged.size}/${brute.size})")
+  }
+
   test("IVF 2-probe top-3 recall vs brute force stays above the random-data floor") {
     val bf = SparkEntry.all("q_sim_topk").fn(spark, sf)
       .filter(col("qid") >= 10 && col("qid") < 30 && col("rk") <= 3)

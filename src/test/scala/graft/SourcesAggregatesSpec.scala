@@ -75,7 +75,7 @@ class SourcesAggregatesSpec extends SparkSpec {
   test("approx quantiles: ordered, bounded by group min/max, median near exact") {
     import spark.implicits._
     val r = SparkEntry.all("q_quantile_approx").fn(spark, sf)
-      .select($"l_returnflag", $"approx_p10_p50_p90", $"exact_p50")
+      .select($"l_returnflag", array($"p10", $"p50", $"p90"), $"exact_p50")
       .as[(String, Seq[Double], Double)].collect()
     assert(r.nonEmpty)
     val bounds = spark.read.parquet(s"$sf/lineitem.parquet")
