@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.util.Tables
+
+/** Interleaved A/B micro-benchmark for plan variants (BASELINE.md
+  * protocol: the local box drifts ±20% run-to-run, so variant timings
+  * are only comparable as interleaved reps inside ONE JVM — never as
+  * bench-total deltas across runs). Used for the r3 regression triage
+  * of q_vec_centroid / q_daily_avg / q_watermark_max; kept as a tool
+  * because every perf decision in this repo needs the same protocol.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
+  *          sbt "runMain graft.ABBench [reps]"
+  * Prints per-variant sorted rep times + median.
+  */
+object ABBench {
+
+  private def variants(s: SparkSession, dir: String): Seq[(String, () => DataFrame)] = {
+    import s.implicits._
+    def centroid(src: DataFrame, decimal: Boolean): DataFrame = {
+      val sumCol =
+        if (decimal)
+          ops.Incremental.r4(sum($"col".cast("double").cast("decimal(28,10)"))
+            .cast("double") / count(lit(1)))
+        else sum($"col".cast("double")) / count(lit(1))
+      src.select($"label".cast("long").as("label"), posexplode($"embedding"))
+        .groupBy($"label", ($"pos" + 1).cast("long").as("pos"))
+        .agg(sumCol.as("centroid"), count(lit(1)).as("n"))
+        .orderBy($"label", $"pos")
+    }
+    def dailyAvg(src: DataFrame): DataFrame =
+      src.groupBy(to_date($"ts").as("date"), $"event_type")
+        .agg(
+          ops.Incremental.r4(sum($"value".cast("decimal(28,10)")).cast("double") /
+            count(lit(1))).as("avg_value"),
+          count(lit(1)).as("n"))
+        .orderBy($"date", $"event_type")
+    val handBuilt = Seq(
+      "centroid_spread_decimal" ->
+        (() => centroid(Tables.spread(Tables.embeddings(s, dir), "vec_id"), decimal = true)),
+      "centroid_nospread_decimal" ->
+        (() => centroid(Tables.embeddings(s, dir), decimal = true)),
+      "centroid_spread_double" ->
+        (() => centroid(Tables.spread(Tables.embeddings(s, dir), "vec_id"), decimal = false)),
+      "daily_spread" ->
+        (() => dailyAvg(Tables.spread(Tables.events(s, dir), "event_id"))),
+      "daily_nospread" ->
+        (() => dailyAvg(Tables.events(s, dir))),
+      "watermark_current" ->
+        (() => Tables.events(s, dir)
+          .agg(max(to_date($"ts")).as("latest_date"), count(lit(1)).as("n"))))
+    // declared queries timed with the spread fan-out on vs off (the
+    // Tables.spreadEnabled hook — builders re-plan per call)
+    val spreadAB = Seq(
+      "q_stream_tumbling", "q_stream_sliding", "q_session_window",
+      "q_gap_fill", "q_pivot", "q_json_extract", "q_map_funcs",
+      "q_text_stats", "q_agg_salted", "q_incremental_delta"
+    ).flatMap { q =>
+      val fn = SparkEntry.all(q).fn
+      Seq(
+        s"$q+spread" -> (() => { Tables.spreadEnabled = true; fn(s, dir) }),
+        s"$q-nospread" -> (() => { Tables.spreadEnabled = false; fn(s, dir) }))
+    }
+    handBuilt ++ spreadAB
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = args.headOption.map(_.toInt).getOrElse(3)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val vs = variants(spark, sfDir)
+    // warm-up: one untimed pass over every variant (JIT + codegen).
+    // spreadEnabled defaults true before each build; -nospread builders
+    // flip it inside their closure
+    vs.foreach { case (_, b) =>
+      Tables.spreadEnabled = true
+      b().write.format("noop").mode("overwrite").save()
+    }
+    val times = scala.collection.mutable.Map[String, Vector[Double]]()
+      .withDefaultValue(Vector.empty)
+    (1 to reps).foreach { _ =>
+      vs.foreach { case (name, b) =>
+        Tables.spreadEnabled = true
+        val t0 = System.nanoTime()
+        b().write.format("noop").mode("overwrite").save()
+        times(name) = times(name) :+ (System.nanoTime() - t0) / 1e9
+      }
+    }
+    Tables.spreadEnabled = true
+    vs.foreach { case (name, _) =>
+      val ts = times(name).sorted
+      val med = ts(ts.size / 2)
+      println(f"AB $name%-28s median=$med%6.3f  reps=${ts.map(t => f"$t%5.3f").mkString(",")}")
+    }
+    spark.stop()
+  }
+}

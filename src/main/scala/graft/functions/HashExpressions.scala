@@ -56,6 +56,23 @@ object HashKernels {
     acc
   }
 
+  /** |a ∩ b| for long arrays with distinct elements — the packed-gram
+    * variant of [[intersectCard]] (primitive reads, boxed set). */
+  def intersectCardLong(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    val (small, big) = if (a.numElements() <= b.numElements()) (a, b) else (b, a)
+    val set = new java.util.HashSet[java.lang.Long](small.numElements() * 2)
+    var i = 0
+    while (i < small.numElements()) { set.add(small.getLong(i)); i += 1 }
+    var n = 0L
+    var j = 0
+    while (j < big.numElements()) {
+      if (set.contains(big.getLong(j))) n += 1
+      j += 1
+    }
+    n
+  }
+
   /** |a ∩ b| for string arrays with distinct elements — shared by
     * ArrayIntersectCard eval+codegen. Equals size(array_intersect(a, b))
     * on distinct inputs without materializing the intersection array. */
@@ -146,22 +163,33 @@ case class ArrayIntersectCard(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = LongType
 
+  private def isLong: Boolean = left.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
         TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
       case (l, r) => TypeCheckResult.TypeCheckFailure(
-        s"graft_intersect_card expects (array<string>, array<string>), got ${l.sql}, ${r.sql}")
+        s"graft_intersect_card expects two array<string> or two array<bigint>, got ${l.sql}, ${r.sql}")
     }
 
-  override def nullSafeEval(a: Any, b: Any): Any =
-    HashKernels.intersectCard(
-      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
-      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val ad = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val bd = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    if (isLong) HashKernels.intersectCardLong(ad, bd)
+    else HashKernels.intersectCard(ad, bd)
+  }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val method = if (isLong) "intersectCardLong" else "intersectCard"
     defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.functions.HashKernels.intersectCard($a, $b)")
+      s"graft.functions.HashKernels.$method($a, $b)")
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =

@@ -23,7 +23,7 @@ object Incremental {
     * the shortest decimal repr HALF_UP; DuckDB rounds the binary value) —
     * observed on sf0.001. Identical double ops on identical inputs are
     * bit-identical on both engines; the oracle mirrors this formula. */
-  private[ops] def r4(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  private[graft] def r4(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     floor(c * lit(1e4) + lit(0.5)).cast("double") / lit(1e4)
 
   /** FLAGSHIP — the reference's core computation (energy_etl.py:69-70):
@@ -39,7 +39,7 @@ object Incremental {
   private val dailyAvg = QueryDef(
     (s, dir) => {
       import s.implicits._
-      Tables.spread(Tables.events(s, dir), "event_id")
+      Tables.events(s, dir)
         .groupBy(to_date($"ts").as("date"), $"event_type")
         .agg(
           r4(sum($"value".cast("decimal(28,10)")).cast("double") /
@@ -107,7 +107,7 @@ object Incremental {
         r4(sum($"s").cast("double") / sum($"c")).as("avg_value"),
         sum($"c").as("n"))
       Scale.saltedAgg(
-          Tables.spread(Tables.events(s, dir), "event_id"),
+          Tables.events(s, dir),
           $"event_type", 16, partial, merge)
         .select($"_k".as("event_type"), $"avg_value", $"n")
         .orderBy($"event_type")
@@ -122,7 +122,7 @@ object Incremental {
   private val streamTumbling = QueryDef(
     (s, dir) => {
       import s.implicits._
-      Tables.spread(Tables.events(s, dir), "event_id")
+      Tables.events(s, dir)
         .groupBy(window($"ts", "1 day"), $"event_type")
         .agg(count(lit(1)).as("n"),
           r4(sum($"value".cast("decimal(28,10)")).cast("double")).as("sval"))
@@ -140,7 +140,7 @@ object Incremental {
   private val streamSliding = QueryDef(
     (s, dir) => {
       import s.implicits._
-      Tables.spread(Tables.events(s, dir), "event_id")
+      Tables.events(s, dir)
         .groupBy(window($"ts", "6 hours", "3 hours"), $"event_type")
         .agg(count(lit(1)).as("n"),
           r4(sum($"value".cast("decimal(28,10)")).cast("double")).as("sval"))
@@ -162,7 +162,7 @@ object Incremental {
   private val sessionWindow = QueryDef(
     (s, dir) => {
       import s.implicits._
-      Tables.spread(Tables.events(s, dir), "event_id")
+      Tables.events(s, dir)
         .groupBy(session_window($"ts", "6 hours"), $"user_id")
         .agg(count(lit(1)).as("n"),
           r4(sum($"value".cast("decimal(28,10)")).cast("double")).as("sval"))
@@ -199,7 +199,7 @@ object Incremental {
   private val gapFill = QueryDef(
     (s, dir) => {
       import s.implicits._
-      val ev = Tables.spread(Tables.events(s, dir), "event_id")
+      val ev = Tables.events(s, dir)
       val sparse = ev.filter($"value" > 250)
         .groupBy(to_date($"ts").as("d"), $"event_type")
         .agg(r4(sum($"value".cast("decimal(28,10)")).cast("double") /

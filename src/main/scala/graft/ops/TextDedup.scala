@@ -179,11 +179,11 @@ object TextDedup {
     },
     oracleLshCandidates + "\nSELECT da, db FROM cand ORDER BY da, db")
 
-  /** Near-dup verify: exact shingle-set Jaccard computed ONLY on LSH
-    * candidate pairs (the scalable two-stage pipeline); emits pairs with
-    * J ≥ 0.2 — the exact verify join is what the oracle checks. */
-  private val dedupNear = QueryDef(
-    (s, dir) => {
+  /** Verified near-dup pairs: exact shingle-set Jaccard computed ONLY on
+    * LSH candidate pairs, J ≥ 0.2. Shared by q_dedup_near (which emits
+    * the pairs) and q_dedup_canonical (which clusters them). */
+  private def verifiedPairs(s: SparkSession, dir: String): DataFrame =
+    memoized(s, dir, "verifiedPairs") {
       import s.implicits._
       val sets = memoized(s, dir, "sets") { // joined twice (da + db side)
         shingled(s, dir)
@@ -206,8 +206,23 @@ object TextDedup {
         .withColumn("jac", round($"inter" / $"uni", 4))
         .filter($"jac" >= 0.2)
         .select($"da", $"db", $"jac")
-        .orderBy($"da", $"db")
+    }
+
+  /** Near-dup verify: the two-stage MinHash→LSH→exact-Jaccard pipeline;
+    * emits pairs with J ≥ 0.2 — the exact verify join is what the
+    * oracle checks. */
+  private val dedupNear = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      verifiedPairs(s, dir).orderBy($"da", $"db")
     },
+    oracleScored +
+      "\nSELECT da, db, ROUND(inter / uni, 4) AS jac FROM scored" +
+      "\nWHERE ROUND(inter / uni, 4) >= 0.2 ORDER BY da, db")
+
+  /** CTE chain ending in `scored` (candidate pairs with inter/uni) —
+    * shared by the q_dedup_near and q_dedup_canonical oracles. */
+  private def oracleScored: String =
     oracleLshCandidates + """,
       |sets AS (
       |  SELECT doc_id, list_distinct(list(shingle)) AS ss
@@ -218,9 +233,93 @@ object TextDedup {
       |         CAST(len(a.ss) + len(b.ss) AS DOUBLE)
       |           - CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE) AS uni
       |  FROM cand c JOIN sets a ON c.da = a.doc_id
-      |              JOIN sets b ON c.db = b.doc_id)
-      |SELECT da, db, ROUND(inter / uni, 4) AS jac FROM scored
-      |WHERE ROUND(inter / uni, 4) >= 0.2 ORDER BY da, db""".stripMargin)
+      |              JOIN sets b ON c.db = b.doc_id)""".stripMargin
+
+  /** End-to-end corpus dedup — the thing a training pipeline actually
+    * runs: connected components over the verified near-dup pairs
+    * (q_dedup_near's output), canonical doc = lowest doc_id per
+    * component, kept = 1 iff the doc IS its component's canonical.
+    * Docs in no pair are their own (kept) canonical, so the result is a
+    * full-corpus keep/drop decision.
+    *
+    * Components are found by min-label propagation to a fixpoint: each
+    * iteration every doc takes the min of its own label and its
+    * neighbors' labels — the standard distributed CC loop (GraphX
+    * Pregel shape). Near-dup clusters are tiny dense cliques, so the
+    * loop converges in ~2-3 iterations (diameter-bounded); the per-
+    * iteration scalar convergence count is the permitted driver-side
+    * read (SURVEY.md §7.5), exactly like GraphX's own vote-to-halt. At
+    * 100 TB the skew-resistant variant is alternating large-star/
+    * small-star (Kiveris et al., "Connected Components in MapReduce"),
+    * same shuffle-join primitive; an iteration cap guards runaway
+    * chains either way. The oracle replays CC as a recursive
+    * transitive-closure CTE — exact same fixpoint, different engine
+    * idiom. */
+  private val dedupCanonical = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val pairs = verifiedPairs(s, dir).select($"da", $"db")
+      // undirected: propagate min in both directions
+      val edges = pairs
+        .unionByName(pairs.select($"db".as("da"), $"da".as("db")))
+        .select($"da".as("src"), $"db".as("dst"))
+        .persist()
+      // iterate ONLY over docs that appear in some pair — isolated docs
+      // (the overwhelming majority of a deduped corpus) are their own
+      // canonical by definition and join back in at the end, so CC runs
+      // on the pair-graph nodes, not the whole corpus.
+      // with SELF-LOOPS added, one propagation round is a single
+      // join+groupBy that reads the label state exactly ONCE:
+      // lbl'(v) = min over {v} ∪ N(v) of lbl — so R unrolled rounds are
+      // a LINEAR lineage chain (no self-joins, no subtree blowup) and
+      // one Spark action materializes all of them. Locally this matters
+      // because tiny-graph CC cost is driver job-launch overhead ×
+      // action count, not data volume.
+      val nodes = edges.select($"src".as("doc_id")).distinct()
+      val loops = edges
+        .unionByName(nodes.select($"doc_id".as("src"), $"doc_id".as("dst")))
+        .persist()
+      def round(lbls: DataFrame): DataFrame = loops
+        .join(lbls.select($"doc_id".as("dst"), $"lbl".as("nlbl")), "dst")
+        .groupBy($"src").agg(min($"nlbl").as("lbl"))
+        .select($"src".as("doc_id"), $"lbl")
+      // converged ⟺ every edge's endpoints share a label
+      def unconverged(lbls: DataFrame): Long = edges
+        .join(lbls.select($"doc_id".as("src"), $"lbl".as("la")), "src")
+        .join(lbls.select($"doc_id".as("dst"), $"lbl".as("lb")), "dst")
+        .filter($"la" =!= $"lb").count()
+      // 3 rounds cover diameter ≤ 3 — every near-dup cluster in
+      // practice; the driver loop below is the deep-chain fallback and
+      // almost never runs
+      var labels = (1 to 3).foldLeft(
+        nodes.select($"doc_id", $"doc_id".as("lbl")))((l, _) => round(l))
+        .persist()
+      var iter = 3
+      while (unconverged(labels) > 0 && iter < 50) {
+        labels = round(labels).persist()
+        iter += 1
+      }
+      require(iter < 50, s"CC did not converge in $iter rounds")
+      Tables.documents(s, dir).select($"doc_id")
+        .join(labels, Seq("doc_id"), "left")
+        .select($"doc_id",
+          coalesce($"lbl", $"doc_id").as("canonical"),
+          ($"doc_id" === coalesce($"lbl", $"doc_id")).cast("long").as("kept"))
+        .orderBy($"doc_id")
+    },
+    oracleScored.replaceFirst("WITH ", "WITH RECURSIVE ") + """,
+      |ver AS (
+      |  SELECT da, db FROM scored WHERE ROUND(inter / uni, 4) >= 0.2),
+      |edges AS (
+      |  SELECT da AS src, db AS dst FROM ver
+      |  UNION ALL SELECT db, da FROM ver),
+      |reach(a, b) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
+      |SELECT a AS doc_id, MIN(b) AS canonical,
+      |       CAST(a = MIN(b) AS BIGINT) AS kept
+      |FROM reach GROUP BY a ORDER BY a""".stripMargin)
 
   /** SimHash (32-bit) per document from shingle hashes: bit j of the
     * fingerprint is the sign of Σ ±1 over shingles (weighted by whether
@@ -288,32 +387,48 @@ object TextDedup {
        |FROM documents ORDER BY doc_id""".stripMargin)
 
   /** Character-n-gram Jaccard near-dup (the remaining dedup family next
-    * to word-shingle MinHash/LSH, SimHash and embedding-cosine):
-    * distinct char-4-grams per document, exact Jaccard over a bounded
-    * candidate id range (stand-in for an LSH candidate set — same
-    * verify-stage contract as q_dedup_near, which prunes candidates
-    * properly; this one pins the char-level gram family). */
+    * to word-shingle MinHash/LSH, SimHash and embedding-cosine) — the
+    * two-stage contract: candidates come from the word-shingle
+    * MinHash/LSH band join ([[lshCandidates]] — equi on (band, bucket),
+    * PlanSpec-pinned), and the char-4-gram Jaccard ≥ 0.4 verify runs on
+    * candidates only. This replaces the r02 all-pairs verify over a
+    * `doc_id < 200` stand-in bound: the bound was data, not a plan
+    * property — at 100 TB only a bucketed candidate join survives.
+    *
+    * Why word-shingle candidates rather than a second MinHash over the
+    * char-grams: measured on this corpus, random-pair char-4-gram
+    * Jaccard has median 0.28 / p99 0.39 (the 31-word vocabulary makes
+    * unrelated texts share most grams), so char-level MinHash bands
+    * barely prune (5.7M of 12.5M pairs at sf0.1); word-3-shingle
+    * buckets separate cleanly (91k pairs, a 137× prune) and every
+    * char-J ≥ 0.4 pair of interest is a near-clone that word shingles
+    * also catch. The oracle replays both stages.
+    *
+    * Each 4-gram packs into ONE int64 by base-1021 positional codepoint
+    * arithmetic — injective below codepoint 1021 (the corpus is ASCII;
+    * max observed codepoint 121), so the packed-gram Jaccard EQUALS the
+    * string-gram Jaccard while the pair intersection runs on primitive
+    * longs (native count-only kernel when registered). */
   private val dedupNgram = QueryDef(
     (s, dir) => {
       import s.implicits._
-      // Each 4-gram packs into ONE int64 by base-1021 positional
-      // codepoint arithmetic — injective below codepoint 1021 (the
-      // corpus is ASCII; max observed codepoint 121), so the packed-gram
-      // Jaccard EQUALS the string-gram Jaccard while the pair
-      // intersection runs on primitive longs instead of a string hash
-      // set (the verify stage dominates this query). Both engines
-      // replay identical integer arithmetic.
       def cp(i: Column): Column = ascii($"text".substr(i, lit(1))).cast("long")
       val packed = transform(
         sequence(lit(1), greatest(length($"text") - 3, lit(1))),
         i => ((cp(i) * 1021L + cp(i + 1)) * 1021L + cp(i + 2)) * 1021L + cp(i + 3))
-      val d = Tables.spread(Tables.documents(s, dir), "doc_id")
-        .filter($"doc_id" < 200)
-        .select($"doc_id", array_distinct(packed).as("gs"))
-      val a = d.select($"doc_id".as("da"), $"gs".as("ga"))
-      val b = d.select($"doc_id".as("db"), $"gs".as("gb"))
-      a.join(b, $"da" < $"db")
-        .withColumn("inter", size(array_intersect($"ga", $"gb")).cast("double"))
+      val grams = memoized(s, dir, "ngramGrams") {
+        Tables.spread(Tables.documents(s, dir), "doc_id")
+          .select($"doc_id", array_distinct(packed).as("gs"))
+      }
+      val cand = lshCandidates(s, dir)
+      val interCol =
+        if (s.catalog.functionExists("graft_intersect_card"))
+          call_function("graft_intersect_card", $"ga", $"gb")
+        else size(array_intersect($"ga", $"gb"))
+      cand
+        .join(grams.select($"doc_id".as("da"), $"gs".as("ga")), "da")
+        .join(grams.select($"doc_id".as("db"), $"gs".as("gb")), "db")
+        .withColumn("inter", interCol.cast("double"))
         .withColumn("uni",
           (size($"ga") + size($"gb")).cast("double") - $"inter")
         .withColumn("jac", round($"inter" / $"uni", 4))
@@ -321,20 +436,20 @@ object TextDedup {
         .select($"da", $"db", $"jac")
         .orderBy($"da", $"db")
     },
-    """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+    oracleLshCandidates + """,
       |g AS (SELECT doc_id,
       |        list_distinct(list_transform(range(1, greatest(length(text)-3,1)+1),
       |          i -> ((CAST(ascii(substring(text,i,1)) AS BIGINT) * 1021
       |                 + ascii(substring(text,i+1,1))) * 1021
       |                 + ascii(substring(text,i+2,1))) * 1021
       |                 + ascii(substring(text,i+3,1)))) AS gs
-      |      FROM d),
+      |      FROM documents),
       |scored AS (
-      |  SELECT a.doc_id AS da, b.doc_id AS db,
+      |  SELECT c.da, c.db,
       |         CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE) AS inter,
       |         CAST(len(a.gs) + len(b.gs) AS DOUBLE)
       |           - CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE) AS uni
-      |  FROM g a JOIN g b ON a.doc_id < b.doc_id)
+      |  FROM cand c JOIN g a ON c.da = a.doc_id JOIN g b ON c.db = b.doc_id)
       |SELECT da, db, ROUND(inter / uni, 4) AS jac FROM scored
       |WHERE ROUND(inter / uni, 4) >= 0.4 ORDER BY da, db""".stripMargin)
 
@@ -342,6 +457,7 @@ object TextDedup {
     "q_dedup_minhash" -> dedupMinhash,
     "q_dedup_lsh" -> dedupLsh,
     "q_dedup_near" -> dedupNear,
+    "q_dedup_canonical" -> dedupCanonical,
     "q_dedup_ngram" -> dedupNgram,
     "q_dedup_simhash" -> simhash,
     "q_text_fingerprint" -> fingerprint)

@@ -25,7 +25,7 @@ object TextOps {
   private val textStats = QueryDef(
     (s, dir) => {
       import s.implicits._
-      Tables.spread(Tables.documents(s, dir), "doc_id")
+      Tables.documents(s, dir)
         .select($"lang", explode(split($"text", " ")).as("word"))
         .groupBy($"lang", $"word")
         .agg(count(lit(1)).as("n"))

@@ -238,7 +238,7 @@ object VectorOps {
   private val vecCentroid = QueryDef(
     (s, dir) => {
       import s.implicits._
-      Tables.spread(Tables.embeddings(s, dir), "vec_id")
+      Tables.embeddings(s, dir)
         .select($"label".cast("long").as("label"),
           posexplode($"embedding"))
         .groupBy($"label", ($"pos" + 1).cast("long").as("pos"))

@@ -48,4 +48,62 @@ object Sources {
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt")
       .json(path)
+
+  /** A source partition (e.g. a (zone, day) fetch) that exhausted its
+    * retries and was skipped. */
+  final case class FailedPartition(key: String, attempts: Int, lastError: String)
+
+  /** Result of a retried multi-partition read: the union of successful
+    * fetches (None when every key exhausted), plus the quarantine list
+    * and per-key attempt counts — the observability the reference's
+    * print-and-skip loop only logs. */
+  final case class RetryRead(
+      data: Option[DataFrame],
+      quarantined: Seq[FailedPartition],
+      attempts: Map[String, Int])
+
+  /** Bounded-retry read over a keyed partition list — the explicit
+    * engine analog of the reference's fetch loop (energy_etl.py:61-78:
+    * 3 attempts per (zone, day), fixed sleep between attempts, skip the
+    * partition on exhaustion and keep going). Each `fetch(key)` builds
+    * one partition's DataFrame (REST page, JDBC slice, file batch…); a
+    * throw triggers a retry after `delayMs`, and a key that exhausts
+    * `maxAttempts` is quarantined instead of failing the run — partial
+    * data plus a quarantine manifest beats an all-or-nothing job at
+    * 100 TB. `sleep` is injectable so tests assert the backoff without
+    * waiting it out. Distinct from `spark.task.maxFailures` (which
+    * retries tasks INSIDE an already-built scan): this loop governs
+    * source construction itself, where the reference's failures live. */
+  def readWithRetry(
+      keys: Seq[String],
+      maxAttempts: Int = 3,
+      delayMs: Long = 5000L,
+      sleep: Long => Unit = Thread.sleep)(
+      fetch: String => DataFrame): RetryRead = {
+    require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
+    val results = Seq.newBuilder[DataFrame]
+    val failed = Seq.newBuilder[FailedPartition]
+    val attempts = Map.newBuilder[String, Int]
+    keys.foreach { key =>
+      var attempt = 0
+      var done = false
+      var lastErr = ""
+      while (!done && attempt < maxAttempts) {
+        attempt += 1
+        try {
+          results += fetch(key)
+          done = true
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            lastErr = String.valueOf(e.getMessage)
+            if (attempt < maxAttempts) sleep(delayMs)
+        }
+      }
+      attempts += key -> attempt
+      if (!done) failed += FailedPartition(key, attempt, lastErr)
+    }
+    val good = results.result()
+    RetryRead(good.reduceOption(_ unionByName _), failed.result(),
+      attempts.result())
+  }
 }

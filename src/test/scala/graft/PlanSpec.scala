@@ -75,4 +75,15 @@ class PlanSpec extends SparkSpec {
     val bnlj = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
     assert(bnlj <= 2, s"unexpected BNLJ count $bnlj\n$p")
   }
+
+  test("q_dedup_ngram pair join is equi on the LSH (band, bucket) key") {
+    val p = plan("q_dedup_ngram")
+    val equiOnBand = p.linesIterator.exists(l =>
+      (l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+        l.contains("BroadcastHashJoin")) &&
+        l.contains("band") && l.contains("bucket"))
+    assert(equiOnBand, p)
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p)
+  }
 }

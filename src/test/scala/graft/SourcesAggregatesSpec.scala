@@ -35,6 +35,39 @@ class SourcesAggregatesSpec extends SparkSpec {
     }
   }
 
+  test("readWithRetry: retries transient failures, quarantines exhausted keys") {
+    import spark.implicits._
+    val calls = scala.collection.mutable.Map[String, Int]().withDefaultValue(0)
+    val slept = scala.collection.mutable.ArrayBuffer[Long]()
+    val r = Sources.readWithRetry(
+      keys = Seq("ok", "flaky", "dead"),
+      maxAttempts = 3, delayMs = 5000L, sleep = slept += _) { key =>
+      calls(key) += 1
+      key match {
+        case "flaky" if calls(key) < 3 => sys.error(s"transient #${calls(key)}")
+        case "dead" => sys.error("permanent")
+        case _ => Seq((key, 1L)).toDF("src", "v")
+      }
+    }
+    // "ok" first try; "flaky" succeeds on its 3rd; "dead" exhausts 3
+    assert(r.attempts === Map("ok" -> 1, "flaky" -> 3, "dead" -> 3))
+    assert(r.quarantined.map(f => (f.key, f.attempts)) === Seq(("dead", 3)))
+    assert(r.quarantined.head.lastError.contains("permanent"))
+    // union carries both successful partitions
+    val rows = r.data.get.orderBy("src").as[(String, Long)].collect()
+    assert(rows === Seq(("flaky", 1L), ("ok", 1L)))
+    // backoff: one sleep per failed non-final attempt (2 flaky + 2 dead)
+    assert(slept.toSeq === Seq(5000L, 5000L, 5000L, 5000L))
+  }
+
+  test("readWithRetry: all keys exhausted -> no data, full quarantine") {
+    val r = Sources.readWithRetry(Seq("a", "b"), maxAttempts = 2,
+      delayMs = 1L, sleep = _ => ()) { _ => sys.error("down") }
+    assert(r.data.isEmpty)
+    assert(r.quarantined.map(_.key) === Seq("a", "b"))
+    assert(r.attempts.values.toSeq === Seq(2, 2))
+  }
+
   test("vectorMean Aggregator matches the posexplode centroid") {
     import spark.implicits._
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
