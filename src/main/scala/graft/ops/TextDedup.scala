@@ -453,11 +453,50 @@ object TextDedup {
       |SELECT da, db, ROUND(inter / uni, 4) AS jac FROM scored
       |WHERE ROUND(inter / uni, 4) >= 0.4 ORDER BY da, db""".stripMargin)
 
+  /** Train/eval contamination check — the benchmark-decontamination
+    * step of a training pipeline: the held-out set is every 50th doc
+    * (doc_id % 50 = 0, a deterministic stand-in for a benchmark
+    * registry), and a training doc is flagged when it shares ≥ 3
+    * distinct word-3-gram shingle hashes with ANY eval doc. Shingle
+    * overlap (not exact text match) is the standard contamination
+    * signal — it survives light paraphrase. Scale: eval-set shingles
+    * are a tiny distinct set (broadcast side of the hash-equi join);
+    * training shingles stream through map-side, grouped counts
+    * aggregate partially. Reuses the memoized [[hashedShingles]]
+    * pipeline. */
+  private val contamination = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val exploded = hashedShingles(s, dir)
+        .select($"doc_id", explode($"hs").as("h"))
+      val evalSh = exploded.filter($"doc_id" % 50 === 0)
+        .select($"h").distinct()
+      // per-doc arrays are distinct and evalSh is distinct, so the join
+      // preserves multiplicity 1 and a plain count IS the shared-shingle
+      // count
+      exploded.filter($"doc_id" % 50 =!= 0)
+        .join(broadcast(evalSh), "h")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_shared"))
+        .filter($"n_shared" >= 3)
+        .select($"doc_id", $"n_shared")
+        .orderBy($"doc_id")
+    },
+    oracleShingleBase + """,
+      |ev AS (SELECT DISTINCT h FROM hashed WHERE doc_id % 50 = 0),
+      |hits AS (
+      |  SELECT t.doc_id, COUNT(*) AS n_shared
+      |  FROM hashed t JOIN ev ON t.h = ev.h
+      |  WHERE t.doc_id % 50 <> 0
+      |  GROUP BY t.doc_id)
+      |SELECT doc_id, n_shared FROM hits WHERE n_shared >= 3 ORDER BY doc_id""".stripMargin)
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q_dedup_minhash" -> dedupMinhash,
     "q_dedup_lsh" -> dedupLsh,
     "q_dedup_near" -> dedupNear,
     "q_dedup_canonical" -> dedupCanonical,
+    "q_contamination" -> contamination,
     "q_dedup_ngram" -> dedupNgram,
     "q_dedup_simhash" -> simhash,
     "q_text_fingerprint" -> fingerprint)

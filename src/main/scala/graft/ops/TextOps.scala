@@ -265,6 +265,87 @@ object TextOps {
       |  FROM documents)
       |WHERE rn <= 20 ORDER BY lang, rn""".stripMargin)
 
+  /** Sequence packing — the training-batch construction step: greedy
+    * in-order packing of each language's documents into fixed
+    * token-budget bins (budget 512). A doc starts a new bin when the
+    * RUNNING token total crosses a budget boundary, i.e. bin =
+    * ⌊tokens-before-this-doc / budget⌋ — the offset-based packing rule,
+    * one window cumsum + one grouped agg, all exact integer arithmetic.
+    * Scale: one window per language partition (the pack order must be a
+    * total order per stream anyway); bins then aggregate map-side. At
+    * 100 TB the per-lang stream comes pre-sorted from the corpus
+    * partitioning, so the window is a streaming running frame. */
+  private val seqPack = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val Budget = 512L
+      val w = Window.partitionBy($"lang").orderBy($"doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, dir)
+        .select($"doc_id", $"lang", size(split($"text", " ")).cast("long").as("tok"))
+        .withColumn("cum", sum($"tok").over(w))
+        .withColumn("bin", floor(($"cum" - $"tok") / Budget).cast("long"))
+        .groupBy($"lang", $"bin")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum($"tok").as("tokens"),
+          min($"doc_id").as("first_doc"),
+          max($"doc_id").as("last_doc"))
+        .orderBy($"lang", $"bin")
+    },
+    """WITH toks AS (
+      |  SELECT doc_id, lang,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+      |  FROM documents),
+      |packed AS (
+      |  SELECT doc_id, lang, tok,
+      |         SUM(tok) OVER (PARTITION BY lang ORDER BY doc_id
+      |                        ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM toks)
+      |SELECT lang, CAST(FLOOR((cum - tok) / 512) AS BIGINT) AS bin,
+      |       COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS tokens,
+      |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      |FROM packed GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+
+  /** Weighted corpus mixing — the multi-source training-mix step: each
+    * source gets a sampling rate (even sources 80%, odd 30% — stand-ins
+    * for quality-tiered mixture weights) and docs are kept by a
+    * replayable integer hash draw (Knuth multiplicative on doc_id, mod
+    * 1000 against the per-mille rate — same determinism discipline as
+    * q_sample_stratified; engine-native `sample()` is seed-dependent and
+    * not oracle-replayable). Emits the realized mix: kept docs + tokens
+    * per source. Scale: a narrow filter + one grouped agg — no shuffle
+    * of raw docs, the draw needs no global state. */
+  private val corpusMix = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val srcNum = regexp_replace($"source", "[^0-9]", "").cast("long")
+      val rate = when(srcNum % 2 === 0, 800L).otherwise(300L)
+      val draw = ($"doc_id" * 2654435761L) % 1000L
+      Tables.documents(s, dir)
+        .select($"doc_id", $"source",
+          size(split($"text", " ")).cast("long").as("tok"),
+          srcNum.as("srcnum"), rate.as("rate"), draw.as("draw"))
+        .filter($"draw" < $"rate")
+        .groupBy($"source")
+        .agg(
+          count(lit(1)).as("n_kept"),
+          sum($"tok").as("tokens"),
+          max($"rate").as("rate_permille"))
+        .orderBy($"source")
+    },
+    """WITH drawn AS (
+      |  SELECT doc_id, source,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
+      |         CASE WHEN CAST(regexp_replace(source, '[^0-9]', '', 'g') AS BIGINT) % 2 = 0
+      |              THEN 800 ELSE 300 END AS rate,
+      |         (doc_id * 2654435761) % 1000 AS draw
+      |  FROM documents)
+      |SELECT source, COUNT(*) AS n_kept, CAST(SUM(tok) AS BIGINT) AS tokens,
+      |       CAST(MAX(rate) AS BIGINT) AS rate_permille
+      |FROM drawn WHERE draw < rate
+      |GROUP BY source ORDER BY source""".stripMargin)
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q_text_stats" -> textStats,
     "q_dedup_exact" -> dedupExact,
@@ -273,5 +354,7 @@ object TextOps {
     "q_lang_id" -> langId,
     "q_edit_distance" -> editDistance,
     "q_tfidf" -> tfidf,
-    "q_sample_stratified" -> sampleStratified)
+    "q_sample_stratified" -> sampleStratified,
+    "q_seq_pack" -> seqPack,
+    "q_corpus_mix" -> corpusMix)
 }

@@ -11,7 +11,8 @@ class FallbackSpec extends SparkSpec {
   private val kernels = Seq("graft_dot", "graft_l2norm", "graft_fp",
     "graft_shingle_hash", "graft_ngrams", "graft_intersect_card")
   private val affected = Seq("q_sim_topk", "q_dedup_embed", "q_vec_centroid",
-    "q_lang_id", "q_text_fingerprint", "q_dedup_near", "q_dedup_minhash")
+    "q_lang_id", "q_text_fingerprint", "q_dedup_near", "q_dedup_minhash",
+    "q_dedup_ngram", "q_dedup_canonical", "q_contamination")
 
   test("fallback builders == kernel builders for every kernel-aware query") {
     val withKernels = affected.map(n =>
