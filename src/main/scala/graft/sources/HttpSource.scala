@@ -1,0 +1,80 @@
+package graft.sources
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** One fetched page: the URL, final HTTP status (−1 = transport error),
+  * response body (null when failed), attempts used, and the last error
+  * message (null when succeeded). */
+final case class HttpFetch(
+    url: String, status: Int, body: String, attempts: Int, error: String)
+
+/** Live HTTP JSON ingestion — the runnable analog of the reference's
+  * REST fetch loop (`/root/reference/scripts/energy_etl.py:56-78`: GET
+  * per (zone, day), 3 attempts, sleep between attempts, skip on
+  * exhaustion). The reference fetches serially on one machine; here the
+  * URL list is a Dataset and the fetch runs in `mapPartitions` ON THE
+  * EXECUTORS — at 100 TB the page list is millions of (entity, day)
+  * URLs and fetch bandwidth scales with the cluster, while per-URL
+  * bounded retry + skip-on-exhaustion keeps one dead endpoint from
+  * failing the job (the quarantine rows carry status + error for the
+  * dead-letter audit, which the reference only prints).
+  *
+  * JDK-only transport (`java.net.HttpURLConnection`) — no added
+  * dependencies. Pair with [[Sources.jsonWithQuarantine]] to parse the
+  * fetched bodies with malformed-payload quarantine, completing the
+  * fetch → parse → quarantine pipeline.
+  */
+object HttpSource {
+
+  /** GET one URL with bounded retries; never throws. */
+  private[sources] def fetchOne(
+      url: String, maxAttempts: Int, delayMs: Long,
+      sleep: Long => Unit): HttpFetch = {
+    var attempt = 0
+    var lastErr: String = null
+    var lastStatus = -1
+    while (attempt < maxAttempts) {
+      attempt += 1
+      try {
+        val conn = new java.net.URL(url).openConnection()
+          .asInstanceOf[java.net.HttpURLConnection]
+        conn.setConnectTimeout(10000)
+        conn.setReadTimeout(30000)
+        conn.setRequestProperty("Accept", "application/json")
+        try {
+          val status = conn.getResponseCode
+          lastStatus = status
+          if (status >= 200 && status < 300) {
+            val body = new String(conn.getInputStream.readAllBytes(),
+              java.nio.charset.StandardCharsets.UTF_8)
+            return HttpFetch(url, status, body, attempt, null)
+          }
+          lastErr = s"HTTP $status"
+        } finally conn.disconnect()
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          lastErr = String.valueOf(e.getMessage)
+      }
+      if (attempt < maxAttempts) sleep(delayMs)
+    }
+    HttpFetch(url, lastStatus, null, attempt, lastErr)
+  }
+
+  /** Fetch every URL as a distributed Dataset[HttpFetch]. `parallelism`
+    * bounds concurrent connections cluster-wide (one in-flight request
+    * per partition — the polite-crawler knob; the reference's 5 s sleep
+    * is the serial version of the same restraint). */
+  def fetch(
+      spark: SparkSession,
+      urls: Seq[String],
+      maxAttempts: Int = 3,
+      delayMs: Long = 5000L,
+      parallelism: Int = 8): Dataset[HttpFetch] = {
+    import spark.implicits._
+    val n = math.max(1, math.min(parallelism, urls.size))
+    spark.createDataset(urls).repartition(n)
+      .mapPartitions { it =>
+        it.map(u => fetchOne(u, maxAttempts, delayMs, Thread.sleep))
+      }
+  }
+}

@@ -10,6 +10,75 @@ import org.apache.spark.sql.functions._
   */
 class SurfaceInvariantsSpec extends SparkSpec {
 
+  test("q_dedup_canonical is a valid corpus filter: clusters agree, kept = canonical") {
+    import spark.implicits._
+    val rows = SparkEntry.all("q_dedup_canonical").fn(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    val canon = rows.map(r => r._1 -> r._2).toMap
+    // total: one row per corpus doc
+    val nDocs = graft.util.Tables.documents(spark, sf).count()
+    assert(rows.length.toLong === nDocs)
+    rows.foreach { case (doc, c, kept) =>
+      assert(c <= doc, s"canonical $c > doc $doc")           // min-id rule
+      assert(canon(c) === c, s"canonical $c not its own root") // root closed
+      assert((kept == 1L) === (doc == c))
+    }
+    // every verified near-dup pair is collapsed into one cluster
+    SparkEntry.all("q_dedup_near").fn(spark, sf)
+      .select("da", "db").as[(Long, Long)].collect()
+      .foreach { case (a, b) =>
+        assert(canon(a) === canon(b), s"pair ($a,$b) split across clusters")
+      }
+  }
+
+  test("q_seq_pack bins respect the token budget at bin starts") {
+    import spark.implicits._
+    // (lang, bin, n_docs, tokens, first_doc, last_doc): bins are
+    // contiguous from 0 and a bin's cumulative start is below
+    // budget*(bin+1) — the offset packing rule
+    val r = SparkEntry.all("q_seq_pack").fn(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(r.nonEmpty)
+    r.groupBy(_._1).foreach { case (lang, bins) =>
+      val ids = bins.map(_._2).sorted
+      assert(ids.head === 0L, s"$lang bins start at ${ids.head}")
+      assert(ids === (0L until ids.length).toArray.toSeq.map(identity), s"$lang bins not contiguous")
+      // cumulative tokens of bins 0..k-1 lie in [512*k - maxdoc, 512*(k+1))
+      var cum = 0L
+      bins.sortBy(_._2).foreach { case (_, bin, _, toks, _, _) =>
+        assert(cum >= 512L * bin && cum < 512L * (bin + 1) || bin == 0,
+          s"$lang bin $bin starts at cum $cum")
+        cum += toks
+      }
+    }
+  }
+
+  test("q_corpus_mix keeps sources near their configured rates") {
+    import spark.implicits._
+    val total = graft.util.Tables.documents(spark, sf)
+      .groupBy($"source").count().as[(String, Long)].collect().toMap
+    val kept = SparkEntry.all("q_corpus_mix").fn(spark, sf)
+      .select($"source", $"n_kept", $"rate_permille")
+      .as[(String, Long, Long)].collect()
+    assert(kept.nonEmpty)
+    kept.foreach { case (src, n, rate) =>
+      val frac = n.toDouble / total(src)
+      // hash draw is uniform-ish; wide tolerance (25 docs per source)
+      assert(math.abs(frac - rate / 1000.0) < 0.35, s"$src frac $frac vs rate $rate")
+    }
+  }
+
+  test("q_contamination only flags training docs, with n_shared >= 3") {
+    import spark.implicits._
+    val r = SparkEntry.all("q_contamination").fn(spark, sf)
+      .as[(Long, Long)].collect()
+    assert(r.nonEmpty)
+    r.foreach { case (doc, n) =>
+      assert(doc % 50 != 0, s"eval doc $doc flagged as contaminated")
+      assert(n >= 3L)
+    }
+  }
+
   test("q_dedup_ngram emits canonical pairs with Jaccard in [0.4, 1]") {
     import spark.implicits._
     val r = SparkEntry.all("q_dedup_ngram").fn(spark, sf)
