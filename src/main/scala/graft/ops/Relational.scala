@@ -263,56 +263,60 @@ object Relational {
       |ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
 
   /** Exact percentiles (disc + cont median) per group — the statistical
-    * aggregate family (§2.4 REF↑ of stddev/variance), computed by a
-    * distributed sort + rank-pick instead of the built-in `percentile`
-    * aggregate: that aggregate buffers EVERY group value in an in-memory
-    * map on one reducer, which at 100 TB with 3 group keys is an OOM by
-    * construction. Here each group is externally sorted (spills to
-    * disk), `row_number` streams over it (running frame, no buffering),
-    * and only the ≤2 rows straddling each target rank survive to a tiny
-    * final aggregate. Bit-equivalence with `percentile`: for percentage
-    * p over n values, position pos = p·(n−1); the sorted row at index
-    * lo=⌊pos⌋ contributes v·(hi−pos) and at hi=⌈pos⌉ contributes
-    * v·(pos−lo) (v alone when lo=hi) — IEEE · and + are commutative, so
-    * summing the two terms replays the interpolation exactly.
+    * aggregate family (§2.4 REF↑ of stddev/variance), computed by the
+    * DISTRIBUTED rank-pick ([[Scale.rankPick]]) instead of the built-in
+    * `percentile` aggregate: the built-in buffers EVERY group value in
+    * an in-memory map on one reducer (OOM by construction at 100 TB
+    * with 3 group keys), and even a window `row_number` formulation
+    * sorts each group on a single task. rankPick global-RANGE-sorts
+    * (group, value) across all cores and selects only the rows at the
+    * target ranks via zipWithIndex + per-group offsets.
+    * Bit-equivalence with `percentile`: for percentage p over n values,
+    * position pos = p·(n−1); the sorted row at index lo=⌊pos⌋
+    * contributes v·(hi−pos) and at hi=⌈pos⌉ contributes v·(pos−lo)
+    * (v alone when lo=hi) — IEEE · and + are commutative, so summing
+    * the two terms replays the interpolation exactly.
     * percentile_disc(p) = smallest value with cume_dist ≥ p = the row
-    * with row_number ⌈p·n⌉. Assumes non-null measure columns (the
-    * built-in skips nulls; fixture lineitem has none). */
+    * with rank ⌈p·n⌉. Assumes non-null measure columns (the built-in
+    * skips nulls; fixture lineitem has none). */
   private val percentile = QueryDef(
     (s, dir) => {
       import s.implicits._
-      val li = Tables.spread(Tables.lineitem(s, dir), "l_orderkey")
+      val li = Tables.lineitem(s, dir)
         .select($"l_returnflag", $"l_quantity".cast("double").as("q"),
           $"l_extendedprice".cast("double").as("p"))
       val counts = li.groupBy($"l_returnflag").agg(count(lit(1)).as("n"))
-      val wq = Window.partitionBy($"l_returnflag").orderBy($"q")
-      val wp = Window.partitionBy($"l_returnflag").orderBy($"p")
-      def pos(pct: Double) = lit(pct) * ($"n" - 1).cast("double")
-      // contribution of the sorted row with (1-based) rank rn to the
-      // exact continuous percentile at pct
-      def cont(rn: Column, v: Column, pct: Double): Column =
-        sum(when(rn.cast("double") - 1 === floor(pos(pct)),
-              when(floor(pos(pct)) === ceil(pos(pct)), v)
-                .otherwise(v * (ceil(pos(pct)) - pos(pct))))
-            .when(rn.cast("double") - 1 === ceil(pos(pct)),
-              v * (pos(pct) - floor(pos(pct)))))
-      val ranked = li
+      // target ranks per group size (1-based): interpolation straddle
+      // ranks for cont percentiles, ⌈p·n⌉ for disc — driver arithmetic
+      // uses the same IEEE ops as the column expressions below
+      def contRanks(pct: Double)(n: Long): Seq[Long] = {
+        val pos = pct * (n - 1).toDouble
+        Seq(math.floor(pos).toLong + 1, math.ceil(pos).toLong + 1)
+      }
+      val pq = Scale.rankPick(s, li.select($"l_returnflag", $"q"),
+        "l_returnflag", "q",
+        n => (contRanks(0.5)(n) :+ math.ceil(0.5 * n).toLong).distinct)
+      val pp = Scale.rankPick(s, li.select($"l_returnflag", $"p"),
+        "l_returnflag", "p", n => contRanks(0.9)(n).distinct)
+      val picked = pq.select($"l_returnflag", $"rn", $"q".as("v"), lit("q").as("w"))
+        .unionByName(pp.select($"l_returnflag", $"rn", $"p".as("v"), lit("p").as("w")))
         .join(broadcast(counts), "l_returnflag")
-        .withColumn("rq", row_number().over(wq))
-        .withColumn("rp", row_number().over(wp))
-      ranked
-        // keep only the ≤5 rank-straddling rows per group before the agg
-        .filter(($"rq".cast("double") - 1 === floor(pos(0.5))) ||
-          ($"rq".cast("double") - 1 === ceil(pos(0.5))) ||
-          ($"rq".cast("double") === ceil(lit(0.5) * $"n")) ||
-          ($"rp".cast("double") - 1 === floor(pos(0.9))) ||
-          ($"rp".cast("double") - 1 === ceil(pos(0.9))))
+      def pos(pct: Double) = lit(pct) * ($"n" - 1).cast("double")
+      // contribution of the picked row with (1-based) rank rn to the
+      // exact continuous percentile at pct
+      def cont(which: String, pct: Double): Column =
+        sum(when($"w" === which && $"rn".cast("double") - 1 === floor(pos(pct)),
+              when(floor(pos(pct)) === ceil(pos(pct)), $"v")
+                .otherwise($"v" * (ceil(pos(pct)) - pos(pct))))
+            .when($"w" === which && $"rn".cast("double") - 1 === ceil(pos(pct)),
+              $"v" * (pos(pct) - floor(pos(pct)))))
+      picked
         .groupBy($"l_returnflag")
         .agg(
-          cont($"rq", $"q", 0.5).as("p50_cont"),
-          max(when($"rq".cast("double") === ceil(lit(0.5) * $"n"), $"q"))
-            .as("p50_disc_lo"),
-          round(cont($"rp", $"p", 0.9), 4).as("p90_price"))
+          cont("q", 0.5).as("p50_cont"),
+          max(when($"w" === "q" && $"rn".cast("double") === ceil(lit(0.5) * $"n"),
+            $"v")).as("p50_disc_lo"),
+          round(cont("p", 0.9), 4).as("p90_price"))
         .orderBy($"l_returnflag")
     },
     """SELECT l_returnflag,

@@ -95,4 +95,57 @@ object Scale {
         saltedBig("_salt") === replicatedSmall("_salt"))
       .drop("_salt")
   }
+
+  /** Distributed exact rank-pick: for each group, return ONLY the rows
+    * at the requested (1-based) sorted ranks of `valCol` — the
+    * selection step of exact percentiles/medians WITHOUT a per-group
+    * reducer. A window `row_number` over a 3-value group key sorts each
+    * group on ONE task (memory-safe via spill, but 3 tasks on a 1000-
+    * executor cluster); here the sort is a global RANGE sort over
+    * (group, value) — every core sorts a slice — and global ranks come
+    * from `zipWithIndex` (per-partition counts + offset, one extra tiny
+    * job) minus each group's start offset. Rank-of-equal-values is
+    * arbitrary but the VALUE at rank k is unique, so results don't
+    * depend on partition boundaries or tie placement.
+    *
+    * The per-group totals are collected to the driver to compute start
+    * offsets and the requested rank sets — |groups| scalar rows, the
+    * same class of driver-side metadata read as a range partitioner's
+    * sample or the watermark scalar (SURVEY.md §7.5); row data never
+    * leaves the cluster.
+    *
+    * `ranksFor` maps each group's row count n to the ranks wanted
+    * (e.g. percentile interpolation needs ⌊p·(n−1)⌋+1 and ⌈p·(n−1)⌉+1).
+    * Returns (group, rn, v) — one row per requested rank. */
+  def rankPick(
+      spark: SparkSession,
+      df: DataFrame,
+      groupCol: String,
+      valCol: String,
+      ranksFor: Long => Seq[Long]): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val counts = df.groupBy(col(groupCol)).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    // groups sorted ascending = the global sort's group order, so each
+    // group's rows start at the cumulative count of earlier groups
+    val offsets = counts.scanLeft(("", 0L)) { case ((_, acc), (g, n)) =>
+      (g, acc + n)
+    }.sliding(2).map { case Array((_, off), (g, _)) => g -> off }.toMap
+    val targets: Map[String, Set[Long]] =
+      counts.map { case (g, n) => g -> ranksFor(n).toSet }.toMap
+    val sorted = df.select(col(groupCol), col(valCol).cast("double"))
+      .sort(col(groupCol), col(valCol))
+    val offB = spark.sparkContext.broadcast((offsets, targets))
+    val picked = sorted.rdd.zipWithIndex.flatMap { case (row, gi) =>
+      val g = row.getString(0)
+      val (offs, tgts) = offB.value
+      val rn = gi - offs(g) + 1
+      if (tgts(g).contains(rn)) Some(Row(g, rn, row.getDouble(1))) else None
+    }
+    spark.createDataFrame(picked, StructType(Seq(
+      StructField(groupCol, StringType, nullable = false),
+      StructField("rn", LongType, nullable = false),
+      StructField(valCol, DoubleType, nullable = false))))
+  }
 }

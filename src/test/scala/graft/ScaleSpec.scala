@@ -68,6 +68,34 @@ class ScaleSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
   }
 
+  test("rankPick returns exactly the requested ranks' values per group") {
+    import spark.implicits._
+    // ties included: rank-of-equals is arbitrary but the VALUE at any
+    // rank is unique
+    val df = Seq(
+      ("a", 5.0), ("a", 1.0), ("a", 3.0), ("a", 3.0), ("a", 9.0),
+      ("b", 2.0), ("b", 2.0), ("b", 8.0)
+    ).toDF("g", "v").repartition(4) // scatter across partitions
+    val picked = Scale.rankPick(spark, df, "g", "v",
+      n => Seq(1L, (n + 1) / 2, n)) // min, lower median, max
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(picked === Map(
+      ("a", 1L) -> 1.0, ("a", 3L) -> 3.0, ("a", 5L) -> 9.0,
+      ("b", 1L) -> 2.0, ("b", 2L) -> 2.0, ("b", 3L) -> 8.0))
+    // and it agrees with the window row_number formulation on real data
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select($"l_returnflag".as("g"), $"l_quantity".cast("double").as("v"))
+    val viaPick = Scale.rankPick(spark, li, "g", "v", n => Seq(1L, n / 2, n))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"g").orderBy($"v")
+    val viaWindow = li.withColumn("rn", row_number().over(w).cast("long"))
+      .collect().groupBy(_.getString(0))
+    viaPick.foreach { case ((g, rn), v) =>
+      val expect = viaWindow(g).find(_.getLong(2) == rn).get.getDouble(1)
+      assert(v === expect, s"group $g rank $rn")
+    }
+  }
+
   test("saltedJoin == plain join row-for-row") {
     import spark.implicits._
     val l = spark.read.parquet(s"$sf/lineitem.parquet")
