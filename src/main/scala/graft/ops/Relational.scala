@@ -215,21 +215,30 @@ object Relational {
     },
     None)
 
-  /** ROLLUP + grouping_id (§2.4). gid disambiguates the NULL rollup rows.
-    * The price total sums exact decimals, not doubles — rollup output is
-    * a multi-level re-aggregation, so a double SUM's value would depend
-    * on partial-merge order the moment orders gains more than one input
-    * partition (the Incremental.r4 discipline; oracle mirrors it). */
+  /** Finest-grouping pre-aggregate feeding rollup/cube/grouping-sets:
+    * (status, priority) partial count + exact decimal price sum. The
+    * multi-level operators then Expand over |distinct key combos| rows
+    * (~18) instead of the whole fact table — at 100 TB Expand×N IS the
+    * cost of a grouping-sets query, and decimal partials make the
+    * re-aggregation exact regardless of merge order (Incremental.r4
+    * discipline; oracles mirror the rounding, not the staging). */
+  private def ordersPreAgg(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("_n"),
+        sum(col("o_totalprice").cast("decimal(28,10)")).as("_t"))
+
+  /** ROLLUP + grouping_id (§2.4). gid disambiguates the NULL rollup rows. */
   private val rollup = QueryDef(
     (s, dir) => {
       import s.implicits._
-      Tables.orders(s, dir)
+      ordersPreAgg(s, dir)
         .rollup($"o_orderstatus", $"o_orderpriority")
         .agg(
           grouping_id().cast("long").as("gid"),
-          count(lit(1)).as("n"),
-          Incremental.r4(sum($"o_totalprice".cast("decimal(28,10)")).cast("double"))
-            .as("total"))
+          sum($"_n").as("n"),
+          Incremental.r4(sum($"_t").cast("double")).as("total"))
         .orderBy($"gid", $"o_orderstatus".asc_nulls_first,
           $"o_orderpriority".asc_nulls_first)
     },
@@ -241,17 +250,16 @@ object Relational {
       |ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
 
   /** CUBE over (status, priority) — all 4 grouping-set combinations
-    * (§2.4 "Grouping sets / ROLLUP / CUBE"). Decimal total as in rollup. */
+    * (§2.4 "Grouping sets / ROLLUP / CUBE"), over the pre-aggregate. */
   private val cube = QueryDef(
     (s, dir) => {
       import s.implicits._
-      Tables.orders(s, dir)
+      ordersPreAgg(s, dir)
         .cube($"o_orderstatus", $"o_orderpriority")
         .agg(
           grouping_id().cast("long").as("gid"),
-          count(lit(1)).as("n"),
-          Incremental.r4(sum($"o_totalprice".cast("decimal(28,10)")).cast("double"))
-            .as("total"))
+          sum($"_n").as("n"),
+          Incremental.r4(sum($"_t").cast("double")).as("total"))
         .orderBy($"gid", $"o_orderstatus".asc_nulls_first,
           $"o_orderpriority".asc_nulls_first)
     },
@@ -683,15 +691,21 @@ object Relational {
   private val groupingSets = QueryDef(
     (s, dir) => {
       Tables.orders(s, dir).createOrReplaceTempView("orders_gsets")
-      // decimal SUM + the explicit FLOOR rounding (Incremental.r4
-      // formula): a double SUM here would be summation-order-dependent
-      // the moment orders is read as more than one partition
+      // finest-grouping pre-aggregate before the GROUPING SETS Expand
+      // (see ordersPreAgg) + decimal SUM with the explicit FLOOR
+      // rounding (Incremental.r4 formula): a double SUM would be
+      // summation-order-dependent the moment orders is read as more
+      // than one partition
       s.sql(
-        """SELECT o_orderstatus, o_orderpriority,
+        """WITH base AS (
+          |  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS _n,
+          |         SUM(CAST(o_totalprice AS DECIMAL(28,10))) AS _t
+          |  FROM orders_gsets GROUP BY 1, 2)
+          |SELECT o_orderstatus, o_orderpriority,
           |       CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
-          |       COUNT(*) AS n,
-          |       FLOOR(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10))) AS DOUBLE) * 10000 + 0.5) / 10000.0 AS total
-          |FROM orders_gsets
+          |       SUM(_n) AS n,
+          |       FLOOR(CAST(SUM(_t) AS DOUBLE) * 10000 + 0.5) / 10000.0 AS total
+          |FROM base
           |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
           |                        (o_orderstatus), (o_orderpriority), ())
           |ORDER BY gid, o_orderstatus ASC NULLS FIRST,

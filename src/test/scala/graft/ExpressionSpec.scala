@@ -127,6 +127,28 @@ class ExpressionSpec extends SparkSpec {
     assert(e === 0L)
   }
 
+  test("native intersect-card on LONG arrays == size(array_intersect)") {
+    import spark.implicits._
+    // the packed-gram variant (array<bigint> dispatch)
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", array_distinct(transform(
+        sequence(lit(1), greatest(length($"text") - 3, lit(1))),
+        i => ascii($"text".substr(i, lit(1))).cast("long") * 1021L +
+          ascii($"text".substr(i + 1, lit(1))).cast("long"))).as("g"))
+    val pairs = d.select($"doc_id".as("da"), $"g".as("ga"))
+      .crossJoin(d.select($"doc_id".as("db"), $"g".as("gb")))
+      .filter($"da" < $"db").limit(3000)
+    val diff = pairs.select(
+      call_function("graft_intersect_card", $"ga", $"gb").as("n"),
+      size(array_intersect($"ga", $"gb")).cast("long").as("b"))
+      .filter($"n" =!= $"b")
+    assert(diff.count() === 0)
+    val e = Seq((Array(1L, 2L), Array.empty[Long])).toDF("x", "y")
+      .select(call_function("graft_intersect_card", $"x", $"y").as("n"))
+      .as[Long].head()
+    assert(e === 0L)
+  }
+
   test("q_sim_topk plan uses the native kernel (not interpreted HOFs)") {
     val p = SparkEntry.all("q_sim_topk").fn(spark, sf)
       .queryExecution.optimizedPlan.toString
