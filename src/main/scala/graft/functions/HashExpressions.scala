@@ -91,6 +91,57 @@ object HashKernels {
     n
   }
 
+  /** Distinct word-3-shingle hashes of a whole document in ONE pass —
+    * the fused form of split(" ") → 3-word shingles → [[shingleHash]] →
+    * array_distinct that TextDedup.hashedShingles otherwise builds from
+    * four interpreted higher-order functions with full shingle-string
+    * materialization. Exact equivalences replicated:
+    *  - split(" ", -1) keeps empty tokens (Spark `split` regex
+    *    semantics on repeated spaces);
+    *  - the shingle is concat_ws(" ", w_i, w_i+1, w_i+2): word code
+    *    points with a space (cp 32) after the first two words, empty
+    *    words contributing only their separator;
+    *  - hash = Σ codepoint · 13^pos over the shingle's FIRST 12 code
+    *    points ([[shingleHash]] formula);
+    *  - fewer than 3 words → empty array (`greatest(size-2, 0)`);
+    *  - distinct keeps first-occurrence order (array_distinct).
+    * ExpressionSpec pins equality against the HOF formulation. */
+  def wordShingleHashes(s: UTF8String): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val words = s.toString.split(" ", -1)
+    val n = words.length - 2
+    if (n <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(new Array[Any](0))
+    val seen = new java.util.LinkedHashSet[java.lang.Long](n * 2)
+    var i = 0
+    while (i < n) {
+      var acc = 0L
+      var pw = 1L
+      var pos = 0
+      var wi = 0
+      while (wi < 3 && pos < 12) {
+        val w = words(i + wi)
+        var ci = 0
+        while (ci < w.length && pos < 12) {
+          val cp = w.codePointAt(ci)
+          acc += cp * pw
+          pw *= 13L
+          pos += 1
+          ci += Character.charCount(cp)
+        }
+        if (wi < 2 && pos < 12) { // the concat_ws separator space
+          acc += 32L * pw
+          pw *= 13L
+          pos += 1
+        }
+        wi += 1
+      }
+      seen.add(acc)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      seen.toArray.asInstanceOf[Array[AnyRef]].asInstanceOf[Array[Any]])
+  }
+
   /** Char n-grams as UTF8String array — shared by CharNGrams eval+codegen.
     * substringSQL is 1-based and clamps at the end, exactly like the SQL
     * `substring(text, i, n)` the fallback and oracle use. */
@@ -194,6 +245,29 @@ case class ArrayIntersectCard(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** Whole-document distinct word-3-shingle hash array — SQL function
+  * `graft_shingle_hashes(text)`; the fused dedup-pipeline front end
+  * (see [[HashKernels.wordShingleHashes]]). */
+case class WordShingleHashes(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_shingle_hashes expects string, got ${t.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.wordShingleHashes(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HashKernels.wordShingleHashes($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** SQL function `graft_fp` (see [[GraftExtensions]]). */

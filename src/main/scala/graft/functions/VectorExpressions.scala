@@ -161,6 +161,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_ngrams"),
       new ExpressionInfo(classOf[CharNGrams].getName, "graft_ngrams"),
       (children: Seq[Expression]) => CharNGrams(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_shingle_hashes"),
+      new ExpressionInfo(classOf[WordShingleHashes].getName, "graft_shingle_hashes"),
+      (children: Seq[Expression]) => WordShingleHashes(children.head)))
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

@@ -107,7 +107,13 @@ object TextDedup {
   private def hashedShingles(s: SparkSession, dir: String): DataFrame =
     memoized(s, dir, "hashedShingles") {
       import s.implicits._
-      shingled(s, dir)
+      // fused kernel when registered: text → distinct shingle-hash
+      // array in one codegen pass (K=3 baked into the kernel, matching
+      // [[K]]), skipping the shingle-string materialization entirely
+      if (s.catalog.functionExists("graft_shingle_hashes"))
+        Tables.spread(Tables.documents(s, dir), "doc_id")
+          .select($"doc_id", call_function("graft_shingle_hashes", $"text").as("hs"))
+      else shingled(s, dir)
         .select($"doc_id",
           array_distinct(transform($"shingles", sh => shingleHash(s)(sh))).as("hs"))
     }

@@ -149,6 +149,42 @@ class ExpressionSpec extends SparkSpec {
     assert(e === 0L)
   }
 
+  test("fused shingle-hashes kernel == split/transform/array_distinct HOF chain") {
+    import spark.implicits._
+    // (texts with ≥3 words only: the HOF chain's sequence(1, 0) turns
+    // DESCENDING for shorter texts and element_at faults under ANSI —
+    // the kernel's empty-array behavior for those is asserted below)
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select($"text")
+      .unionByName(Seq(
+        "a b c",                   // single shingle
+        "a  b c d",                // empty token from double space
+        "exactlyelevenX y z tail", // 12-codepoint boundary inside word 1
+        "𝄞 music 𝄢 clef notes",    // supplementary-plane codepoints
+        "dup dup dup dup dup"      // duplicate shingles -> distinct
+      ).toDF("text"))
+    val w = split($"text", " ")
+    val hof = array_distinct(transform(
+      transform(
+        sequence(lit(1), greatest(size(w) - 2, lit(0))),
+        i => concat_ws(" ",
+          element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))),
+      sh => aggregate(
+        sequence(lit(1), least(length(sh), lit(12))),
+        lit(0L),
+        (acc, i) => acc + ascii(sh.substr(i, lit(1))).cast("long") *
+          pow(lit(13.0), (i - 1).cast("double")).cast("long"))))
+    val diff = docs.select(
+      call_function("graft_shingle_hashes", $"text").as("k"),
+      hof.as("h"))
+      .filter(not($"k" <=> $"h"))
+    assert(diff.count() === 0, diff.collect().take(3).mkString("; "))
+    // degenerate inputs: fewer than 3 words → EMPTY shingle set
+    val empties = Seq("", "one", "one two").toDF("text")
+      .select(size(call_function("graft_shingle_hashes", $"text")).as("n"))
+      .as[Int].collect()
+    assert(empties.toSeq === Seq(0, 0, 0))
+  }
+
   test("q_sim_topk plan uses the native kernel (not interpreted HOFs)") {
     val p = SparkEntry.all("q_sim_topk").fn(spark, sf)
       .queryExecution.optimizedPlan.toString

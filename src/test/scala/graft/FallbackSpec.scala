@@ -9,7 +9,8 @@ import org.apache.spark.sql.graftshim.Shim
 class FallbackSpec extends SparkSpec {
 
   private val kernels = Seq("graft_dot", "graft_l2norm", "graft_fp",
-    "graft_shingle_hash", "graft_ngrams", "graft_intersect_card")
+    "graft_shingle_hash", "graft_shingle_hashes", "graft_ngrams",
+    "graft_intersect_card")
   private val affected = Seq("q_sim_topk", "q_dedup_embed", "q_vec_centroid",
     "q_lang_id", "q_text_fingerprint", "q_dedup_near", "q_dedup_minhash",
     "q_dedup_ngram", "q_dedup_canonical", "q_contamination")
@@ -49,7 +50,8 @@ object Reregister {
       "graft_fp" -> (c => RollingHash(c.head)),
       "graft_shingle_hash" -> (c => ShingleHash(c.head)),
       "graft_ngrams" -> (c => CharNGrams(c(0), c(1))),
-      "graft_intersect_card" -> (c => ArrayIntersectCard(c(0), c(1))))
+      "graft_intersect_card" -> (c => ArrayIntersectCard(c(0), c(1))),
+      "graft_shingle_hashes" -> (c => WordShingleHashes(c.head)))
     fns.foreach { case (name, builder) =>
       org.apache.spark.sql.graftshim.Shim.registerFunction(spark, name, builder)
     }
