@@ -330,41 +330,82 @@ object TextDedup {
   /** SimHash (32-bit) per document from shingle hashes: bit j of the
     * fingerprint is the sign of Σ ±1 over shingles (weighted by whether
     * bit j of the shingle hash is set). */
-  private val simhash = QueryDef(
-    (s, dir) => {
-      import s.implicits._
-      // per (doc, bit): vote = sum of (bit set ? 1 : -1) over shingle
-      // hashes. h < 2^48 and 2^bit are exact doubles, so h / 2^bit is
-      // exact and cast-to-long truncation == floor — identical to
-      // DuckDB's `//`. All 32 bit-votes are computed as conditional
-      // aggregates in ONE pass over the exploded hashes (codegen'd) —
-      // no per-bit row explosion.
-      val exploded = hashedShingles(s, dir)
-        .select($"doc_id", explode($"hs").as("h"))
-      val votes = (0 until 32).map { j =>
-        val p2 = math.pow(2.0, j)
-        sum(when(($"h" / p2).cast("long") % 2 === 1, 1L)
-          .otherwise(-1L)).as(s"v$j")
-      }
-      val fp = (0 until 32).map { j =>
-        when(col(s"v$j") >= 0, lit(1L << j)).otherwise(0L)
-      }.reduce(_ + _)
-      exploded.groupBy($"doc_id")
-        .agg(votes.head, votes.tail: _*)
-        .select($"doc_id", fp.as("simhash"))
-        .orderBy($"doc_id")
-    },
-    oracleShingleBase + """,
-      |votes AS (
+  /** 32-bit SimHash fingerprint per doc — shared by q_dedup_simhash
+    * and q_dedup_consensus. Per (doc, bit): vote = sum of
+    * (bit set ? 1 : -1) over shingle hashes. h < 2^48 and 2^bit are
+    * exact doubles, so h / 2^bit is exact and cast-to-long truncation
+    * == floor — identical to DuckDB's `//`. All 32 bit-votes are
+    * computed as conditional aggregates in ONE pass over the exploded
+    * hashes (codegen'd) — no per-bit row explosion. */
+  private def simhashFps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val exploded = hashedShingles(s, dir)
+      .select($"doc_id", explode($"hs").as("h"))
+    val votes = (0 until 32).map { j =>
+      val p2 = math.pow(2.0, j)
+      sum(when(($"h" / p2).cast("long") % 2 === 1, 1L)
+        .otherwise(-1L)).as(s"v$j")
+    }
+    val fp = (0 until 32).map { j =>
+      when(col(s"v$j") >= 0, lit(1L << j)).otherwise(0L)
+    }.reduce(_ + _)
+    exploded.groupBy($"doc_id")
+      .agg(votes.head, votes.tail: _*)
+      .select($"doc_id", fp.as("simhash"))
+  }
+
+  /** Same fingerprints as CTEs ending in `shash` (needs `hashed`). */
+  private def oracleSimhashCte: String =
+    """votes AS (
       |  SELECT doc_id, b.bit,
       |         SUM(CASE WHEN (h // CAST(pow(2, b.bit) AS BIGINT)) % 2 = 1
       |                  THEN 1 ELSE -1 END) AS vote
       |  FROM hashed CROSS JOIN (SELECT UNNEST(range(0, 32)) AS bit) b
-      |  GROUP BY doc_id, b.bit)
-      |SELECT doc_id,
-      |       CAST(SUM(CASE WHEN vote >= 0
-      |                     THEN CAST(pow(2, bit) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
-      |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+      |  GROUP BY doc_id, b.bit),
+      |shash AS (
+      |  SELECT doc_id,
+      |         CAST(SUM(CASE WHEN vote >= 0
+      |                       THEN CAST(pow(2, bit) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+      |  FROM votes GROUP BY doc_id)""".stripMargin
+
+  private val simhash = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      simhashFps(s, dir).orderBy($"doc_id")
+    },
+    oracleShingleBase + ",\n" + oracleSimhashCte +
+      "\nSELECT doc_id, simhash FROM shash ORDER BY doc_id")
+
+  /** Consensus near-dup: pairs that BOTH the exact-Jaccard verify
+    * (MinHash→LSH candidates, J ≥ 0.2) and the SimHash fingerprint
+    * family agree on (Hamming distance ≤ 8 of 32 bits) — the ensemble
+    * gate a production dedup pipeline applies before destructive
+    * deletion, since each family has different failure modes (MinHash:
+    * small-set noise; SimHash: near-orthogonal collisions). Joins are
+    * id-keyed on the tiny verified-pair set; fingerprints come from the
+    * shared cached pipeline. */
+  private val dedupConsensus = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val fps = simhashFps(s, dir)
+      verifiedPairs(s, dir)
+        .join(fps.select($"doc_id".as("da"), $"simhash".as("fa")), "da")
+        .join(fps.select($"doc_id".as("db"), $"simhash".as("fb")), "db")
+        .withColumn("hamming", bit_count($"fa".bitwiseXOR($"fb")).cast("long"))
+        .filter($"hamming" <= 8)
+        .select($"da", $"db", $"jac", $"hamming")
+        .orderBy($"da", $"db")
+    },
+    oracleScored + """,
+      |ver AS (
+      |  SELECT da, db, ROUND(inter / uni, 4) AS jac FROM scored
+      |  WHERE ROUND(inter / uni, 4) >= 0.2),
+      |""".stripMargin + oracleSimhashCte + """
+      |SELECT v.da, v.db, v.jac,
+      |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+      |FROM ver v JOIN shash a ON v.da = a.doc_id JOIN shash b ON v.db = b.doc_id
+      |WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+      |ORDER BY da, db""".stripMargin)
 
   /** Document fingerprint: rolling polynomial hash of the whole text,
     * char by char, mod P — a true sequential fold on both engines
@@ -505,5 +546,6 @@ object TextDedup {
     "q_contamination" -> contamination,
     "q_dedup_ngram" -> dedupNgram,
     "q_dedup_simhash" -> simhash,
+    "q_dedup_consensus" -> dedupConsensus,
     "q_text_fingerprint" -> fingerprint)
 }
