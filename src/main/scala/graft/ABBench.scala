@@ -52,11 +52,16 @@ object ABBench {
         (() => Tables.events(s, dir)
           .agg(max(to_date($"ts")).as("latest_date"), count(lit(1)).as("n"))))
     // declared queries timed with the spread fan-out on vs off (the
-    // Tables.spreadEnabled hook — builders re-plan per call)
+    // Tables.spreadEnabled hook — builders re-plan per call). ONLY
+    // non-memoized spread users belong here: the TextDedup/VectorOps
+    // pipelines cache their first build per session, so the toggle
+    // would silently compare one plan against itself. Keep a
+    // no-spread-call query (q_incremental_delta) as the bias
+    // calibration control — its two slots have IDENTICAL plans, so any
+    // delta it shows is harness noise, the actionability floor.
     val spreadAB = Seq(
-      "q_stream_tumbling", "q_stream_sliding", "q_session_window",
-      "q_gap_fill", "q_pivot", "q_json_extract", "q_map_funcs",
-      "q_text_stats", "q_agg_salted", "q_incremental_delta"
+      "q_json_extract", "q_map_funcs", "q_text_tokens", "q_text_quality",
+      "q_incremental_delta"
     ).flatMap { q =>
       val fn = SparkEntry.all(q).fn
       Seq(

@@ -237,7 +237,10 @@ object Relational {
         .rollup($"o_orderstatus", $"o_orderpriority")
         .agg(
           grouping_id().cast("long").as("gid"),
-          sum($"_n").as("n"),
+          // coalesce: on an EMPTY input the grand-total row still
+          // appears, and SUM over zero partials is NULL where the
+          // oracle's COUNT(*) is 0
+          coalesce(sum($"_n"), lit(0L)).as("n"),
           Incremental.r4(sum($"_t").cast("double")).as("total"))
         .orderBy($"gid", $"o_orderstatus".asc_nulls_first,
           $"o_orderpriority".asc_nulls_first)
@@ -258,7 +261,10 @@ object Relational {
         .cube($"o_orderstatus", $"o_orderpriority")
         .agg(
           grouping_id().cast("long").as("gid"),
-          sum($"_n").as("n"),
+          // coalesce: on an EMPTY input the grand-total row still
+          // appears, and SUM over zero partials is NULL where the
+          // oracle's COUNT(*) is 0
+          coalesce(sum($"_n"), lit(0L)).as("n"),
           Incremental.r4(sum($"_t").cast("double")).as("total"))
         .orderBy($"gid", $"o_orderstatus".asc_nulls_first,
           $"o_orderpriority".asc_nulls_first)
@@ -293,7 +299,12 @@ object Relational {
       val li = Tables.lineitem(s, dir)
         .select($"l_returnflag", $"l_quantity".cast("double").as("q"),
           $"l_extendedprice".cast("double").as("p"))
-      val counts = li.groupBy($"l_returnflag").agg(count(lit(1)).as("n"))
+      // ONE per-group counts job, shared by both rankPicks (as their
+      // offset table, in Spark sort order) and the final agg join
+      val counted = li.groupBy($"l_returnflag").agg(count(lit(1)).as("n"))
+        .orderBy($"l_returnflag")
+        .collect().toSeq.map(r => r.getString(0) -> r.getLong(1))
+      val counts = counted.toDF("l_returnflag", "n")
       // target ranks per group size (1-based): interpolation straddle
       // ranks for cont percentiles, ⌈p·n⌉ for disc — driver arithmetic
       // uses the same IEEE ops as the column expressions below
@@ -303,9 +314,11 @@ object Relational {
       }
       val pq = Scale.rankPick(s, li.select($"l_returnflag", $"q"),
         "l_returnflag", "q",
-        n => (contRanks(0.5)(n) :+ math.ceil(0.5 * n).toLong).distinct)
+        n => (contRanks(0.5)(n) :+ math.ceil(0.5 * n).toLong).distinct,
+        precounted = Some(counted))
       val pp = Scale.rankPick(s, li.select($"l_returnflag", $"p"),
-        "l_returnflag", "p", n => contRanks(0.9)(n).distinct)
+        "l_returnflag", "p", n => contRanks(0.9)(n).distinct,
+        precounted = Some(counted))
       val picked = pq.select($"l_returnflag", $"rn", $"q".as("v"), lit("q").as("w"))
         .unionByName(pp.select($"l_returnflag", $"rn", $"p".as("v"), lit("p").as("w")))
         .join(broadcast(counts), "l_returnflag")
@@ -703,7 +716,7 @@ object Relational {
           |  FROM orders_gsets GROUP BY 1, 2)
           |SELECT o_orderstatus, o_orderpriority,
           |       CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
-          |       SUM(_n) AS n,
+          |       COALESCE(SUM(_n), 0) AS n,
           |       FLOOR(CAST(SUM(_t) AS DOUBLE) * 10000 + 0.5) / 10000.0 AS total
           |FROM base
           |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),

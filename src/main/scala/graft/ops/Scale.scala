@@ -117,21 +117,40 @@ object Scale {
     * `ranksFor` maps each group's row count n to the ranks wanted
     * (e.g. percentile interpolation needs ⌊p·(n−1)⌋+1 and ⌈p·(n−1)⌉+1).
     * Returns (group, rn, v) — one row per requested rank. */
+  /** `precounted`: per-group totals in SPARK SORT ORDER of the group
+    * key, if the caller already aggregated them — skips rankPick's own
+    * counts job. Order matters: offsets are cumulative in the global
+    * sort's group order, so the list must come from an `orderBy` on the
+    * SAME engine (e.g. `df.groupBy(g).count().orderBy(g).collect()`),
+    * never a driver-side re-sort — Scala's UTF-16 String ordering and
+    * Spark's UTF8 binary ordering disagree on supplementary-plane
+    * characters. */
   def rankPick(
       spark: SparkSession,
       df: DataFrame,
       groupCol: String,
       valCol: String,
-      ranksFor: Long => Seq[Long]): DataFrame = {
+      ranksFor: Long => Seq[Long],
+      precounted: Option[Seq[(String, Long)]] = None): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
-    val counts = df.groupBy(col(groupCol)).count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
-    // groups sorted ascending = the global sort's group order, so each
-    // group's rows start at the cumulative count of earlier groups
+    // group order must be SPARK's sort order (orderBy below), not a
+    // driver-side sortBy — see `precounted` scaladoc
+    val counts: Seq[(String, Long)] = precounted.getOrElse {
+      df.groupBy(col(groupCol)).count().orderBy(col(groupCol))
+        .collect().toSeq.map(r => r.getString(0) -> r.getLong(1))
+    }
+    val schema = StructType(Seq(
+      StructField(groupCol, StringType, nullable = false),
+      StructField("rn", LongType, nullable = false),
+      StructField(valCol, DoubleType, nullable = false)))
+    if (counts.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], schema)
+    // each group's rows start at the cumulative count of earlier groups
     val offsets = counts.scanLeft(("", 0L)) { case ((_, acc), (g, n)) =>
       (g, acc + n)
-    }.sliding(2).map { case Array((_, off), (g, _)) => g -> off }.toMap
+    }.sliding(2).collect { case Seq((_, off), (g, _)) => g -> off }.toMap
     val targets: Map[String, Set[Long]] =
       counts.map { case (g, n) => g -> ranksFor(n).toSet }.toMap
     val sorted = df.select(col(groupCol), col(valCol).cast("double"))
@@ -143,9 +162,6 @@ object Scale {
       val rn = gi - offs(g) + 1
       if (tgts(g).contains(rn)) Some(Row(g, rn, row.getDouble(1))) else None
     }
-    spark.createDataFrame(picked, StructType(Seq(
-      StructField(groupCol, StringType, nullable = false),
-      StructField("rn", LongType, nullable = false),
-      StructField(valCol, DoubleType, nullable = false))))
+    spark.createDataFrame(picked, schema)
   }
 }

@@ -45,17 +45,24 @@ object TextDedup {
   private val BandRows = 2 // 4 bands × 2 rows
   private val P = 1000000007L
 
-  /** doc_id + array of word-K-gram shingle strings. */
+  /** doc_id + array of word-K-gram shingle strings. Docs with fewer
+    * than K words yield an EMPTY array via the explicit `when` guard:
+    * sequence(1, 0) would otherwise DESCEND ([1, 0]) and the
+    * element_at(w, 0) faults under ANSI — matching the fused kernel's
+    * empty-set semantics ([[graft.functions.HashKernels.wordShingleHashes]])
+    * and the oracle's naturally-empty `i.i <= len(w)-2` range. */
   private def shingled(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.spread(Tables.documents(s, dir), "doc_id")
       .select($"doc_id", split($"text", " ").as("w"))
       .select($"doc_id",
-        transform(
-          sequence(lit(1), greatest(size($"w") - (K - 1), lit(0))),
-          i => concat_ws(" ",
-            element_at($"w", i), element_at($"w", i + 1), element_at($"w", i + 2))
-        ).as("shingles"))
+        when(size($"w") >= K,
+          transform(
+            sequence(lit(1), size($"w") - (K - 1)),
+            i => concat_ws(" ",
+              element_at($"w", i), element_at($"w", i + 1), element_at($"w", i + 2))))
+          .otherwise(array().cast("array<string>"))
+          .as("shingles"))
   }
 
   /** Exact integer hash of a shingle string: sum of CODEPOINT values
@@ -296,16 +303,25 @@ object TextDedup {
         .filter($"la" =!= $"lb").count()
       // 3 rounds cover diameter ≤ 3 — every near-dup cluster in
       // practice; the driver loop below is the deep-chain fallback and
-      // almost never runs
+      // almost never runs. Each unconverged() call is the ONE action of
+      // its round and materializes the persisted label state; superseded
+      // label caches are dropped as soon as their successor is live.
       var labels = (1 to 3).foldLeft(
         nodes.select($"doc_id", $"doc_id".as("lbl")))((l, _) => round(l))
         .persist()
+      var converged = unconverged(labels) == 0
       var iter = 3
-      while (unconverged(labels) > 0 && iter < 50) {
-        labels = round(labels).persist()
+      while (!converged && iter < 50) {
+        val next = round(labels).persist()
+        converged = unconverged(next) == 0
+        labels.unpersist()
+        labels = next
         iter += 1
       }
-      require(iter < 50, s"CC did not converge in $iter rounds")
+      require(converged, s"CC did not converge in $iter rounds")
+      // the final output reads only the labels cache from here on
+      loops.unpersist()
+      edges.unpersist()
       Tables.documents(s, dir).select($"doc_id")
         .join(labels, Seq("doc_id"), "left")
         .select($"doc_id",

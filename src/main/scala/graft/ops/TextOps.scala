@@ -249,7 +249,11 @@ object TextOps {
   private val sampleStratified = QueryDef(
     (s, dir) => {
       import s.implicits._
-      val h = ($"doc_id" * 2654435761L) % 2147483648L
+      // doc_id is reduced mod P BEFORE the Knuth multiply so the
+      // product stays under 2^63 for ANY doc_id (unguarded, ids above
+      // ~3.5e9 — the 100 TB regime — overflow: Spark wraps negative
+      // while DuckDB errors)
+      val h = (($"doc_id" % 1000000007L) * 2654435761L) % 2147483648L
       val w = Window.partitionBy($"lang").orderBy($"h", $"doc_id")
       Tables.documents(s, dir)
         .select($"doc_id", $"lang", $"source", h.as("h"))
@@ -261,7 +265,7 @@ object TextOps {
     """SELECT doc_id, lang, source, rn FROM (
       |  SELECT doc_id, lang, source,
       |         CAST(ROW_NUMBER() OVER (PARTITION BY lang
-      |           ORDER BY (doc_id * 2654435761) % 2147483648, doc_id) AS BIGINT) AS rn
+      |           ORDER BY ((doc_id % 1000000007) * 2654435761) % 2147483648, doc_id) AS BIGINT) AS rn
       |  FROM documents)
       |WHERE rn <= 20 ORDER BY lang, rn""".stripMargin)
 
@@ -321,7 +325,8 @@ object TextOps {
       import s.implicits._
       val srcNum = regexp_replace($"source", "[^0-9]", "").cast("long")
       val rate = when(srcNum % 2 === 0, 800L).otherwise(300L)
-      val draw = ($"doc_id" * 2654435761L) % 1000L
+      // same overflow guard as q_sample_stratified's hash order
+      val draw = (($"doc_id" % 1000000007L) * 2654435761L) % 1000L
       Tables.documents(s, dir)
         .select($"doc_id", $"source",
           size(split($"text", " ")).cast("long").as("tok"),
@@ -339,7 +344,7 @@ object TextOps {
       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
       |         CASE WHEN CAST(regexp_replace(source, '[^0-9]', '', 'g') AS BIGINT) % 2 = 0
       |              THEN 800 ELSE 300 END AS rate,
-      |         (doc_id * 2654435761) % 1000 AS draw
+      |         ((doc_id % 1000000007) * 2654435761) % 1000 AS draw
       |  FROM documents)
       |SELECT source, COUNT(*) AS n_kept, CAST(SUM(tok) AS BIGINT) AS tokens,
       |       CAST(MAX(rate) AS BIGINT) AS rate_permille

@@ -35,6 +35,8 @@ object HttpSource {
     var lastStatus = -1
     while (attempt < maxAttempts) {
       attempt += 1
+      lastStatus = -1 // per-attempt: a transport failure after an
+      // earlier HTTP-status attempt must report -1, not the stale code
       try {
         val conn = new java.net.URL(url).openConnection()
           .asInstanceOf[java.net.HttpURLConnection]
