@@ -55,6 +55,31 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("rankPick == driver-side sort reference on generated data (property)") {
+    import spark.implicits._
+    samples(5).filter(_.nonEmpty).foreach { data =>
+      val df = data.toDF("k", "g", "v").select($"g", $"v")
+        .repartition(5) // scatter so offsets/zipWithIndex do real work
+      // reference: plain Scala per-group sort
+      val ref = data.groupBy(_._2).map { case (g, rs) =>
+        g -> rs.map(_._3).sorted.toVector
+      }
+      val picked = graft.ops.Scale.rankPick(spark, df, "g", "v",
+        n => Seq(1L, (n + 1) / 2, n).distinct)
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2))
+      assert(picked.nonEmpty)
+      picked.foreach { case ((g, rn), v) =>
+        assert(v === ref(g)(rn.toInt - 1), s"group $g rank $rn")
+      }
+      // every requested rank present: 3 ranks (deduped) per group
+      val expected = ref.map { case (g, vs) =>
+        g -> Seq(1L, (vs.size + 1L) / 2, vs.size.toLong).distinct.size
+      }
+      val got = picked.groupBy(_._1._1).view.mapValues(_.length).toMap
+      assert(got === expected)
+    }
+  }
+
   test("binnedRangeJoin == plain range join on generated intervals (property)") {
     import spark.implicits._
     val values: Gen[List[Double]] = Gen.listOf(Gen.choose(-500.0, 500.0))
