@@ -301,16 +301,17 @@ object TextDedup {
         .join(lbls.select($"doc_id".as("src"), $"lbl".as("la")), "src")
         .join(lbls.select($"doc_id".as("dst"), $"lbl".as("lb")), "dst")
         .filter($"la" =!= $"lb").count()
-      // 3 rounds cover diameter ≤ 3 — every near-dup cluster in
-      // practice; the driver loop below is the deep-chain fallback and
-      // almost never runs. Each unconverged() call is the ONE action of
-      // its round and materializes the persisted label state; superseded
-      // label caches are dropped as soon as their successor is live.
-      var labels = (1 to 3).foldLeft(
+      // 2 unrolled rounds cover diameter ≤ 2 — near-dup clusters are
+      // dense cliques (measured diameter 1 at every fixture SF); the
+      // driver loop below is the deep-chain fallback and almost never
+      // runs. Each unconverged() call is the ONE action of its round
+      // and materializes the persisted label state; superseded label
+      // caches are dropped as soon as their successor is live.
+      var labels = (1 to 2).foldLeft(
         nodes.select($"doc_id", $"doc_id".as("lbl")))((l, _) => round(l))
         .persist()
       var converged = unconverged(labels) == 0
-      var iter = 3
+      var iter = 2
       while (!converged && iter < 50) {
         val next = round(labels).persist()
         converged = unconverged(next) == 0
