@@ -41,13 +41,25 @@ object CorpusPipeline {
       .filter(col("_rn") === 1).drop("_rn")
   }
 
-  /** Near-dup removal: among MinHash/LSH candidate pairs with exact
-    * Jaccard ≥ threshold, drop the higher doc_id of each pair (the
-    * TextDedup candidate machinery re-grounded as a filter). */
+  /** Near-dup removal, PAIRWISE policy: among MinHash/LSH candidate
+    * pairs with exact Jaccard ≥ threshold, drop the higher doc_id of
+    * each pair (the TextDedup candidate machinery re-grounded as a
+    * filter). Keeps every doc that is not the greater side of some
+    * pair — conservative: in a chain a~b, b~c without an a~c pair,
+    * both a and b survive (they were never measured similar). */
   def dropNearDups(docs: DataFrame, nearPairs: DataFrame): DataFrame = {
     val losers = nearPairs.select(col("db").as("doc_id")).distinct()
     docs.join(losers, Seq("doc_id"), "left_anti")
   }
+
+  /** Near-dup removal, TRANSITIVE policy: keep only each connected
+    * component's canonical doc, from q_dedup_canonical's output
+    * (doc_id, canonical, kept). Aggressive: the whole a~b~c chain
+    * collapses to a. Use when near-duplication is believed transitive
+    * (clone families); the pairwise policy when it is not. */
+  def dropNearDupsCanonical(docs: DataFrame, canonical: DataFrame): DataFrame =
+    docs.join(canonical.filter(col("kept") === 1L).select("doc_id"),
+      Seq("doc_id"), "left_semi")
 
   /** Full pipeline: returns per-stage counts and writes the surviving
     * corpus partitioned by lang. `nearPairs` comes from the verified

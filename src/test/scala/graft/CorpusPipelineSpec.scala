@@ -34,4 +34,17 @@ class CorpusPipelineSpec extends SparkSpec {
     // exact-dedup really removed the duplicate texts
     assert(out.groupBy("text").count().filter(col("count") > 1).count() === 0)
   }
+
+  test("transitive (canonical) near-dedup keeps exactly the cluster canonicals") {
+    val docs = Tables.documents(spark, sf)
+    val canonical = SparkEntry.all("q_dedup_canonical").fn(spark, sf)
+    val kept = CorpusPipeline.dropNearDupsCanonical(docs, canonical)
+    val expected = canonical.filter(col("kept") === 1L).count()
+    assert(kept.count() === expected)
+    // transitive removal is at least as aggressive as pairwise
+    val nearPairs = SparkEntry.all("q_dedup_near").fn(spark, sf)
+      .select(col("da"), col("db"))
+    val pairwise = CorpusPipeline.dropNearDups(docs, nearPairs)
+    assert(kept.count() <= pairwise.count())
+  }
 }
