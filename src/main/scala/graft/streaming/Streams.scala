@@ -85,6 +85,35 @@ object Streams {
         col("purchase_id"), col("c_ts"), col("p_ts"), col("amount"))
   }
 
+  /** Always-on polling ingest — the reference's SCHEDULED fetch loop
+    * (cron → energy_etl.py run) as a live streaming query: a rate
+    * source fires one tick per trigger interval, and foreachBatch runs
+    * the caller's fetch-and-transform closure (typically
+    * HttpSource.fetch over watermark-derived URLs → parse → daily mean,
+    * i.e. Pipeline.runIncremental's body) and appends the result to the
+    * sink exactly once per tick. The checkpoint makes tick processing
+    * restart-safe; idempotence of re-fetching a tick after a crash is
+    * the caller's contract exactly as it is the reference's (its
+    * watermark re-read makes a re-run a no-op). `fetchBatch` receives
+    * the tick number; returning an empty frame skips the write.
+    * Returns the started query — caller owns awaitTermination/stop. */
+  def pollingIngest(
+      ticks: DataFrame, // a rate source (or MemoryStream in tests)
+      sinkDir: String,
+      checkpointDir: String)(
+      fetchBatch: Long => DataFrame): org.apache.spark.sql.streaming.StreamingQuery =
+    ticks
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val fetched = fetchBatch(batchId)
+          if (!fetched.isEmpty)
+            fetched.write.mode("append").parquet(sinkDir)
+        }
+      }
+      .start()
+
   /** Per-user running state via typed flatMapGroupsWithState: emits one
     * row per input event carrying the user's running count and mean —
     * the custom-state surface (KeyValueGroupedDataset, SURVEY.md §2.10).
