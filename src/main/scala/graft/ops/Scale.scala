@@ -116,8 +116,9 @@ object Scale {
     *
     * `ranksFor` maps each group's row count n to the ranks wanted
     * (e.g. percentile interpolation needs ⌊p·(n−1)⌋+1 and ⌈p·(n−1)⌉+1).
-    * Returns (group, rn, v) — one row per requested rank. */
-  /** `precounted`: per-group totals in SPARK SORT ORDER of the group
+    * Returns (group, rn, v) — one row per requested rank.
+    *
+    * `precounted`: per-group totals in SPARK SORT ORDER of the group
     * key, if the caller already aggregated them — skips rankPick's own
     * counts job. Order matters: offsets are cumulative in the global
     * sort's group order, so the list must come from an `orderBy` on the
@@ -134,6 +135,9 @@ object Scale {
       precounted: Option[Seq[(String, Long)]] = None): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
+    require(df.schema(groupCol).dataType == StringType,
+      s"rankPick groups by a string key; got ${df.schema(groupCol).dataType.sql}" +
+        " — cast the group column first")
     // group order must be SPARK's sort order (orderBy below), not a
     // driver-side sortBy — see `precounted` scaladoc
     val counts: Seq[(String, Long)] = precounted.getOrElse {
