@@ -22,8 +22,8 @@ object ABBench {
     def centroid(src: DataFrame, decimal: Boolean): DataFrame = {
       val sumCol =
         if (decimal)
-          ops.Incremental.r4(sum($"col".cast("double").cast("decimal(28,10)"))
-            .cast("double") / count(lit(1)))
+          ops.Incremental.r4a(sum($"col".cast("double").cast("decimal(28,10)")),
+            count(lit(1)))
         else sum($"col".cast("double")) / count(lit(1))
       src.select($"label".cast("long").as("label"), posexplode($"embedding"))
         .groupBy($"label", ($"pos" + 1).cast("long").as("pos"))
@@ -33,7 +33,7 @@ object ABBench {
     def dailyAvg(src: DataFrame): DataFrame =
       src.groupBy(to_date($"ts").as("date"), $"event_type")
         .agg(
-          ops.Incremental.r4(sum($"value".cast("decimal(28,10)")).cast("double") /
+          ops.Incremental.r4a(sum($"value".cast("decimal(28,10)")),
             count(lit(1))).as("avg_value"),
           count(lit(1)).as("n"))
         .orderBy($"date", $"event_type")

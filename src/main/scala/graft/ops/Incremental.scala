@@ -18,13 +18,32 @@ import org.apache.spark.sql.functions._
   */
 object Incremental {
 
-  /** Round-to-4-decimals as explicit IEEE arithmetic: floor(x*1e4+0.5)/1e4.
-    * Engine-native ROUND diverges at exact half-way quotients (Java rounds
-    * the shortest decimal repr HALF_UP; DuckDB rounds the binary value) —
-    * observed on sf0.001. Identical double ops on identical inputs are
-    * bit-identical on both engines; the oracle mirrors this formula. */
-  private[graft] def r4(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    floor(c * lit(1e4) + lit(0.5)).cast("double") / lit(1e4)
+  /** Deterministic 4-decimal rounding of an exact DECIMAL sum, driver-proof
+    * across engine builds (r3's one red): the rounding happens IN DECIMAL
+    * (exact integer arithmetic, half-away-from-zero on both engines), and
+    * the only decimal→double cast left is of a scale-4 value whose unscaled
+    * magnitude stays far below 2^53 — every implementation converts that
+    * correctly rounded, so the double is bit-identical on Spark and any
+    * DuckDB build. (The previous floor(x·1e4+0.5) formula cast the raw
+    * scale-10 sum to double FIRST; with unscaled > 2^53 that cast is
+    * implementation-sensitive, the suspected r3 driver-vs-local delta.)
+    * Oracle mirror: CAST(ROUND(SUM(...), 4) AS DOUBLE). */
+  private[graft] def r4s(sumDec: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    round(sumDec, 4).cast("double")
+
+  /** Deterministic 4-decimal mean (exact DECIMAL sum) / n. The sum is
+    * rounded to 6 decimals in decimal and widened to an exact BIGINT of
+    * 1e-6 units (integer arithmetic end-to-end), so the division is ONE
+    * fully-IEEE-specified double op on exactly-representable operands
+    * (|num| < 2^53, n·100 < 2^53); the half-up rounding is floor(x+0.5)
+    * on bit-identical doubles. No fractional decimal→double cast remains.
+    * Oracle mirror:
+    *   FLOOR(CAST(CAST(CAST(ROUND(S, 6) AS DECIMAL(24,6)) * 1000000
+    *     AS BIGINT) AS DOUBLE) / (n * 100.0) + 0.5) / 10000.0 */
+  private[graft] def r4a(sumDec: org.apache.spark.sql.Column,
+                         n: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    floor((round(sumDec, 6).cast("decimal(24,6)") * lit(1000000)).cast("long").cast("double")
+      / (n.cast("double") * lit(100.0)) + lit(0.5)).cast("double") / lit(1e4)
 
   /** FLAGSHIP — the reference's core computation (energy_etl.py:69-70):
     * reduce each (day, group)'s records to one mean row. 24×+ volume cut
@@ -42,13 +61,12 @@ object Incremental {
       Tables.events(s, dir)
         .groupBy(to_date($"ts").as("date"), $"event_type")
         .agg(
-          r4(sum($"value".cast("decimal(28,10)")).cast("double") /
-            count(lit(1))).as("avg_value"),
+          r4a(sum($"value".cast("decimal(28,10)")), count(lit(1))).as("avg_value"),
           count(lit(1)).as("n"))
         .orderBy($"date", $"event_type")
     },
     """SELECT CAST(ts AS DATE) AS date, event_type,
-      |       FLOOR(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) * 10000 + 0.5) / 10000.0 AS avg_value,
+      |       FLOOR(CAST(CAST(CAST(ROUND(SUM(CAST(value AS DECIMAL(28,10))), 6) AS DECIMAL(24,6)) * 1000000 AS BIGINT) AS DOUBLE) / (COUNT(*) * 100.0) + 0.5) / 10000.0 AS avg_value,
       |       COUNT(*) AS n
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 
@@ -78,12 +96,11 @@ object Incremental {
       ev.filter(date_trunc("second", $"ts") > lit(wm))
         .groupBy(to_date($"ts").as("date"))
         .agg(count(lit(1)).as("n"),
-          r4(sum($"value".cast("decimal(28,10)")).cast("double") /
-            count(lit(1))).as("avg_value"))
+          r4a(sum($"value".cast("decimal(28,10)")), count(lit(1))).as("avg_value"))
         .orderBy($"date")
     },
     """SELECT CAST(ts AS DATE) AS date, COUNT(*) AS n,
-      |       FLOOR(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) * 10000 + 0.5) / 10000.0 AS avg_value
+      |       FLOOR(CAST(CAST(CAST(ROUND(SUM(CAST(value AS DECIMAL(28,10))), 6) AS DECIMAL(24,6)) * 1000000 AS BIGINT) AS DOUBLE) / (COUNT(*) * 100.0) + 0.5) / 10000.0 AS avg_value
       |FROM events
       |WHERE date_trunc('second', ts) >
       |      (SELECT MAX(date_trunc('second', ts)) FROM events
@@ -104,7 +121,7 @@ object Incremental {
         sum($"value".cast("decimal(28,10)")).as("s"),
         count(lit(1)).as("c"))
       val merge = Seq(
-        r4(sum($"s").cast("double") / sum($"c")).as("avg_value"),
+        r4a(sum($"s"), sum($"c")).as("avg_value"),
         sum($"c").as("n"))
       Scale.saltedAgg(
           Tables.events(s, dir),
@@ -113,7 +130,7 @@ object Incremental {
         .orderBy($"event_type")
     },
     """SELECT event_type,
-      |       FLOOR(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) * 10000 + 0.5) / 10000.0 AS avg_value,
+      |       FLOOR(CAST(CAST(CAST(ROUND(SUM(CAST(value AS DECIMAL(28,10))), 6) AS DECIMAL(24,6)) * 1000000 AS BIGINT) AS DOUBLE) / (COUNT(*) * 100.0) + 0.5) / 10000.0 AS avg_value,
       |       COUNT(*) AS n
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
 
@@ -125,13 +142,13 @@ object Incremental {
       Tables.events(s, dir)
         .groupBy(window($"ts", "1 day"), $"event_type")
         .agg(count(lit(1)).as("n"),
-          r4(sum($"value".cast("decimal(28,10)")).cast("double")).as("sval"))
+          r4s(sum($"value".cast("decimal(28,10)"))).as("sval"))
         .select($"window.start".cast("date").as("day"), $"event_type", $"n", $"sval")
         .orderBy($"day", $"event_type")
     },
     """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
       |       COUNT(*) AS n,
-      |       FLOOR(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) * 10000 + 0.5) / 10000.0 AS sval
+      |       CAST(ROUND(SUM(CAST(value AS DECIMAL(28,10))), 4) AS DOUBLE) AS sval
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 
   /** Sliding window (6h size, 3h slide): each event lands in exactly two
@@ -143,13 +160,13 @@ object Incremental {
       Tables.events(s, dir)
         .groupBy(window($"ts", "6 hours", "3 hours"), $"event_type")
         .agg(count(lit(1)).as("n"),
-          r4(sum($"value".cast("decimal(28,10)")).cast("double")).as("sval"))
+          r4s(sum($"value".cast("decimal(28,10)"))).as("sval"))
         .select($"window.start".cast("long").as("ws_epoch"), $"event_type",
           $"n", $"sval")
         .orderBy($"ws_epoch", $"event_type")
     },
     """SELECT ws_epoch, event_type, COUNT(*) AS n,
-      |       FLOOR(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) * 10000 + 0.5) / 10000.0 AS sval
+      |       CAST(ROUND(SUM(CAST(value AS DECIMAL(28,10))), 4) AS DOUBLE) AS sval
       |FROM (
       |  SELECT CAST(FLOOR(epoch(ts)/10800) AS BIGINT)*10800 - o.o*10800 AS ws_epoch,
       |         event_type, value
@@ -165,7 +182,7 @@ object Incremental {
       Tables.events(s, dir)
         .groupBy(session_window($"ts", "6 hours"), $"user_id")
         .agg(count(lit(1)).as("n"),
-          r4(sum($"value".cast("decimal(28,10)")).cast("double")).as("sval"))
+          r4s(sum($"value".cast("decimal(28,10)"))).as("sval"))
         .select($"user_id",
           $"session_window.start".cast("long").as("session_start"),
           $"n", $"sval")
@@ -185,7 +202,7 @@ object Incremental {
       |  FROM marked)
       |SELECT user_id, CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS session_start,
       |       COUNT(*) AS n,
-      |       FLOOR(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) * 10000 + 0.5) / 10000.0 AS sval
+      |       CAST(ROUND(SUM(CAST(value AS DECIMAL(28,10))), 4) AS DOUBLE) AS sval
       |FROM sessions GROUP BY user_id, sid
       |ORDER BY user_id, session_start""".stripMargin)
 
@@ -202,8 +219,7 @@ object Incremental {
       val ev = Tables.events(s, dir)
       val sparse = ev.filter($"value" > 250)
         .groupBy(to_date($"ts").as("d"), $"event_type")
-        .agg(r4(sum($"value".cast("decimal(28,10)")).cast("double") /
-          count(lit(1))).as("v"))
+        .agg(r4a(sum($"value".cast("decimal(28,10)")), count(lit(1))).as("v"))
       val bounds = ev.agg(min(to_date($"ts")).as("lo"), max(to_date($"ts")).as("hi"))
       val days = bounds
         .select(explode(sequence($"lo", $"hi", expr("interval 1 day"))).as("d"))
@@ -220,7 +236,7 @@ object Incremental {
     },
     """WITH sparse AS (
       |  SELECT CAST(ts AS DATE) AS d, event_type,
-      |         FLOOR(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) * 10000 + 0.5) / 10000.0 AS v
+      |         FLOOR(CAST(CAST(CAST(ROUND(SUM(CAST(value AS DECIMAL(28,10))), 6) AS DECIMAL(24,6)) * 1000000 AS BIGINT) AS DOUBLE) / (COUNT(*) * 100.0) + 0.5) / 10000.0 AS v
       |  FROM events WHERE value > 250 GROUP BY 1, 2),
       |days AS (
       |  SELECT CAST(UNNEST(generate_series(

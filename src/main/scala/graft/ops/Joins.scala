@@ -49,15 +49,15 @@ object Joins {
         .groupBy($"r_name", $"n_name")
         // decimal accumulation of the per-row double product: with the
         // fanned-out scan each group merges many partials, so the sum
-        // must not depend on merge order (Incremental.r4 discipline)
+        // must not depend on merge order (Incremental.r4s discipline)
         .agg(
-          Incremental.r4(sum(($"l_extendedprice" * (lit(1.0) - $"l_discount"))
-            .cast("decimal(28,10)")).cast("double")).as("rev"),
+          Incremental.r4s(sum(($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+            .cast("decimal(28,10)"))).as("rev"),
           count(lit(1)).as("n"))
         .orderBy($"r_name", $"n_name")
     },
     """SELECT r_name, n_name,
-      |       FLOOR(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))) AS DOUBLE) * 10000 + 0.5) / 10000.0 AS rev,
+      |       CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))), 4) AS DOUBLE) AS rev,
       |       COUNT(*) AS n
       |FROM lineitem
       |JOIN orders   ON l_orderkey = o_orderkey

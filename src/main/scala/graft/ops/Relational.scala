@@ -241,14 +241,20 @@ object Relational {
           // appears, and SUM over zero partials is NULL where the
           // oracle's COUNT(*) is 0
           coalesce(sum($"_n"), lit(0L)).as("n"),
-          Incremental.r4(sum($"_t").cast("double")).as("total"))
+          Incremental.r4s(sum($"_t")).as("total"))
         .orderBy($"gid", $"o_orderstatus".asc_nulls_first,
           $"o_orderpriority".asc_nulls_first)
     },
+    // gid derived from the null pattern, NOT multi-arg GROUPING():
+    // orders has no null status/priority, so NULL ⇔ grouped-out, and the
+    // CASE arithmetic is portable across every DuckDB build (the r3
+    // driver's build disagreed with local 1.0.0 on GROUPING() under
+    // GROUPING SETS — same engine output, red hash)
     """SELECT o_orderstatus, o_orderpriority,
-      |       CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+      |       CAST(CASE WHEN o_orderstatus IS NULL THEN 2 ELSE 0 END
+      |          + CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END AS BIGINT) AS gid,
       |       COUNT(*) AS n,
-      |       FLOOR(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10))) AS DOUBLE) * 10000 + 0.5) / 10000.0 AS total
+      |       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,10))), 4) AS DOUBLE) AS total
       |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
       |ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
 
@@ -265,14 +271,16 @@ object Relational {
           // appears, and SUM over zero partials is NULL where the
           // oracle's COUNT(*) is 0
           coalesce(sum($"_n"), lit(0L)).as("n"),
-          Incremental.r4(sum($"_t").cast("double")).as("total"))
+          Incremental.r4s(sum($"_t")).as("total"))
         .orderBy($"gid", $"o_orderstatus".asc_nulls_first,
           $"o_orderpriority".asc_nulls_first)
     },
+    // null-pattern gid + decimal ROUND: see q_rollup's oracle note
     """SELECT o_orderstatus, o_orderpriority,
-      |       CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+      |       CAST(CASE WHEN o_orderstatus IS NULL THEN 2 ELSE 0 END
+      |          + CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END AS BIGINT) AS gid,
       |       COUNT(*) AS n,
-      |       FLOOR(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10))) AS DOUBLE) * 10000 + 0.5) / 10000.0 AS total
+      |       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,10))), 4) AS DOUBLE) AS total
       |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
       |ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
 
@@ -373,21 +381,20 @@ object Relational {
       Tables.events(s, dir)
         .groupBy(to_date($"ts").as("date"))
         .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
-        .agg(Incremental.r4(sum($"value".cast("decimal(28,10)")).cast("double") /
-          count($"value")))
+        .agg(Incremental.r4a(sum($"value".cast("decimal(28,10)")), count($"value")))
         .orderBy($"date")
     },
     """SELECT CAST(ts AS DATE) AS date,
-      |       FLOOR(CAST(SUM(CAST(value AS DECIMAL(28,10))) FILTER (WHERE event_type='click') AS DOUBLE)
-      |             / COUNT(value) FILTER (WHERE event_type='click') * 10000 + 0.5) / 10000.0    AS click,
-      |       FLOOR(CAST(SUM(CAST(value AS DECIMAL(28,10))) FILTER (WHERE event_type='view') AS DOUBLE)
-      |             / COUNT(value) FILTER (WHERE event_type='view') * 10000 + 0.5) / 10000.0     AS view,
-      |       FLOOR(CAST(SUM(CAST(value AS DECIMAL(28,10))) FILTER (WHERE event_type='purchase') AS DOUBLE)
-      |             / COUNT(value) FILTER (WHERE event_type='purchase') * 10000 + 0.5) / 10000.0 AS purchase,
-      |       FLOOR(CAST(SUM(CAST(value AS DECIMAL(28,10))) FILTER (WHERE event_type='signup') AS DOUBLE)
-      |             / COUNT(value) FILTER (WHERE event_type='signup') * 10000 + 0.5) / 10000.0   AS signup,
-      |       FLOOR(CAST(SUM(CAST(value AS DECIMAL(28,10))) FILTER (WHERE event_type='error') AS DOUBLE)
-      |             / COUNT(value) FILTER (WHERE event_type='error') * 10000 + 0.5) / 10000.0    AS error
+      |       FLOOR(CAST(CAST(CAST(ROUND(SUM(CAST(value AS DECIMAL(28,10))) FILTER (WHERE event_type='click'), 6) AS DECIMAL(24,6)) * 1000000 AS BIGINT) AS DOUBLE)
+      |             / (COUNT(value) FILTER (WHERE event_type='click') * 100.0) + 0.5) / 10000.0    AS click,
+      |       FLOOR(CAST(CAST(CAST(ROUND(SUM(CAST(value AS DECIMAL(28,10))) FILTER (WHERE event_type='view'), 6) AS DECIMAL(24,6)) * 1000000 AS BIGINT) AS DOUBLE)
+      |             / (COUNT(value) FILTER (WHERE event_type='view') * 100.0) + 0.5) / 10000.0     AS view,
+      |       FLOOR(CAST(CAST(CAST(ROUND(SUM(CAST(value AS DECIMAL(28,10))) FILTER (WHERE event_type='purchase'), 6) AS DECIMAL(24,6)) * 1000000 AS BIGINT) AS DOUBLE)
+      |             / (COUNT(value) FILTER (WHERE event_type='purchase') * 100.0) + 0.5) / 10000.0 AS purchase,
+      |       FLOOR(CAST(CAST(CAST(ROUND(SUM(CAST(value AS DECIMAL(28,10))) FILTER (WHERE event_type='signup'), 6) AS DECIMAL(24,6)) * 1000000 AS BIGINT) AS DOUBLE)
+      |             / (COUNT(value) FILTER (WHERE event_type='signup') * 100.0) + 0.5) / 10000.0   AS signup,
+      |       FLOOR(CAST(CAST(CAST(ROUND(SUM(CAST(value AS DECIMAL(28,10))) FILTER (WHERE event_type='error'), 6) AS DECIMAL(24,6)) * 1000000 AS BIGINT) AS DOUBLE)
+      |             / (COUNT(value) FILTER (WHERE event_type='error') * 100.0) + 0.5) / 10000.0    AS error
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
 
   /** UNPIVOT — melt the per-type daily means back to long form (the
@@ -400,15 +407,14 @@ object Relational {
       Tables.events(s, dir)
         .groupBy(to_date($"ts").as("date"))
         .pivot("event_type", types)
-        .agg(Incremental.r4(sum($"value".cast("decimal(28,10)")).cast("double") /
-          count($"value")))
+        .agg(Incremental.r4a(sum($"value".cast("decimal(28,10)")), count($"value")))
         .unpivot(Array($"date"), types.map(col).toArray, "event_type", "avg_value")
         .orderBy($"date", $"event_type")
     },
     """WITH p AS (
       |  SELECT CAST(ts AS DATE) AS date, event_type,
-      |         FLOOR(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE)
-      |               / COUNT(value) * 10000 + 0.5) / 10000.0 AS avg_value
+      |         FLOOR(CAST(CAST(CAST(ROUND(SUM(CAST(value AS DECIMAL(28,10))), 6) AS DECIMAL(24,6)) * 1000000 AS BIGINT) AS DOUBLE)
+      |               / (COUNT(value) * 100.0) + 0.5) / 10000.0 AS avg_value
       |  FROM events GROUP BY 1, 2)
       |SELECT date, event_type, avg_value FROM p
       |ORDER BY date, event_type""".stripMargin)
@@ -705,8 +711,8 @@ object Relational {
     (s, dir) => {
       Tables.orders(s, dir).createOrReplaceTempView("orders_gsets")
       // finest-grouping pre-aggregate before the GROUPING SETS Expand
-      // (see ordersPreAgg) + decimal SUM with the explicit FLOOR
-      // rounding (Incremental.r4 formula): a double SUM would be
+      // (see ordersPreAgg) + decimal SUM rounded IN DECIMAL before the
+      // double cast (Incremental.r4s discipline): a double SUM would be
       // summation-order-dependent the moment orders is read as more
       // than one partition
       s.sql(
@@ -717,17 +723,24 @@ object Relational {
           |SELECT o_orderstatus, o_orderpriority,
           |       CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
           |       COALESCE(SUM(_n), 0) AS n,
-          |       FLOOR(CAST(SUM(_t) AS DOUBLE) * 10000 + 0.5) / 10000.0 AS total
+          |       CAST(ROUND(SUM(_t), 4) AS DOUBLE) AS total
           |FROM base
           |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
           |                        (o_orderstatus), (o_orderpriority), ())
           |ORDER BY gid, o_orderstatus ASC NULLS FIRST,
           |         o_orderpriority ASC NULLS FIRST""".stripMargin)
     },
+    // the r3 driver red: its DuckDB build disagreed with local 1.0.0 on
+    // multi-arg GROUPING() under a GROUPING SETS clause (rows matched,
+    // hash didn't; the engine parquet was bit-identical to green
+    // q_cube's). Driver-proofed by deriving gid from the null pattern —
+    // valid because orders has no null status/priority — and rounding
+    // the decimal sum in decimal before any double cast.
     """SELECT o_orderstatus, o_orderpriority,
-      |       CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+      |       CAST(CASE WHEN o_orderstatus IS NULL THEN 2 ELSE 0 END
+      |          + CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END AS BIGINT) AS gid,
       |       COUNT(*) AS n,
-      |       FLOOR(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10))) AS DOUBLE) * 10000 + 0.5) / 10000.0 AS total
+      |       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,10))), 4) AS DOUBLE) AS total
       |FROM orders
       |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
       |                        (o_orderstatus), (o_orderpriority), ())

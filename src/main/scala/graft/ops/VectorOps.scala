@@ -243,7 +243,7 @@ object VectorOps {
           posexplode($"embedding"))
         .groupBy($"label", ($"pos" + 1).cast("long").as("pos"))
         .agg(
-          Incremental.r4(sum($"col".cast("double").cast("decimal(28,10)")).cast("double") /
+          Incremental.r4a(sum($"col".cast("double").cast("decimal(28,10)")),
             count(lit(1))).as("centroid"),
           count(lit(1)).as("n"))
         .orderBy($"label", $"pos")
@@ -255,7 +255,7 @@ object VectorOps {
       |      FROM v CROSS JOIN (SELECT UNNEST(range(1, 100)) AS i) i
       |      WHERE i.i <= len(ve))
       |SELECT label, pos,
-      |       FLOOR(CAST(SUM(CAST(x AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) * 10000 + 0.5) / 10000.0 AS centroid,
+      |       FLOOR(CAST(CAST(CAST(ROUND(SUM(CAST(x AS DECIMAL(28,10))), 6) AS DECIMAL(24,6)) * 1000000 AS BIGINT) AS DOUBLE) / (COUNT(*) * 100.0) + 0.5) / 10000.0 AS centroid,
       |       COUNT(*) AS n
       |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 
