@@ -96,6 +96,51 @@ object Scale {
       .drop("_salt")
   }
 
+  /** Distributed running (prefix) sum — the two-level scan that replaces
+    * `Window.partitionBy(group).orderBy(order)`: that window funnels every
+    * row of a group through ONE task's sort (with ~10 language groups at
+    * the 100 TB target, a single-core scan of each language's whole
+    * share). Here the cumsum is computed within (group, block) slices —
+    * block = ⌊order/blockSpan⌋, so parallelism is |blocks|, not |groups| —
+    * then per-block totals (|blocks| tiny rows, not row data) are
+    * cumsum'd per group and the exclusive block offset is joined back on
+    * (group, block), a key the in-block window already partitioned by, so
+    * the join adds no exchange on the data side. Result is bit-identical
+    * to the single window: within a block the order is `order`, blocks
+    * are `order`-monotone, and long addition is associative.
+    *
+    * Returns df + `cumCol` = running sum of `valueCol` INCLUSIVE of the
+    * current row, in (group, order) order. `order` and `value` must be
+    * numeric and non-null; ties in `order` within a block are resolved by
+    * the window's stable ordering, and the row-level cumsum at a tie is
+    * order-dependent — pass a unique `order` key (same caveat as any
+    * running-total window). */
+  def blockedPrefixSum(
+      df: DataFrame,
+      groupCol: String,
+      orderCol: String,
+      valueCol: String,
+      cumCol: String,
+      blockSpan: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(blockSpan > 0, s"blockSpan must be positive; got $blockSpan")
+    val withBlk = df.withColumn("_blk",
+      floor(col(orderCol) / blockSpan).cast("long"))
+    val wIn = Window.partitionBy(col(groupCol), col("_blk"))
+      .orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inBlock = withBlk.withColumn("_incum", sum(col(valueCol)).over(wIn))
+    val wBlocks = Window.partitionBy(col(groupCol)).orderBy(col("_blk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = withBlk.groupBy(col(groupCol), col("_blk"))
+      .agg(sum(col(valueCol)).as("_btot"))
+      .withColumn("_boff", coalesce(sum(col("_btot")).over(wBlocks), lit(0L)))
+      .select(col(groupCol), col("_blk"), col("_boff"))
+    inBlock.join(offsets, Seq(groupCol, "_blk"))
+      .withColumn(cumCol, col("_incum") + col("_boff"))
+      .drop("_incum", "_boff", "_blk")
+  }
+
   /** Distributed exact rank-pick: for each group, return ONLY the rows
     * at the requested (1-based) sorted ranks of `valCol` — the
     * selection step of exact percentiles/medians WITHOUT a per-group

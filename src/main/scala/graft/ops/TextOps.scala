@@ -274,20 +274,23 @@ object TextOps {
     * token-budget bins (budget 512). A doc starts a new bin when the
     * RUNNING token total crosses a budget boundary, i.e. bin =
     * ⌊tokens-before-this-doc / budget⌋ — the offset-based packing rule,
-    * one window cumsum + one grouped agg, all exact integer arithmetic.
-    * Scale: one window per language partition (the pack order must be a
-    * total order per stream anyway); bins then aggregate map-side. At
-    * 100 TB the per-lang stream comes pre-sorted from the corpus
-    * partitioning, so the window is a streaming running frame. */
+    * all exact integer arithmetic.
+    * Scale: the running total is [[Scale.blockedPrefixSum]] — cumsum
+    * within (lang, doc-id block) slices in parallel, block offsets
+    * (tiny) cumsum'd per lang and joined back — NOT a per-lang window,
+    * whose one task per language would sort that language's entire
+    * share of the corpus (~10 langs ⇒ single-core TB scans at target
+    * scale). Bins then aggregate map-side. */
   private val seqPack = QueryDef(
     (s, dir) => {
       import s.implicits._
       val Budget = 512L
-      val w = Window.partitionBy($"lang").orderBy($"doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.documents(s, dir)
+      val toks = Tables.documents(s, dir)
         .select($"doc_id", $"lang", size(split($"text", " ")).cast("long").as("tok"))
-        .withColumn("cum", sum($"tok").over(w))
+      // blockSpan 64 exercises multiple blocks per lang at fixture
+      // scale; at corpus scale the span is sized so a block's rows fit
+      // one task comfortably (e.g. 1e6)
+      Scale.blockedPrefixSum(toks, "lang", "doc_id", "tok", "cum", 64L)
         .withColumn("bin", floor(($"cum" - $"tok") / Budget).cast("long"))
         .groupBy($"lang", $"bin")
         .agg(

@@ -76,6 +76,22 @@ class PlanSpec extends SparkSpec {
     assert(bnlj <= 2, s"unexpected BNLJ count $bnlj\n$p")
   }
 
+  test("q_seq_pack's row-data cumsum is blocked — no per-lang single-task window") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val df = SparkEntry.all("q_seq_pack").fn(spark, sf)
+    val wins = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty, "expected the two-level prefix-sum windows")
+    // a window over RAW rows (no Aggregate below it) must partition by
+    // (lang, block) — ≥2 keys; only the tiny block-offset window (fed by
+    // an Aggregate of per-block totals) may partition by lang alone
+    wins.foreach { w =>
+      val overRawRows = w.find { case _: Aggregate => true; case _ => false }.isEmpty
+      if (overRawRows)
+        assert(w.partitionSpec.size >= 2,
+          s"row-data window partitions by ${w.partitionSpec.mkString(",")}\n$w")
+    }
+  }
+
   test("q_dedup_ngram pair join is equi on the LSH (band, bucket) key") {
     val p = plan("q_dedup_ngram")
     val equiOnBand = p.linesIterator.exists(l =>

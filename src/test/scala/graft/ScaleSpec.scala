@@ -96,6 +96,31 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("blockedPrefixSum == single-window running sum, hub group included") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // skewed synthetic stream: group "hub" holds ~80% of all rows, ids
+    // are sparse/non-contiguous, values vary — the shape the two-level
+    // scan exists for
+    val rows = (0 until 400).map(i => ("hub", i.toLong * 3 + 1, (i % 17 + 1).toLong)) ++
+      (0 until 60).map(i => ("b", i.toLong * 7, (i % 5 + 1).toLong)) ++
+      (0 until 40).map(i => ("c", i.toLong, 2L))
+    val df = rows.toDF("g", "ord", "v").repartition(8)
+    val w = Window.partitionBy($"g").orderBy($"ord")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expected = df.withColumn("cum", sum($"v").over(w))
+      .select($"g", $"ord", $"cum")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // span 64 (many blocks), span 1 (block per id), span 1e9 (one block:
+    // degenerates to the plain window) must all agree
+    for (span <- Seq(64L, 1L, 1000000000L)) {
+      val actual = Scale.blockedPrefixSum(df, "g", "ord", "v", "cum", span)
+        .select($"g", $"ord", $"cum")
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(actual === expected, s"span=$span")
+    }
+  }
+
   test("saltedJoin == plain join row-for-row") {
     import spark.implicits._
     val l = spark.read.parquet(s"$sf/lineitem.parquet")
