@@ -61,6 +61,22 @@ object CorpusPipeline {
     docs.join(canonical.filter(col("kept") === 1L).select("doc_id"),
       Seq("doc_id"), "left_semi")
 
+  /** Build the (doc_id, canonical, kept) frame from verified near-dup
+    * pairs with the skew-resistant alternating-star CC
+    * ([[graft.ops.Scale.starCC]]) — the 100 TB transitive-policy path
+    * when a hub cluster would re-shuffle the propagation loop's hottest
+    * key every round. Same output contract as q_dedup_canonical. */
+  def canonicalStar(docs: DataFrame, nearPairs: DataFrame): DataFrame = {
+    val labels = graft.ops.Scale.starCC(nearPairs, "da", "db")
+      .withColumnRenamed("node", "doc_id")
+    docs.select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("lbl"), col("doc_id")).as("canonical"),
+        (col("doc_id") === coalesce(col("lbl"), col("doc_id")))
+          .cast("long").as("kept"))
+  }
+
   /** Full pipeline: returns per-stage counts and writes the surviving
     * corpus partitioned by lang. `nearPairs` comes from the verified
     * near-dup query (or any (da, db) pair frame). */

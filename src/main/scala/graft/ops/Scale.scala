@@ -96,6 +96,83 @@ object Scale {
       .drop("_salt")
   }
 
+  /** Skew-resistant connected components: the alternating large-star /
+    * small-star algorithm (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SoCC'14 — public). Each round rewires every
+    * edge toward its neighborhood minimum:
+    *   large-star: for node u with m = min(Γ(u) ∪ {u}), each neighbor
+    *               x > u re-links as (x, m);
+    *   small-star: each neighbor x < u re-links as (x, m), plus (u, m).
+    * The edge set converges in O(log n) rounds to stars centered at each
+    * component's minimum id. Versus min-label propagation (the
+    * q_dedup_canonical loop) the hot structures stay skew-safe: the
+    * neighborhood minimum is a map-side-combinable `min` aggregate (a
+    * 10^9-degree hub never materializes on one reducer), and a hub's
+    * spokes re-link directly to the minimum in one round instead of
+    * re-shuffling the hub key once per propagation round for
+    * diameter-many rounds.
+    *
+    * `pairs` = undirected edges (aCol, bCol), any orderable integer ids;
+    * self-loops and duplicates tolerated. Returns (node, lbl) — every
+    * node that appears in an edge, labeled with its component's min id.
+    * Isolated nodes never appear (same contract as the propagation
+    * loop: they are their own canonical by definition). */
+  def starCC(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 64): DataFrame = {
+    val init = pairs
+      .select(least(col(aCol), col(bCol)).cast("long").as("lo"),
+        greatest(col(aCol), col(bCol)).cast("long").as("hi"))
+      .filter(col("lo") =!= col("hi"))
+      .distinct()
+    def sym(e: DataFrame): DataFrame =
+      e.select(col("lo").as("u"), col("hi").as("v"))
+        .unionByName(e.select(col("hi").as("u"), col("lo").as("v")))
+    // m(u) = min(Γ(u) ∪ {u}) — partial-aggregatable, no reducer ever
+    // holds a whole neighborhood
+    def nbhdMin(s: DataFrame): DataFrame =
+      s.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+    def canon(e: DataFrame): DataFrame =
+      e.select(least(col("x"), col("m")).as("lo"),
+        greatest(col("x"), col("m")).as("hi"))
+        .filter(col("lo") =!= col("hi")).distinct()
+    // each round references the prior edge set ~10× (two sym()s, the
+    // nbhdMin joins, the delta union) — an eager localCheckpoint
+    // truncates the LOGICAL lineage per round, or analysis alone goes
+    // exponential in rounds (the cache only truncates execution). At
+    // cluster scale swap for reliable checkpointing to shared storage.
+    var cur = init.localCheckpoint(true)
+    var done = false
+    var iter = 0
+    while (!done && iter < maxIter) {
+      val sL = sym(cur)
+      val large = canon(sL.filter(col("v") > col("u"))
+        .join(nbhdMin(sL), "u")
+        .select(col("v").as("x"), col("m")))
+      val sS = sym(large)
+      val mS = nbhdMin(sS)
+      val small = canon(
+        sS.filter(col("v") < col("u")).join(mS, "u")
+          .select(col("v").as("x"), col("m"))
+          .unionByName(mS.select(col("u").as("x"), col("m"))))
+      val next = small.localCheckpoint(true)
+      // converged ⟺ symmetric difference empty: an edge in exactly one
+      // of {cur, next} surfaces as a group of count 1 (both are distinct
+      // sets) — one action per round
+      val delta = next.unionByName(cur)
+        .groupBy(col("lo"), col("hi")).count()
+        .filter(col("count") === 1).count()
+      cur = next
+      done = delta == 0
+      iter += 1
+    }
+    require(done, s"starCC did not converge in $iter rounds")
+    val labels = cur.select(col("hi").as("node"), col("lo").as("lbl"))
+      .unionByName(cur.select(col("lo").as("node"), col("lo").as("lbl")))
+      .distinct()
+    labels
+  }
+
   /** Distributed running (prefix) sum — the two-level scan that replaces
     * `Window.partitionBy(group).orderBy(order)`: that window funnels every
     * row of a group through ONE task's sort (with ~10 language groups at

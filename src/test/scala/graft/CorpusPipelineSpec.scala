@@ -35,6 +35,17 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(out.groupBy("text").count().filter(col("count") > 1).count() === 0)
   }
 
+  test("canonicalStar (large/small-star CC) == q_dedup_canonical's propagation") {
+    val docs = Tables.documents(spark, sf)
+    val nearPairs = SparkEntry.all("q_dedup_near").fn(spark, sf)
+      .select(col("da"), col("db"))
+    val star = CorpusPipeline.canonicalStar(docs, nearPairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val prop = SparkEntry.all("q_dedup_canonical").fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(star === prop)
+  }
+
   test("transitive (canonical) near-dedup keeps exactly the cluster canonicals") {
     val docs = Tables.documents(spark, sf)
     val canonical = SparkEntry.all("q_dedup_canonical").fn(spark, sf)

@@ -96,6 +96,41 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("starCC labels == union-find ground truth: hub, chain, random, cliques") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // hub cluster (node 1000 center, 300 spokes — the skew shape),
+    // a 64-node path (forces O(log) star rounds), a few dense cliques,
+    // random sparse edges, duplicate + reversed + self-loop noise
+    val hub = (1 to 300).map(i => (1000L, 1000L + i))
+    val path = (0 until 63).map(i => (2000L + i, 2000L + i + 1))
+    val cliques = (0 until 3).flatMap { c =>
+      val ids = (0 to 5).map(i => 3000L + c * 10 + i)
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    }
+    val sparse = (1 to 120).map { _ =>
+      val a = rnd.nextInt(200).toLong; val b = rnd.nextInt(200).toLong; (a, b)
+    }
+    val noise = hub.take(5).map(_.swap) ++ Seq((42L, 42L)) ++ path.take(3)
+    val edges = hub ++ path ++ cliques ++ sparse ++ noise
+    // driver-side union-find reference
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      .filter(n => edges.exists(e => (e._1 == n || e._2 == n) && e._1 != e._2))
+      .map(n => n -> find(n)).toMap
+    val actual = Scale.starCC(edges.toDF("da", "db").repartition(8), "da", "db")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(actual === expected)
+  }
+
   test("blockedPrefixSum == single-window running sum, hub group included") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
