@@ -19,9 +19,15 @@ import org.apache.spark.sql.types._
   *  - the hourly→daily reduction is a partial-agg hash aggregate: the
   *    shuffle carries |days × groups| partial states, a ~24× cut before any
   *    exchange (mirrors the reference's in-process mean, energy_etl.py:69);
-  *  - append is idempotent per run directory; exactly-once at scale comes
-  *    from the streaming variant's checkpoint (graft.streaming.Streams),
-  *    matching the reference's at-least-once WRITE_APPEND (:105).
+  *  - the write side has two modes: blind append (the reference's
+  *    WRITE_APPEND, :105 — at-least-once, duplicates on crash replay,
+  *    [[readDeduped]] recovers on read) and date-keyed DYNAMIC PARTITION
+  *    OVERWRITE (`overwritePartitions = true`) — replaying a delta
+  *    rewrites exactly its own date partitions with identical content,
+  *    so retries are idempotent WRITE-side, closing the reference's one
+  *    semantic hole. A `reprocessDays` overlap window rolls the
+  *    watermark back n days each run, making partial-write damage
+  *    self-healing (the standard reprocessing-window idiom).
   */
 object Pipeline {
 
@@ -51,6 +57,13 @@ object Pipeline {
     * @param events    source with (ts timestamp, group col, value double)
     * @param groupCol  the per-group key column name (reference's zone)
     * @param loadDate  injected deterministic "now" (reference's utcnow :100)
+    * @param overwritePartitions  true → date-keyed dynamic partition
+    *                  overwrite (idempotent replay); false → the
+    *                  reference's blind append
+    * @param reprocessDays  roll the watermark back n days so each run
+    *                  recomputes-and-overwrites a trailing window —
+    *                  self-healing against partial writes; only sound
+    *                  with `overwritePartitions` (asserted)
     */
   def runIncremental(
       spark: SparkSession,
@@ -58,8 +71,14 @@ object Pipeline {
       groupCol: String,
       sinkDir: String,
       loadDate: java.sql.Date,
-      coldStartLookbackDays: Option[Int] = None): Long = {
+      coldStartLookbackDays: Option[Int] = None,
+      overwritePartitions: Boolean = false,
+      reprocessDays: Int = 0): Long = {
+    require(reprocessDays == 0 || overwritePartitions,
+      "reprocessDays without overwritePartitions would append duplicate days")
     val wm = watermark(spark, sinkDir)
+      .map(d => if (reprocessDays == 0) d
+        else java.sql.Date.valueOf(d.toLocalDate.minusDays(reprocessDays.toLong)))
     val delta = wm match {
       case Some(d) => events.filter(to_date(col("ts")) > lit(d))
       case None => coldStartLookbackDays match {
@@ -86,10 +105,23 @@ object Pipeline {
       .select(sinkSchema.fields.map(f => col(f.name).cast(f.dataType).as(f.name))
         .toIndexedSeq: _*)
 
-    daily.write
-      .partitionBy("date")
-      .mode(SaveMode.Append)
-      .parquet(sinkDir)
+    if (overwritePartitions) {
+      // dynamic mode replaces ONLY the partitions present in `daily`
+      // (an empty delta touches nothing); static overwrite would drop
+      // the whole sink
+      val key = "spark.sql.sources.partitionOverwriteMode"
+      val prev = spark.conf.get(key, "static")
+      spark.conf.set(key, "dynamic")
+      try daily.write
+        .partitionBy("date")
+        .mode(SaveMode.Overwrite)
+        .parquet(sinkDir)
+      finally spark.conf.set(key, prev)
+    } else
+      daily.write
+        .partitionBy("date")
+        .mode(SaveMode.Append)
+        .parquet(sinkDir)
     spark.read.parquet(sinkDir)
       .filter(col("load_date") === lit(loadDate)).count()
   }

@@ -43,6 +43,59 @@ class PipelineSpec extends SparkSpec {
     assert(Pipeline.watermark(spark, sink) === Some(Date.valueOf("2024-01-02")))
   }
 
+  test("partition-overwrite mode: replaying the same delta leaves the table identical") {
+    val sink = Files.createTempDirectory("graft_once").toString + "/t"
+    val day1 = events(Seq(
+      ("2024-01-01 01:00:00", "SE1", 10.0), ("2024-01-01 02:00:00", "SE1", 20.0),
+      ("2024-01-02 01:00:00", "SE2", 5.0)))
+    def snapshot() = spark.read.parquet(sink)
+      .select(col("date").cast("string"), col("group_key"), col("avg_value"),
+        col("n"), col("load_date").cast("string"))
+      .collect().map(_.toSeq).sortBy(_.toString)
+
+    Pipeline.runIncremental(spark, day1, "zone", sink, Date.valueOf("2024-01-03"),
+      overwritePartitions = true)
+    val once = snapshot()
+    assert(once.length === 2)
+    // crash replay: the watermark has advanced, so the retry rolls it
+    // back over the whole delta and overwrites the same date partitions
+    Pipeline.runIncremental(spark, day1, "zone", sink, Date.valueOf("2024-01-03"),
+      overwritePartitions = true, reprocessDays = 5)
+    assert(snapshot() === once) // no duplicates, bit-identical rows
+    // …whereas the reference's blind append would have doubled the rows
+  }
+
+  test("partition-overwrite replaces only the delta's own date partitions") {
+    val sink = Files.createTempDirectory("graft_dyn").toString + "/t"
+    Pipeline.runIncremental(spark,
+      events(Seq(("2024-01-01 01:00:00", "SE1", 10.0))),
+      "zone", sink, Date.valueOf("2024-01-02"), overwritePartitions = true)
+    // late-corrected day-2 data arrives twice (retry with revision):
+    // the day-2 partition is replaced, day 1 is untouched
+    Pipeline.runIncremental(spark,
+      events(Seq(("2024-01-02 01:00:00", "SE1", 30.0))),
+      "zone", sink, Date.valueOf("2024-01-03"), overwritePartitions = true)
+    Pipeline.runIncremental(spark,
+      events(Seq(("2024-01-02 01:00:00", "SE1", 50.0))),
+      "zone", sink, Date.valueOf("2024-01-04"), overwritePartitions = true,
+      reprocessDays = 1)
+    val m = spark.read.parquet(sink)
+      .select(col("date").cast("string"), col("avg_value"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(m.size === 2) // one row per day — the revision did not append
+    assert(m("2024-01-01") === 10.0) // untouched partition
+    assert(m("2024-01-02") === 50.0) // replaced with the revision
+  }
+
+  test("reprocessDays without overwritePartitions is rejected") {
+    val sink = Files.createTempDirectory("graft_guard").toString + "/t"
+    intercept[IllegalArgumentException] {
+      Pipeline.runIncremental(spark,
+        events(Seq(("2024-01-01 01:00:00", "SE1", 1.0))),
+        "zone", sink, Date.valueOf("2024-01-02"), reprocessDays = 3)
+    }
+  }
+
   test("sink enforces the declared schema") {
     val sink = Files.createTempDirectory("graft_sink2").toString + "/t"
     Pipeline.runIncremental(spark, events(Seq(("2024-01-01 01:00:00", "SE1", 1.0))),
