@@ -528,10 +528,35 @@ object TextDedup {
     * distinct word-3-gram shingle hashes with ANY eval doc. Shingle
     * overlap (not exact text match) is the standard contamination
     * signal — it survives light paraphrase. Scale: eval-set shingles
-    * are a tiny distinct set (broadcast side of the hash-equi join);
-    * training shingles stream through map-side, grouped counts
-    * aggregate partially. Reuses the memoized [[hashedShingles]]
-    * pipeline. */
+    * are USUALLY a tiny distinct set, but the broadcast is guarded by
+    * [[contaminationFlags]] — a large eval registry falls back to a
+    * plain equi join instead of blowing the broadcast budget. Training
+    * shingles stream through map-side, grouped counts aggregate
+    * partially. Reuses the memoized [[hashedShingles]] pipeline. */
+
+  /** Flag training docs sharing ≥ `minShared` shingle hashes with the
+    * eval set. The eval side is broadcast ONLY while its distinct
+    * shingle count is within `broadcastLimit` (the count is one cheap
+    * job over the already-computed shingle lineage — the "tiny eval
+    * set" assumption is data-dependent and must be checked, not
+    * assumed); above it the join runs unhinted, so the planner/AQE
+    * shuffle it like any fact-fact equi join. */
+  private[graft] def contaminationFlags(
+      train: DataFrame, evalSh: DataFrame,
+      minShared: Long, broadcastLimit: Long): DataFrame = {
+    val evalSide =
+      if (evalSh.count() <= broadcastLimit) broadcast(evalSh) else evalSh
+    // per-doc arrays are distinct and evalSh is distinct, so the join
+    // preserves multiplicity 1 and a plain count IS the shared-shingle
+    // count
+    train.join(evalSide, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .select(col("doc_id"), col("n_shared"))
+      .orderBy(col("doc_id"))
+  }
+
   private val contamination = QueryDef(
     (s, dir) => {
       import s.implicits._
@@ -539,16 +564,9 @@ object TextDedup {
         .select($"doc_id", explode($"hs").as("h"))
       val evalSh = exploded.filter($"doc_id" % 50 === 0)
         .select($"h").distinct()
-      // per-doc arrays are distinct and evalSh is distinct, so the join
-      // preserves multiplicity 1 and a plain count IS the shared-shingle
-      // count
-      exploded.filter($"doc_id" % 50 =!= 0)
-        .join(broadcast(evalSh), "h")
-        .groupBy($"doc_id")
-        .agg(count(lit(1)).as("n_shared"))
-        .filter($"n_shared" >= 3)
-        .select($"doc_id", $"n_shared")
-        .orderBy($"doc_id")
+      // ~40 MB of longs: far above any fixture, far below driver memory
+      contaminationFlags(exploded.filter($"doc_id" % 50 =!= 0), evalSh,
+        minShared = 3, broadcastLimit = 5000000L)
     },
     oracleShingleBase + """,
       |ev AS (SELECT DISTINCT h FROM hashed WHERE doc_id % 50 = 0),

@@ -94,6 +94,32 @@ class SourcesAggregatesSpec extends SparkSpec {
     }
   }
 
+  test("contamination broadcast guard: shuffle fallback matches the broadcast path") {
+    import spark.implicits._
+    import graft.ops.TextDedup
+    val train = (1L to 400L)
+      .flatMap(d => (0 until 6).map(k => (d, (d * 7 + k) % 97)))
+      .toDF("doc_id", "h")
+    val evalSh = (0L until 97L by 3L).toDF("h").distinct()
+    def run(limit: Long) =
+      TextDedup.contaminationFlags(train, evalSh, minShared = 2, broadcastLimit = limit)
+    val generous = run(Long.MaxValue)
+    assert(generous.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    val a = generous.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // above the limit the eval side carries no broadcast hint — with
+    // auto-broadcast off (as a genuinely large side would be), the join
+    // shuffles and still returns the identical flags
+    val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val forcedShuffle = run(0L)
+      assert(!forcedShuffle.queryExecution.executedPlan.toString.contains("Broadcast"))
+      val b = forcedShuffle.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(a === b)
+      assert(a.nonEmpty)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+  }
+
   test("approx_count_distinct lands within its rsd envelope") {
     import spark.implicits._
     val r = SparkEntry.all("q_agg_approx").fn(spark, sf)
