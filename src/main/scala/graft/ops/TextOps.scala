@@ -326,7 +326,10 @@ object TextOps {
   private val corpusMix = QueryDef(
     (s, dir) => {
       import s.implicits._
-      val srcNum = regexp_replace($"source", "[^0-9]", "").cast("long")
+      // '0'-prefix makes the extraction total: a digitless source yields
+      // 0 (even) on BOTH engines, instead of Spark casting '' to NULL
+      // while DuckDB raises — and a leading zero never changes the value
+      val srcNum = concat(lit("0"), regexp_replace($"source", "[^0-9]", "")).cast("long")
       val rate = when(srcNum % 2 === 0, 800L).otherwise(300L)
       // same overflow guard as q_sample_stratified's hash order
       val draw = (($"doc_id" % 1000000007L) * 2654435761L) % 1000L
@@ -345,7 +348,7 @@ object TextOps {
     """WITH drawn AS (
       |  SELECT doc_id, source,
       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
-      |         CASE WHEN CAST(regexp_replace(source, '[^0-9]', '', 'g') AS BIGINT) % 2 = 0
+      |         CASE WHEN CAST('0' || regexp_replace(source, '[^0-9]', '', 'g') AS BIGINT) % 2 = 0
       |              THEN 800 ELSE 300 END AS rate,
       |         ((doc_id % 1000000007) * 2654435761) % 1000 AS draw
       |  FROM documents)

@@ -87,15 +87,19 @@ object Streams {
 
   /** Always-on polling ingest — the reference's SCHEDULED fetch loop
     * (cron → energy_etl.py run) as a live streaming query: a rate
-    * source fires one tick per trigger interval, and foreachBatch runs
-    * the caller's fetch-and-transform closure (typically
-    * HttpSource.fetch over watermark-derived URLs → parse → daily mean,
-    * i.e. Pipeline.runIncremental's body) and appends the result to the
-    * sink exactly once per tick. The checkpoint makes tick processing
-    * restart-safe; idempotence of re-fetching a tick after a crash is
-    * the caller's contract exactly as it is the reference's (its
-    * watermark re-read makes a re-run a no-op). `fetchBatch` receives
-    * the tick number; returning an empty frame skips the write.
+    * source fires ticks, and foreachBatch runs the caller's
+    * fetch-and-transform closure (typically HttpSource.fetch over
+    * watermark-derived URLs → parse → daily mean, i.e.
+    * Pipeline.runIncremental's body) once per MICRO-BATCH — a batch can
+    * absorb several rate ticks if fetching outlasts the trigger
+    * interval. The append is AT-LEAST-ONCE: after a crash the
+    * checkpoint replays the unacknowledged batch and the closure runs
+    * again for the same batchId, so exactly-once is the CALLER's
+    * contract — key the fetch off a re-read watermark (a replayed run
+    * becomes a no-op, the reference's own recipe) or write via
+    * Pipeline.runIncremental's partition-overwrite mode keyed by date.
+    * `fetchBatch` receives the batch id; returning an empty frame skips
+    * the write.
     * Returns the started query — caller owns awaitTermination/stop. */
   def pollingIngest(
       ticks: DataFrame, // a rate source (or MemoryStream in tests)
