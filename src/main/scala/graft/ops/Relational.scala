@@ -320,15 +320,26 @@ object Relational {
         val pos = pct * (n - 1).toDouble
         Seq(math.floor(pos).toLong + 1, math.ceil(pos).toLong + 1)
       }
-      val pq = Scale.rankPick(s, li.select($"l_returnflag", $"q"),
-        "l_returnflag", "q",
-        n => (contRanks(0.5)(n) :+ math.ceil(0.5 * n).toLong).distinct,
-        precounted = Some(counted))
-      val pp = Scale.rankPick(s, li.select($"l_returnflag", $"p"),
-        "l_returnflag", "p", n => contRanks(0.9)(n).distinct,
-        precounted = Some(counted))
-      val picked = pq.select($"l_returnflag", $"rn", $"q".as("v"), lit("q").as("w"))
-        .unionByName(pp.select($"l_returnflag", $"rn", $"p".as("v"), lit("p").as("w")))
+      // BOTH measures share ONE global range sort: melt to a composite
+      // "flag|measure" group key and give each composite its own rank
+      // set (rankPickBy) — one sort + one zipWithIndex instead of two.
+      // Composite order == Spark's sort order: flags ascend (counted is
+      // engine-sorted) and '|p' < '|q' in binary UTF8.
+      val melted = li
+        .select(concat($"l_returnflag", lit("|p")).as("gk"), $"p".as("v"))
+        .unionByName(li
+          .select(concat($"l_returnflag", lit("|q")).as("gk"), $"q".as("v")))
+      val meltCounts = counted.flatMap { case (f, n) =>
+        Seq(s"$f|p" -> n, s"$f|q" -> n)
+      }
+      val picked = Scale.rankPickBy(s, melted, "gk", "v",
+          (g, n) =>
+            if (g.endsWith("|q"))
+              (contRanks(0.5)(n) :+ math.ceil(0.5 * n).toLong).distinct
+            else contRanks(0.9)(n).distinct,
+          precounted = Some(meltCounts))
+        .select(substring_index($"gk", "|", 1).as("l_returnflag"), $"rn",
+          $"v", substring_index($"gk", "|", -1).as("w"))
         .join(broadcast(counts), "l_returnflag")
       def pos(pct: Double) = lit(pct) * ($"n" - 1).cast("double")
       // contribution of the picked row with (1-based) rank rn to the

@@ -254,6 +254,20 @@ object Scale {
       groupCol: String,
       valCol: String,
       ranksFor: Long => Seq[Long],
+      precounted: Option[Seq[(String, Long)]] = None): DataFrame =
+    rankPickBy(spark, df, groupCol, valCol, (_, n) => ranksFor(n), precounted)
+
+  /** [[rankPick]] with GROUP-AWARE target ranks — lets several logical
+    * rank-picks share ONE global sort: melt the measures into a single
+    * (composite group, value) frame and give each composite its own rank
+    * set (q_percentile fuses its two measures this way, halving the
+    * sort/zipWithIndex job count). */
+  def rankPickBy(
+      spark: SparkSession,
+      df: DataFrame,
+      groupCol: String,
+      valCol: String,
+      ranksFor: (String, Long) => Seq[Long],
       precounted: Option[Seq[(String, Long)]] = None): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
@@ -278,7 +292,7 @@ object Scale {
       (g, acc + n)
     }.sliding(2).collect { case Seq((_, off), (g, _)) => g -> off }.toMap
     val targets: Map[String, Set[Long]] =
-      counts.map { case (g, n) => g -> ranksFor(n).toSet }.toMap
+      counts.map { case (g, n) => g -> ranksFor(g, n).toSet }.toMap
     val sorted = df.select(col(groupCol), col(valCol).cast("double"))
       .sort(col(groupCol), col(valCol))
     val offB = spark.sparkContext.broadcast((offsets, targets))
