@@ -43,6 +43,36 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Environment probe for oracle-engine forensics (r3's red was a
+    // driver-DuckDB-build divergence diagnosable only by rerunning):
+    // probe SQL + the values DuckDB 1.0.0 returns locally, in a
+    // SEPARATE file so the driver's compare loop never executes it as a
+    // phantom query. tools/check.py runs the probes and flags any delta
+    // — a future driver-vs-local hash divergence is then explainable
+    // from artifacts alone by running these statements on that build.
+    val probes = Seq(
+      ("duckdb_version", "SELECT version() AS v", "(build-specific)"),
+      ("grouping_multiarg_under_sets",
+        "SELECT CAST(GROUPING(a, b) AS BIGINT) AS gid FROM (VALUES (1, 2)) t(a, b) " +
+          "GROUP BY GROUPING SETS ((a, b), (a), (b), ()) ORDER BY 1",
+        "0,1,2,3"),
+      ("grouping_multiarg_under_cube",
+        "SELECT CAST(GROUPING(a, b) AS BIGINT) AS gid FROM (VALUES (1, 2)) t(a, b) " +
+          "GROUP BY CUBE (a, b) ORDER BY 1",
+        "0,1,2,3"),
+      ("decimal_round_half",
+        "SELECT CAST(ROUND(CAST(1.00005 AS DECIMAL(28,10)), 4) AS DOUBLE) AS v",
+        "1.0001"),
+      ("decimal_neg_round_half",
+        "SELECT CAST(ROUND(CAST(-1.00005 AS DECIMAL(28,10)), 4) AS DOUBLE) AS v",
+        "-1.0001"),
+      ("big_unscaled_double_cast",
+        "SELECT CAST(CAST(123456789.0123456789 AS DECIMAL(28,10)) AS DOUBLE) AS v",
+        "123456789.01234567"))
+    val probeJson = probes.map { case (k, sql, local) =>
+      s"${q(k)}: {${q("sql")}: ${q(sql)}, ${q("local_1_0_0")}: ${q(local)}}"
+    }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/env_probe.json"), probeJson)
     spark.stop()
   }
 }

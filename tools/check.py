@@ -73,6 +73,23 @@ def main():
         else:
             print(f"PASS {name} ({len(exp)} rows)")
             n_pass += 1
+    # oracle-engine environment probe (written by Verify): run each probe
+    # on THIS DuckDB and flag any drift from the pinned local-1.0.0
+    # answers — the r3 grouping-sets red was exactly such a build delta
+    try:
+        probes = json.load(open(f"{out}/env_probe.json"))
+    except Exception:
+        probes = {}
+    for name, p in probes.items():
+        try:
+            rows = con.execute(p["sql"]).fetchall()
+            got = ",".join(cell(v) for r in rows for v in r)
+        except Exception as e:
+            got = f"error: {str(e)[:120]}"
+        pinned = p.get("local_1_0_0", "")
+        tag = "ok" if (got == pinned or pinned == "(build-specific)") \
+            else "DRIFT"
+        print(f"PROBE {name}: {got} [{tag}]")
     print(f"== {n_pass} pass, {n_fail} fail ==")
     sys.exit(1 if n_fail else 0)
 
