@@ -357,7 +357,138 @@ object TextOps {
       |FROM drawn WHERE draw < rate
       |GROUP BY source ORDER BY source""".stripMargin)
 
+  /** Within-document repetition metrics — the published repetition
+    * filters of large-corpus curation (Gopher's repetition rules /
+    * C4-style dedup heuristics, public papers): top-word fraction and
+    * duplicate word-2/3-gram fractions. High values mark degenerate
+    * boilerplate/spam for removal before training. Scale: the n-gram
+    * fractions are narrow array arithmetic (no shuffle); the top-word
+    * fraction is explode → two-level partial-agg counts — only
+    * (doc, word) partials shuffle, never text. */
+  private val textRepetition = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.spread(Tables.documents(s, dir), "doc_id")
+      val w = split($"text", " ")
+      val n = size(w)
+      // equal-length slices zip into n-grams with NO padding entries;
+      // greatest(.,0) keeps short docs total (empty lists, 0.0 fracs)
+      val m2 = greatest(n - 1, lit(0))
+      val m3 = greatest(n - 2, lit(0))
+      val bg = zip_with(slice(w, lit(1), m2), slice(w, lit(2), m2),
+        (a, b) => concat_ws(" ", a, b))
+      val tg = zip_with(
+        zip_with(slice(w, lit(1), m3), slice(w, lit(2), m3), (a, b) => concat_ws(" ", a, b)),
+        slice(w, lit(3), m3), (ab, c) => concat_ws(" ", ab, c))
+      def dupFrac(grams: Column): Column =
+        when(size(grams) > 0,
+          round(lit(1.0) -
+            size(array_distinct(grams)).cast("double") /
+              size(grams).cast("double"), 4))
+          .otherwise(lit(0.0))
+      val gramStats = docs.select(
+        $"doc_id", n.cast("long").as("n_words"),
+        dupFrac(bg).as("dup_bigram_frac"),
+        dupFrac(tg).as("dup_trigram_frac"))
+      val topWord = docs.select($"doc_id", explode(w).as("wd"))
+        .groupBy($"doc_id", $"wd").agg(count(lit(1)).as("c"))
+        .groupBy($"doc_id")
+        .agg(max($"c").as("top_c"), sum($"c").as("nw"))
+        .select($"doc_id",
+          round($"top_c".cast("double") / $"nw".cast("double"), 4)
+            .as("top_word_frac"))
+      gramStats.join(topWord, "doc_id")
+        .select($"doc_id", $"n_words", $"top_word_frac",
+          $"dup_bigram_frac", $"dup_trigram_frac")
+        .orderBy($"doc_id")
+    },
+    """WITH b AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |g AS (
+      |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+      |         list_transform(
+      |           list_zip(ws[1:greatest(len(ws)-1,0)], ws[2:len(ws)]),
+      |           p -> p[1] || ' ' || p[2]) AS bg,
+      |         list_transform(
+      |           list_zip(ws[1:greatest(len(ws)-2,0)],
+      |                    ws[2:greatest(len(ws)-1,1)], ws[3:len(ws)]),
+      |           p -> p[1] || ' ' || p[2] || ' ' || p[3]) AS tg
+      |  FROM b),
+      |t AS (
+      |  SELECT doc_id, MAX(c) AS top_c, SUM(c) AS nw FROM (
+      |    SELECT doc_id, wd, COUNT(*) AS c
+      |    FROM (SELECT doc_id, UNNEST(ws) AS wd FROM b)
+      |    GROUP BY 1, 2)
+      |  GROUP BY doc_id)
+      |SELECT g.doc_id, n_words,
+      |       ROUND(CAST(top_c AS DOUBLE) / nw, 4) AS top_word_frac,
+      |       CASE WHEN len(bg) > 0
+      |            THEN ROUND(1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg), 4)
+      |            ELSE 0.0 END AS dup_bigram_frac,
+      |       CASE WHEN len(tg) > 0
+      |            THEN ROUND(1.0 - CAST(len(list_distinct(tg)) AS DOUBLE) / len(tg), 4)
+      |            ELSE 0.0 END AS dup_trigram_frac
+      |FROM g JOIN t ON g.doc_id = t.doc_id ORDER BY g.doc_id""".stripMargin)
+
+  /** Gopher-style document filter (Rae et al. 2021, public) — the
+    * canonical keep/drop rule set: word count in [50, 100k], mean word
+    * length in [3, 10], ≥ 2 distinct stopwords, ≥ 80% words containing
+    * an alphabetic character; keep = all pass. Per-flag output so a
+    * curation run can report WHY a doc dropped, not just that it did.
+    * Scale: one narrow projection, no shuffle — mean word length uses
+    * the exact identity chars-minus-separators over n. */
+  private val gopherFilter = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val stop = Seq("the", "a", "of", "and", "to", "in", "is")
+      val w = split($"text", " ")
+      val n = size(w).cast("long")
+      val meanLen = (length($"text") - (n - 1)).cast("double") / n.cast("double")
+      val alphaFrac = size(filter(w, x => x.rlike("[A-Za-z]"))).cast("double") /
+        n.cast("double")
+      val nStopD = size(array_intersect(array_distinct(w),
+        array(stop.map(lit): _*))).cast("long")
+      Tables.spread(Tables.documents(s, dir), "doc_id")
+        .select(
+          $"doc_id", n.as("n_words"),
+          round(meanLen, 4).as("mean_word_len"),
+          round(alphaFrac, 4).as("alpha_frac"),
+          nStopD.as("n_stop_distinct"),
+          (n >= 50 && n <= 100000).cast("long").as("wc_ok"),
+          (meanLen >= 3.0 && meanLen <= 10.0).cast("long").as("wlen_ok"),
+          (nStopD >= 2).cast("long").as("stop_ok"),
+          (alphaFrac >= 0.8).cast("long").as("alpha_ok"),
+          (n >= 50 && n <= 100000 && meanLen >= 3.0 && meanLen <= 10.0 &&
+            nStopD >= 2 && alphaFrac >= 0.8).cast("long").as("keep"))
+        .orderBy($"doc_id")
+    },
+    """WITH b AS (
+      |  SELECT doc_id, text, string_split(text, ' ') AS ws,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, n,
+      |         CAST(length(text) - (n - 1) AS DOUBLE) / n AS mean_len,
+      |         CAST(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+      |           / n AS alpha_frac,
+      |         CAST(len(list_intersect(list_distinct(ws),
+      |           ['the','a','of','and','to','in','is'])) AS BIGINT) AS n_stop_d
+      |  FROM b)
+      |SELECT doc_id, n AS n_words,
+      |       ROUND(mean_len, 4) AS mean_word_len,
+      |       ROUND(alpha_frac, 4) AS alpha_frac,
+      |       n_stop_d AS n_stop_distinct,
+      |       CAST(n >= 50 AND n <= 100000 AS BIGINT) AS wc_ok,
+      |       CAST(mean_len >= 3.0 AND mean_len <= 10.0 AS BIGINT) AS wlen_ok,
+      |       CAST(n_stop_d >= 2 AS BIGINT) AS stop_ok,
+      |       CAST(alpha_frac >= 0.8 AS BIGINT) AS alpha_ok,
+      |       CAST(n >= 50 AND n <= 100000 AND mean_len >= 3.0 AND mean_len <= 10.0
+      |            AND n_stop_d >= 2 AND alpha_frac >= 0.8 AS BIGINT) AS keep
+      |FROM c ORDER BY doc_id""".stripMargin)
+
   val defs: Seq[(String, QueryDef)] = Seq(
+    "q_text_repetition" -> textRepetition,
+    "q_gopher_filter" -> gopherFilter,
     "q_text_stats" -> textStats,
     "q_dedup_exact" -> dedupExact,
     "q_text_tokens" -> textTokens,
