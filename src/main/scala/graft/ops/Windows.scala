@@ -204,11 +204,78 @@ object Windows {
       |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
       |ORDER BY o_orderstatus, o_orderkey""".stripMargin)
 
+  /** SCD2 interval CONSTRUCTION from a change stream — the builder for
+    * the dimension q_scd_join consumes: collapse consecutive
+    * same-attribute events per user (lag ≠ current), then derive
+    * [valid_from, valid_to) from lead() over the surviving changes;
+    * open interval = current version. Timestamps emit as epoch seconds
+    * (SURVEY.md §7.4 ns rule); ordering keys are unique (ts, event_id).
+    * Scale: both windows partition by the high-cardinality user_id —
+    * one shuffle, per-partition sorts. */
+  private val scdBuild = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      Tables.events(s, dir)
+        .select($"user_id", $"event_type", $"ts", $"event_id")
+        .withColumn("prev", lag($"event_type", 1).over(w))
+        .filter($"prev".isNull || $"prev" =!= $"event_type")
+        .withColumn("valid_from", $"ts".cast("long"))
+        .withColumn("valid_to", lead($"valid_from", 1).over(w))
+        .select($"user_id", $"event_id", $"event_type",
+          $"valid_from", $"valid_to",
+          $"valid_to".isNull.cast("long").as("is_current"))
+        .orderBy($"user_id", $"valid_from", $"event_id")
+    },
+    """WITH ch AS (
+      |  SELECT user_id, event_type, ts, event_id,
+      |         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |flt AS (
+      |  SELECT user_id, event_type, ts, event_id FROM ch
+      |  WHERE prev IS NULL OR prev <> event_type),
+      |iv AS (
+      |  SELECT user_id, event_id, event_type,
+      |         CAST(FLOOR(epoch(ts)) AS BIGINT) AS valid_from,
+      |         LEAD(CAST(FLOOR(epoch(ts)) AS BIGINT)) OVER
+      |           (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+      |  FROM flt)
+      |SELECT user_id, event_id, event_type, valid_from, valid_to,
+      |       CAST(valid_to IS NULL AS BIGINT) AS is_current
+      |FROM iv ORDER BY user_id, valid_from, event_id""".stripMargin)
+
+  /** Cohort retention matrix — the classic product-analytics reduction:
+    * cohort = a user's first active date, cell (cohort, day_offset) =
+    * distinct users of that cohort active offset days later. Scale:
+    * activity de-dups to (user, day) first (the big shuffle, keyed by
+    * high-cardinality user_id); the cohort join reuses that
+    * partitioning; the final matrix is |cohorts × offsets| rows. */
+  private val retention = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val act = Tables.events(s, dir)
+        .select($"user_id", to_date($"ts").as("d")).distinct()
+      val cohort = act.groupBy($"user_id").agg(min($"d").as("cohort"))
+      act.join(cohort, "user_id")
+        .groupBy($"cohort",
+          datediff($"d", $"cohort").cast("long").as("day_offset"))
+        .agg(countDistinct($"user_id").as("n_users"))
+        .orderBy($"cohort", $"day_offset")
+    },
+    """WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+      |coh AS (SELECT user_id, MIN(d) AS cohort FROM act GROUP BY user_id)
+      |SELECT cohort, CAST(date_diff('day', cohort, d) AS BIGINT) AS day_offset,
+      |       COUNT(DISTINCT a.user_id) AS n_users
+      |FROM act a JOIN coh c ON a.user_id = c.user_id
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q_window_dist" -> windowDist,
     "q_window_rank" -> windowRank,
     "q_window_analytic" -> windowAnalytic,
     "q_window_frame" -> windowFrame,
     "q_topk_per_group" -> topkPerGroup,
-    "q_funnel" -> funnel)
+    "q_funnel" -> funnel,
+    "q_scd_build" -> scdBuild,
+    "q_retention" -> retention)
 }
