@@ -32,6 +32,22 @@ object CorpusPipeline {
       (lit(1.0) - nStop / nTok) * (nDistinct / nTok)
   }
 
+  /** The Gopher/C4 document-filter keep rule (q_gopher_filter's
+    * thresholds, published rule set) as a reusable pipeline predicate:
+    * word count in [50, 100k], mean word length in [3, 10], ≥ 2
+    * distinct stopwords, ≥ 80% words containing a letter. */
+  def gopherKeep(text: Column): Column = {
+    val w = split(text, " ")
+    val n = size(w).cast("long")
+    val meanLen = (length(text) - (n - 1)).cast("double") / n.cast("double")
+    val alphaFrac = size(filter(w, x => x.rlike("[A-Za-z]"))).cast("double") /
+      n.cast("double")
+    val nStopD = size(array_intersect(array_distinct(w),
+      array(stopwords.map(lit): _*)))
+    n >= 50 && n <= 100000 && meanLen >= 3.0 && meanLen <= 10.0 &&
+      nStopD >= 2 && alphaFrac >= 0.8
+  }
+
   /** Exact dedup: keep the lowest doc_id per identical text
     * (q_dedup_exact's rule). At 100 TB group on a 128-bit fingerprint
     * of the text rather than the raw string to keep shuffle rows small. */
@@ -84,9 +100,11 @@ object CorpusPipeline {
       docs: DataFrame,
       nearPairs: DataFrame,
       sinkDir: String,
-      minQuality: Double = 0.3): Stats = {
+      minQuality: Double = 0.3,
+      applyGopherRules: Boolean = false): Stats = {
     val input = docs.count()
-    val q = docs.filter(qualityScore(col("text")) >= minQuality)
+    val scored = docs.filter(qualityScore(col("text")) >= minQuality)
+    val q = if (applyGopherRules) scored.filter(gopherKeep(col("text"))) else scored
     val afterQuality = q.count()
     val e = dedupExact(q)
     val afterExact = e.count()

@@ -259,6 +259,85 @@ object VectorOps {
       |       COUNT(*) AS n
       |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 
+  /** Int8 scalar quantization of the embedding store + reconstruction
+    * error report — the 4× (fp32→int8) storage cut a 100 TB vector
+    * corpus takes before ANN serving (public FAISS/ScaNN practice).
+    * Per-dimension min/max come from an explode + order-independent
+    * min/max aggregate (|dims| rows), assemble into ONE sorted stats
+    * row, and broadcast to every vector; quantize / dequantize / error
+    * norms are per-row array arithmetic with left-to-right accumulation
+    * (bit-identical on both engines — the q_array_funcs discipline),
+    * and the half-up code rounding is floor(x+0.5) on identical
+    * doubles. A degenerate dimension (mx == mn) emits code 0 and
+    * reconstructs to mn exactly. Scale: one tiny stats aggregate + a
+    * narrow map over vectors — no shuffle of the store itself. */
+  private val vecQuantize = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+        .select($"vec_id", vcol($"embedding").as("v"))
+      val stats = emb.select(posexplode($"v"))
+        .groupBy($"pos").agg(min($"col").as("mn"), max($"col").as("mx"))
+        .agg(sort_array(collect_list(struct($"pos", $"mn", $"mx"))).as("st"))
+        .select(transform($"st", t => t.getField("mn")).as("mns"),
+          transform($"st", t => t.getField("mx")).as("mxs"))
+      val rng = zip_with($"mxs", $"mns", (mx, mn) => mx - mn)
+      val codes = zip_with(
+        zip_with($"v", $"mns", (x, mn) => x - mn), $"rng",
+        (dx, r) => when(r > 0,
+          least(greatest(floor(dx / r * lit(255.0) + lit(0.5)), lit(0.0)),
+            lit(255.0))).otherwise(lit(0.0)))
+      val recon = zip_with(
+        zip_with($"codes", $"rng", (c, r) => c / lit(255.0) * r), $"mns",
+        (y, mn) => y + mn)
+      val err = zip_with($"v", $"recon", (x, y) => x - y)
+      emb.crossJoin(broadcast(stats))
+        .withColumn("rng", rng)
+        .withColumn("codes", codes)
+        .withColumn("recon", recon)
+        .withColumn("err", err)
+        .select(
+          $"vec_id",
+          size($"v").cast("long").as("n_dims"),
+          aggregate($"codes", lit(0.0), (a, x) => a + x).cast("long")
+            .as("code_sum"),
+          round(sqrt(aggregate($"err", lit(0.0), (a, x) => a + x * x)), 4)
+            .as("l2_err"),
+          round(array_max(transform($"err", x => abs(x))), 4)
+            .as("max_abs_err"))
+        .orderBy($"vec_id")
+    },
+    """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+      |           FROM embeddings),
+      |st AS (
+      |  SELECT i.i AS pos, MIN(ve[i.i]) AS mn, MAX(ve[i.i]) AS mx
+      |  FROM v CROSS JOIN (SELECT UNNEST(range(1, 100)) AS i) i
+      |  WHERE i.i <= len(ve) GROUP BY 1),
+      |arrs AS (SELECT list(mn ORDER BY pos) AS mns, list(mx ORDER BY pos) AS mxs
+      |         FROM st),
+      |q AS (
+      |  SELECT vec_id, ve, mns, mxs,
+      |         list_transform(range(1, len(ve) + 1), i ->
+      |           CASE WHEN mxs[i] - mns[i] > 0
+      |                THEN least(greatest(FLOOR((ve[i] - mns[i]) / (mxs[i] - mns[i]) * 255.0 + 0.5), 0.0), 255.0)
+      |                ELSE 0.0 END) AS codes
+      |  FROM v CROSS JOIN arrs),
+      |r AS (
+      |  SELECT vec_id, ve, codes,
+      |         list_transform(range(1, len(ve) + 1), i ->
+      |           codes[i] / 255.0 * (mxs[i] - mns[i]) + mns[i]) AS recon
+      |  FROM q),
+      |e AS (
+      |  SELECT vec_id, codes,
+      |         CAST(len(ve) AS BIGINT) AS n_dims,
+      |         list_transform(range(1, len(ve) + 1), i -> ve[i] - recon[i]) AS err
+      |  FROM r)
+      |SELECT vec_id, n_dims,
+      |       CAST(list_sum(codes) AS BIGINT) AS code_sum,
+      |       ROUND(SQRT(list_sum(list_transform(err, x -> x * x))), 4) AS l2_err,
+      |       ROUND(list_max(list_transform(err, x -> abs(x))), 4) AS max_abs_err
+      |FROM e ORDER BY vec_id""".stripMargin)
+
   /** LSH-bucketed ANN — the third retrieval tier next to brute force
     * (q_sim_topk) and IVF cells (q_sim_ivf): 8 sign-random-hyperplane
     * bits → bucket id; each query ranks only its own bucket. Planes are
@@ -335,5 +414,6 @@ object VectorOps {
     "q_dedup_embed" -> dedupEmbed,
     "q_sim_ivf" -> simIvf,
     "q_sim_lsh" -> simLsh,
-    "q_vec_centroid" -> vecCentroid)
+    "q_vec_centroid" -> vecCentroid,
+    "q_vec_quantize" -> vecQuantize)
 }

@@ -35,6 +35,20 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(out.groupBy("text").count().filter(col("count") > 1).count() === 0)
   }
 
+  test("gopherKeep matches q_gopher_filter's keep column; pipeline applies it") {
+    val docs = Tables.documents(spark, sf)
+    val fromQuery = SparkEntry.all("q_gopher_filter").fn(spark, sf)
+      .filter(col("keep") === 1L).count()
+    val fromPredicate = docs.filter(CorpusPipeline.gopherKeep(col("text"))).count()
+    assert(fromPredicate === fromQuery)
+    val nearPairs = SparkEntry.all("q_dedup_near").fn(spark, sf)
+      .select(col("da"), col("db"))
+    val sink = java.nio.file.Files.createTempDirectory("graft_gopher").toString + "/c"
+    val stats = CorpusPipeline.run(docs, nearPairs, sink,
+      minQuality = 0.0, applyGopherRules = true)
+    assert(stats.afterQuality === fromPredicate)
+  }
+
   test("canonicalStar (large/small-star CC) == q_dedup_canonical's propagation") {
     val docs = Tables.documents(spark, sf)
     val nearPairs = SparkEntry.all("q_dedup_near").fn(spark, sf)
