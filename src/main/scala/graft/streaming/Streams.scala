@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Structured Streaming variants of the incremental inventory
   * (SURVEY.md §2.10). The reference is a repeated-batch incremental
@@ -138,6 +139,41 @@ object Streams {
           state.update(st)
           out.iterator
       }
+  }
+
+  /** The same running per-user stats on the Spark 4 arbitrary-state API
+    * (`transformWithState` + [[StatefulProcessor]] with a named typed
+    * ValueState) — the modern replacement for flatMapGroupsWithState:
+    * named state variables, TTL, timers, and state schema evolution.
+    * Requires the RocksDB state store provider (the new API's runtime
+    * requirement); StreamingSpec pins its output equal to
+    * [[runningUserStats]]'s batch-for-batch. */
+  def runningUserStatsTws(events: Dataset[Event]): Dataset[UserStat] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningUserStatsProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+}
+
+/** StatefulProcessor for [[Streams.runningUserStatsTws]]: one ValueState
+  * cell per user holding (n, sum); rows replay in event_id order within
+  * a batch (same determinism rule as the flatMapGroupsWithState twin). */
+class RunningUserStatsProcessor extends StatefulProcessor[Long, Event, UserStat] {
+  @transient private var st: ValueState[UserState] = _
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[UserState]("running",
+      Encoders.product[UserState], TTLConfig.NONE)
+  override def handleInputRows(key: Long, rows: Iterator[Event],
+      timerValues: TimerValues): Iterator[UserStat] = {
+    var cur = Option(st.get()).getOrElse(UserState(0L, 0.0))
+    val out = rows.toSeq.sortBy(_.event_id).map { e =>
+      cur = UserState(cur.n + 1, cur.sum + e.value)
+      UserStat(key, e.event_id, cur.n, cur.sum / cur.n)
+    }
+    st.update(cur)
+    out.iterator
   }
 }
 

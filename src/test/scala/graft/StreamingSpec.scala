@@ -88,6 +88,35 @@ class StreamingSpec extends SparkSpec {
     assert(byEvent(3L) === ((1L, 5.0)))  // independent per-key state
   }
 
+  test("transformWithState (Spark 4 state API) matches flatMapGroupsWithState") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    // the new API requires the RocksDB provider; per-query conf, read at
+    // query start, so the surrounding suites are unaffected
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[Event]
+      val out = Streams.runningUserStatsTws(in.toDS()).toDF()
+      val rows = runBatches(in, out, OutputMode.Append, Seq(
+        Seq(Event(1, ts("2024-01-01 10:00:00"), 7, "click", 10.0)),
+        Seq(Event(2, ts("2024-01-01 11:00:00"), 7, "click", 30.0),
+            Event(3, ts("2024-01-01 12:00:00"), 8, "view", 5.0))))
+      val byEvent = rows.map(r =>
+        r.getAs[Long]("event_id") -> (r.getAs[Long]("running_n"), r.getAs[Double]("running_avg"))).toMap
+      // identical to the flatMapGroupsWithState pin above — the two
+      // state APIs are interchangeable for this contract
+      assert(byEvent(1L) === ((1L, 10.0)))
+      assert(byEvent(2L) === ((2L, 20.0)))
+      assert(byEvent(3L) === ((1L, 5.0)))
+    } finally prev match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
+  }
+
   test("complete vs update output modes (the §2.10 sink-mode row)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
