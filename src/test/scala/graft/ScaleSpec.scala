@@ -131,6 +131,24 @@ class ScaleSpec extends SparkSpec {
     assert(actual === expected)
   }
 
+  test("starCC and blockedPrefixSum tolerate empty and degenerate input") {
+    import spark.implicits._
+    // empty edge set → empty labels (no hang, no exception)
+    val empty = Scale.starCC(Seq.empty[(Long, Long)].toDF("da", "db"), "da", "db")
+    assert(empty.count() === 0)
+    // self-loops only → still empty (no real edges)
+    val selfOnly = Scale.starCC(Seq((5L, 5L), (9L, 9L)).toDF("da", "db"), "da", "db")
+    assert(selfOnly.count() === 0)
+    // single edge → two nodes labeled with the min
+    val one = Scale.starCC(Seq((4L, 2L)).toDF("da", "db"), "da", "db")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one === Map(2L -> 2L, 4L -> 2L))
+    // prefix sum over an empty frame → empty with the cum column present
+    val emptyPs = Scale.blockedPrefixSum(
+      Seq.empty[(String, Long, Long)].toDF("g", "ord", "v"), "g", "ord", "v", "cum", 16L)
+    assert(emptyPs.columns.contains("cum") && emptyPs.count() === 0)
+  }
+
   test("blockedPrefixSum == single-window running sum, hub group included") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
