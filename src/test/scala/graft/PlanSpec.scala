@@ -102,4 +102,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") &&
       !p.contains("CartesianProduct"), p)
   }
+
+  test("q_late_reconcile prunes the recompute to affected-day partitions") {
+    val p = plan("q_late_reconcile")
+    // the affected-day set is broadcast into a semi join (the partition
+    // prune) and an anti join (the untouched passthrough) — a plan that
+    // recomputed every day would have neither
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
