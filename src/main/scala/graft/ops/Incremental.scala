@@ -307,9 +307,51 @@ object Incremental {
       |                            FROM events WHERE event_id % 97 = 0) AS restated
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
 
+  /** Volume-anomaly detection — the load-quality check an incremental
+    * daily pipeline needs (the reference has no defense against a
+    * partial-day API response: a day with half its hours missing still
+    * lands at energy_etl.py:105 and skews the dashboard mean). Flags
+    * each (day, type) whose row count deviates > 20% from that type's
+    * across-days mean count. All comparisons are integer
+    * cross-multiplications (|n·days − total| · 5 > total·days ⟺
+    * |n − mean| > 0.2·mean) and the reported deviation is an integer
+    * basis-point ratio — bit-exact on any engine, no doubles anywhere.
+    * Scale: one two-phase count per (day, type), one |types|-row
+    * broadcast join back; overflow-safe to n ≈ 2^40 rows/day. */
+  private val volumeAnomaly = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val daily = Tables.events(s, dir)
+        .groupBy(to_date($"ts").as("d"), $"event_type")
+        .agg(count(lit(1)).as("n"))
+      val typ = daily.groupBy($"event_type")
+        .agg(sum($"n").as("total"), count(lit(1)).as("days"))
+      daily.join(broadcast(typ), "event_type")
+        .select($"d", $"event_type", $"n",
+          // `div` (not `/`): exact BIGINT division — a double quotient
+          // cast to long can land on the wrong side of an integer
+          // boundary; DuckDB's `//` mirrors the exact form
+          expr("n * days * 10000 div total").cast("long").as("ratio_bp"),
+          (abs($"n" * $"days" - $"total") * 5L > $"total" * $"days")
+            .as("anomaly"))
+        .orderBy($"d", $"event_type")
+    },
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS d, event_type, COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |typ AS (
+      |  SELECT event_type, SUM(n) AS total, COUNT(*) AS days
+      |  FROM daily GROUP BY 1)
+      |SELECT d, daily.event_type, n,
+      |       CAST(n * days * 10000 // total AS BIGINT) AS ratio_bp,
+      |       abs(n * days - total) * 5 > total * days AS anomaly
+      |FROM daily JOIN typ ON daily.event_type = typ.event_type
+      |ORDER BY d, daily.event_type""".stripMargin)
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q_daily_avg" -> dailyAvg,
     "q_late_reconcile" -> lateReconcile,
+    "q_volume_anomaly" -> volumeAnomaly,
     "q_agg_salted" -> aggSalted,
     "q_watermark_max" -> watermarkMax,
     "q_incremental_delta" -> incrementalDelta,
