@@ -577,7 +577,76 @@ object TextDedup {
       |  GROUP BY t.doc_id)
       |SELECT doc_id, n_shared FROM hits WHERE n_shared >= 3 ORDER BY doc_id""".stripMargin)
 
+  /** Substring-level duplication measurement — the published
+    * substring-dedup tier (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better": remove repeated ≥50-token
+    * spans corpus-wide; public paper + code). The doc-level tiers
+    * (exact/MinHash/SimHash/embedding) miss boilerplate repeated INSIDE
+    * otherwise-distinct documents; this tier slides a fixed token
+    * window (8 here — same mechanics as the paper's 50 at a fixture-
+    * friendly width) over every doc, counts corpus-wide occurrences of
+    * each window, and reports per doc how much of it is duplicated
+    * text: n_grams, n_dup (windows whose corpus count > 1, within-doc
+    * repeats included — the paper's self-repetition case) and the exact
+    * basis-point fraction (integer division — no double ROUND anywhere,
+    * so no half-boundary engine divergence). Docs shorter than the
+    * window join back with zeros — the output is a full-corpus row set.
+    *
+    * Scale: the window explode is narrow (corpus tokens × 1 rows); the
+    * per-window count groupBy is the one shuffle and would key on
+    * xxhash64(window) at 100 TB (fixed-width keys; here the window
+    * string itself so the oracle can replay exactly — the count is
+    * invariant under any injective rekeying). The count table joins
+    * back on the same key — same partitioning, no extra exchange. */
+  private val dedupSubstring = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val w = split($"text", " ")
+      val m = greatest(size(w) - 7, lit(0))
+      // sequence(1, 0) would generate a DESCENDING ramp — guard short docs
+      val grams = when(m > 0,
+        transform(sequence(lit(1), m), i => concat_ws(" ", slice(w, i, lit(8)))))
+        .otherwise(array())
+      val ex = docs.select($"doc_id", explode(grams).as("g"))
+      val counts = ex.groupBy($"g").agg(count(lit(1)).as("c"))
+      val per = ex.join(counts, "g")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(($"c" > 1).cast("long")).as("n_dup"))
+      docs.select($"doc_id")
+        .join(per, Seq("doc_id"), "left")
+        .select($"doc_id",
+          coalesce($"n_grams", lit(0L)).as("n_grams"),
+          coalesce($"n_dup", lit(0L)).as("n_dup"),
+          when(coalesce($"n_grams", lit(0L)) > 0,
+            expr("n_dup * 10000 div n_grams")).otherwise(lit(0L))
+            .cast("long").as("dup_bp"))
+        .orderBy($"doc_id")
+    },
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |g AS (
+      |  SELECT doc_id,
+      |         list_transform(range(1, greatest(len(w) - 7, 0) + 1),
+      |                        i -> array_to_string(w[i:i+7], ' ')) AS grams
+      |  FROM t),
+      |ex AS (SELECT doc_id, UNNEST(grams) AS g FROM g),
+      |c AS (SELECT g, COUNT(*) AS c FROM ex GROUP BY 1),
+      |per AS (
+      |  SELECT ex.doc_id, COUNT(*) AS n_grams,
+      |         SUM(CASE WHEN c.c > 1 THEN 1 ELSE 0 END) AS n_dup
+      |  FROM ex JOIN c USING (g) GROUP BY 1)
+      |SELECT d.doc_id,
+      |       CAST(COALESCE(n_grams, 0) AS BIGINT) AS n_grams,
+      |       CAST(COALESCE(n_dup, 0) AS BIGINT) AS n_dup,
+      |       CAST(CASE WHEN COALESCE(n_grams, 0) > 0
+      |            THEN n_dup * 10000 // n_grams ELSE 0 END AS BIGINT) AS dup_bp
+      |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+      |ORDER BY d.doc_id""".stripMargin)
+
   val defs: Seq[(String, QueryDef)] = Seq(
+    "q_dedup_substring" -> dedupSubstring,
     "q_dedup_minhash" -> dedupMinhash,
     "q_dedup_lsh" -> dedupLsh,
     "q_dedup_near" -> dedupNear,
