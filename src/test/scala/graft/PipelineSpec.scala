@@ -170,4 +170,30 @@ class PipelineSpec extends SparkSpec {
     assert(parsed.schema.fieldNames.toSeq === Seq("ts", "zone", "value"))
     assert(parsed.agg(sum($"value")).as[Double].head() === 4.0)
   }
+
+  test("clusteredWrite yields disjoint per-file key ranges (file-skipping layout)") {
+    val dir = Files.createTempDirectory("graft_clustered").toString + "/t"
+    val docs = graft.util.Tables.documents(spark, sf)
+    Pipeline.clusteredWrite(docs, "doc_id", numFiles = 4, dir)
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).map(_.getPath).sorted
+    assert(files.length === 4, files.mkString(","))
+    // each file's footer min/max must be pairwise disjoint — that
+    // disjointness IS the prunability: a doc_id range predicate reads
+    // one file, not all of them
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min(col("doc_id")), max(col("doc_id"))).first()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo, _)) => assert(hi < lo, s"overlap: $hi >= $lo")
+      case _ => ()
+    }
+    // nothing lost in the re-layout, and a point-range read still matches
+    val clustered = spark.read.parquet(dir)
+    assert(clustered.count() === docs.count())
+    assert(clustered.filter(col("doc_id").between(10, 20)).count() ===
+      docs.filter(col("doc_id").between(10, 20)).count())
+  }
 }
