@@ -383,6 +383,86 @@ object Relational {
       |       ROUND(VAR_SAMP(l_quantity), 4) AS var_q
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
 
+  /** Per-group simple linear regression (§2.4 — the regr_* family) of
+    * y = l_extendedprice on x = l_quantity, computed INTEGER-EXACT:
+    * values become cents (exact 2-decimal fixtures), the five cross
+    * moments are decimal(38,0)/HUGEINT sums (order-independent — a
+    * double Σxy at this magnitude exceeds 2^53 and would be
+    * summation-order-dependent, the same failure class as the r3
+    * grouping-sets red), and slope/intercept/r² are emitted in exact
+    * basis points via integer cross-multiplication. Both engines replay
+    * the identical integer formula, so the result is reproducible
+    * bit-for-bit at any SF — magnitudes stay within 38 digits past
+    * SF100 (headroom audited per term in line comments). Spark's
+    * built-in regr_slope/regr_intercept/regr_r2 are pinned against this
+    * exact formula in ExpressionSpec (envelope test) — the built-ins
+    * ARE the production surface; bp integers are the oracle-proof one.
+    * Both `div`s truncate toward zero on negatives (probed). */
+  private val regression = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val b = Tables.lineitem(s, dir).select(
+        $"l_returnflag",
+        ($"l_quantity".cast("decimal(18,2)") * 100).cast("long").as("x"),
+        ($"l_extendedprice".cast("decimal(18,2)") * 100).cast("long").as("y"))
+      b.groupBy($"l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          sum($"x".cast("decimal(38,0)")).as("sx"), // ≤3e12 @ SF100
+          sum($"y".cast("decimal(38,0)")).as("sy"), // ≤6e15
+          sum(($"x" * $"x").cast("decimal(38,0)")).as("sxx"), // term ≤2.5e7
+          sum(($"x" * $"y").cast("decimal(38,0)")).as("sxy"), // term ≤5e10
+          sum(($"y" * $"y").cast("decimal(38,0)")).as("syy")) // term ≤1e14
+        .withColumn("num", expr("CAST(n AS DECIMAL(38,0)) * sxy - sx * sy"))
+        .withColumn("denx", expr("CAST(n AS DECIMAL(38,0)) * sxx - sx * sx"))
+        .withColumn("deny", expr("CAST(n AS DECIMAL(38,0)) * syy - sy * sy"))
+        .withColumn("slope_bp", expr(
+          "CAST(CASE WHEN denx = 0 THEN 0 ELSE (num * 10000) div denx END AS BIGINT)"))
+        // sy/sx are CENTS sums — the ÷100 returns the intercept to
+        // price units before the bp scaling (slope needs no unit fix:
+        // cents/cents ≡ units/units)
+        .withColumn("intercept_bp", expr(
+          "CAST((sy * 10000 - slope_bp * sx) div (CAST(n AS DECIMAL(38,0)) * 100) AS BIGINT)"))
+        // Spark's `div` returns BIGINT — re-widen each quotient to
+        // decimal BEFORE multiplying (quotient² ~1e22 would overflow
+        // long); DuckDB's // keeps HUGEINT so its side needs no cast
+        .withColumn("nq", expr("CAST(num div 1000000 AS DECIMAL(38,0))"))
+        .withColumn("dq", expr("CAST(denx div 1000000 AS DECIMAL(38,0)) * CAST(deny div 1000000 AS DECIMAL(38,0))"))
+        .withColumn("r2_bp", expr(
+          "CAST(CASE WHEN dq = 0 THEN 0 ELSE (nq * nq * 10000) div dq END AS BIGINT)"))
+        .select($"l_returnflag", $"n", $"slope_bp", $"intercept_bp", $"r2_bp")
+        .orderBy($"l_returnflag")
+    },
+    """WITH b AS (
+      |  SELECT l_returnflag,
+      |         CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+      |         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+      |  FROM lineitem),
+      |a AS (
+      |  SELECT l_returnflag, COUNT(*) AS n,
+      |         SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+      |         SUM(CAST(x AS HUGEINT) * x) AS sxx,
+      |         SUM(CAST(x AS HUGEINT) * y) AS sxy,
+      |         SUM(CAST(y AS HUGEINT) * y) AS syy
+      |  FROM b GROUP BY 1),
+      |m AS (
+      |  SELECT l_returnflag, n, sx, sy,
+      |         n * sxy - sx * sy AS num,
+      |         n * sxx - sx * sx AS denx,
+      |         n * syy - sy * sy AS deny
+      |  FROM a),
+      |sl AS (
+      |  SELECT *, CASE WHEN denx = 0 THEN 0
+      |                 ELSE (num * 10000) // denx END AS slope
+      |  FROM m)
+      |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+      |       CAST(slope AS BIGINT) AS slope_bp,
+      |       CAST((sy * 10000 - slope * sx) // (CAST(n AS HUGEINT) * 100) AS BIGINT) AS intercept_bp,
+      |       CAST(CASE WHEN (denx // 1000000) * (deny // 1000000) = 0 THEN 0
+      |            ELSE ((num // 1000000) * (num // 1000000) * 10000)
+      |                 // ((denx // 1000000) * (deny // 1000000)) END AS BIGINT) AS r2_bp
+      |FROM sl ORDER BY l_returnflag""".stripMargin)
+
   /** Pivot event_type → columns — the Power BI per-zone-card analog
     * (reference images/Powerbi.png; SURVEY.md §2.4). Mean = exact
     * decimal SUM / COUNT, not AVG(double) — see Incremental.dailyAvg. */
@@ -849,6 +929,7 @@ object Relational {
     "q_cube" -> cube,
     "q_percentile" -> percentile,
     "q_corr" -> corr_,
+    "q_regression" -> regression,
     "q_histogram" -> histogram,
     "q_pivot" -> pivot,
     "q_unpivot" -> unpivot,

@@ -562,8 +562,12 @@ object TextDedup {
       import s.implicits._
       val exploded = hashedShingles(s, dir)
         .select($"doc_id", explode($"hs").as("h"))
-      val evalSh = exploded.filter($"doc_id" % 50 === 0)
-        .select($"h").distinct()
+      // memoized/persisted so the guard's count() materializes the
+      // distinct ONCE and the join reuses it — without this, the
+      // explode+distinct lineage runs twice (count job + join job)
+      val evalSh = memoized(s, dir, "evalShingles") {
+        exploded.filter($"doc_id" % 50 === 0).select($"h").distinct()
+      }
       // ~40 MB of longs: far above any fixture, far below driver memory
       contaminationFlags(exploded.filter($"doc_id" % 50 =!= 0), evalSh,
         minShared = 3, broadcastLimit = 5000000L)
@@ -592,25 +596,30 @@ object TextDedup {
     * so no half-boundary engine divergence). Docs shorter than the
     * window join back with zeros — the output is a full-corpus row set.
     *
-    * Scale: the window explode is narrow (corpus tokens × 1 rows); the
-    * per-window count groupBy is the one shuffle and would key on
-    * xxhash64(window) at 100 TB (fixed-width keys; here the window
-    * string itself so the oracle can replay exactly — the count is
-    * invariant under any injective rekeying). The count table joins
-    * back on the same key — same partitioning, no extra exchange. */
+    * Scale: the window explode is narrow (corpus tokens × 1 rows), and
+    * windows travel as 64-bit xxhash64 keys of the 8-word slice — never
+    * as gram strings (fixed-width shuffle keys, no concat of word
+    * copies). The corpus-wide count per key is a count-over-window
+    * partitioned by the (high-cardinality) key: ONE shuffle of the
+    * exploded rows, against two shuffles + a recomputed explode for the
+    * groupBy-then-join-back shape. The count is invariant under any
+    * injective rekeying, so the string-counting oracle replays it
+    * exactly; a 64-bit collision (~n²/2⁶⁴, ≈1e-8 at sf0.1) is the only
+    * divergence mode, same risk class as every hash-keyed dedup tier. */
   private val dedupSubstring = QueryDef(
     (s, dir) => {
       import s.implicits._
+      import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, dir)
       val w = split($"text", " ")
       val m = greatest(size(w) - 7, lit(0))
       // sequence(1, 0) would generate a DESCENDING ramp — guard short docs
       val grams = when(m > 0,
-        transform(sequence(lit(1), m), i => concat_ws(" ", slice(w, i, lit(8)))))
-        .otherwise(array())
-      val ex = docs.select($"doc_id", explode(grams).as("g"))
-      val counts = ex.groupBy($"g").agg(count(lit(1)).as("c"))
-      val per = ex.join(counts, "g")
+        transform(sequence(lit(1), m), i => xxhash64(slice(w, i, lit(8)))))
+        .otherwise(array().cast("array<bigint>"))
+      val ex = docs.select($"doc_id", explode(grams).as("gh"))
+      val per = ex
+        .withColumn("c", count(lit(1)).over(Window.partitionBy($"gh")))
         .groupBy($"doc_id")
         .agg(count(lit(1)).as("n_grams"),
           sum(($"c" > 1).cast("long")).as("n_dup"))

@@ -269,7 +269,48 @@ object Windows {
       |FROM act a JOIN coh c ON a.user_id = c.user_id
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 
+  /** Value-RANGE frame (§2.5 frame-spec row, the variant q_window_frame's
+    * ROWS frames can't express): per event, the count and value-sum of
+    * the SAME USER's events in the trailing hour, keyed by epoch second.
+    * ROWS frames count physical rows; RANGE frames bound by the ORDER
+    * key's VALUE, so gaps and same-second peers are handled by the data,
+    * not row positions — the correct shape for "activity in the last
+    * hour" features. Ties (same user, same second) are frame PEERS on
+    * both engines, so the frame set is deterministic without a unique
+    * tiebreak key; the sum is a decimal sum (order-independent) rounded
+    * in decimal before the double cast (r4s discipline).
+    *
+    * Scale: one shuffle on user_id (high-cardinality), per-partition
+    * sort by epoch second — the standard windowed-feature plan. */
+  private val windowRange = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"es")
+        .rangeBetween(-3600L, 0L)
+      Tables.events(s, dir)
+        .select($"event_id", $"user_id", $"value",
+          $"ts".cast("long").as("es"))
+        .withColumn("cnt_1h", count(lit(1)).over(w))
+        .withColumn("sum_1h",
+          round(sum($"value".cast("decimal(28,10)")).over(w), 4)
+            .cast("double"))
+        .select($"event_id", $"user_id", $"es", $"cnt_1h", $"sum_1h")
+        .orderBy($"event_id")
+    },
+    """WITH e AS (SELECT event_id, user_id, value,
+      |                  CAST(FLOOR(EXTRACT(epoch FROM ts)) AS BIGINT) AS es
+      |           FROM events)
+      |SELECT event_id, user_id, es,
+      |       COUNT(*) OVER w AS cnt_1h,
+      |       CAST(ROUND(SUM(CAST(value AS DECIMAL(28,10))) OVER w, 4)
+      |            AS DOUBLE) AS sum_1h
+      |FROM e
+      |WINDOW w AS (PARTITION BY user_id ORDER BY es
+      |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin)
+
   val defs: Seq[(String, QueryDef)] = Seq(
+    "q_window_range" -> windowRange,
     "q_window_dist" -> windowDist,
     "q_window_rank" -> windowRank,
     "q_window_analytic" -> windowAnalytic,

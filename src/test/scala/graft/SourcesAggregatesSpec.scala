@@ -153,4 +153,35 @@ class SourcesAggregatesSpec extends SparkSpec {
         s"$flag p50 approx=${qs(1)} exact=$exact50")
     }
   }
+
+  test("built-in regr_* agrees with q_regression's integer-exact formula") {
+    import spark.implicits._
+    // the built-ins (regr_slope/intercept/r2) are the production
+    // surface; the query emits oracle-proof basis points. Pin them to
+    // each other on the real fixture: bp/10000 is the exact value
+    // floored to 1e-4, so agreement within 1e-4 absolute + float noise.
+    val li = graft.util.Tables.lineitem(spark, sf)
+    val builtin = li.groupBy($"l_returnflag")
+      .agg(regr_slope($"l_extendedprice", $"l_quantity").as("slope"),
+        regr_intercept($"l_extendedprice", $"l_quantity").as("icpt"),
+        regr_r2($"l_extendedprice", $"l_quantity").as("r2"))
+      .as[(String, Double, Double, Double)].collect()
+      .map(t => t._1 -> (t._2, t._3, t._4)).toMap
+    val exact = SparkEntry.all("q_regression").fn(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(exact.nonEmpty)
+    exact.foreach { case (flag, n, slopeBp, icptBp, r2Bp) =>
+      val (slope, icpt, r2) = builtin(flag)
+      assert(n > 0)
+      assert(math.abs(slopeBp / 10000.0 - slope) <= math.abs(slope) * 1e-3 + 1e-4,
+        s"$flag slope bp=${slopeBp / 10000.0} builtin=$slope")
+      // intercept composes the floored slope_bp — tolerance widens by
+      // the slope floor error × mean(x) (≤ 50)
+      assert(math.abs(icptBp / 10000.0 - icpt) <= math.abs(icpt) * 1e-2 + 1.0,
+        s"$flag icpt bp=${icptBp / 10000.0} builtin=$icpt")
+      // r2 floors three quotients at 1e6 — still ≤ 1e-3 absolute here
+      assert(math.abs(r2Bp / 10000.0 - r2) <= 1e-3,
+        s"$flag r2 bp=${r2Bp / 10000.0} builtin=$r2")
+    }
+  }
 }
