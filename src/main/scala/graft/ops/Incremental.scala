@@ -348,8 +348,50 @@ object Incremental {
       |FROM daily JOIN typ ON daily.event_type = typ.event_type
       |ORDER BY d, daily.event_type""".stripMargin)
 
+  /** Z-order (Morton) clustering stats (§2.1 layout / data-skipping
+    * surface, the 2-D complement of Pipeline.clusteredWrite's 1-D range
+    * publish): interleave (l_partkey, l_suppkey) bits into one
+    * clustering key, then report per 32×32 tile the row count and BOTH
+    * dimensions' min/max. The point the numbers make: sorted by z, every
+    * file's footer min/max is narrow in part AND supplier simultaneously
+    * (p_max−p_min ≤ 31, s_max−s_min ≤ 31 per tile — the Morton tile
+    * property, pinned exactly in ScaleSpec), so scans filtered on either
+    * column skip files; a single-key sort leaves the other column
+    * full-range per file. The interleave is pure bit arithmetic emitted
+    * identically to the oracle by Scale.zOrderSql; at 100 TB the write
+    * path is repartitionByRange(z) + sortWithinPartitions(z), same as
+    * clusteredWrite with z as the key. */
+  private val zorder = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val x = $"l_partkey".bitwiseAND(lit(65535L))
+      val y = $"l_suppkey".bitwiseAND(lit(65535L))
+      Tables.lineitem(s, dir)
+        .select($"l_partkey", $"l_suppkey")
+        .withColumn("z", Scale.zOrderKey(x, y, 16))
+        .withColumn("tile", shiftright($"z", 10))
+        .groupBy($"tile")
+        .agg(count(lit(1)).as("n"),
+          min($"l_partkey").as("p_min"), max($"l_partkey").as("p_max"),
+          min($"l_suppkey").as("s_min"), max($"l_suppkey").as("s_max"))
+        .orderBy($"tile")
+    },
+    s"""WITH b AS (
+      |  SELECT l_partkey, l_suppkey,
+      |         l_partkey & 65535 AS x, l_suppkey & 65535 AS y
+      |  FROM lineitem),
+      |z AS (
+      |  SELECT l_partkey, l_suppkey,
+      |         ${Scale.zOrderSql("x", "y", 16)} AS z
+      |  FROM b)
+      |SELECT z >> 10 AS tile, COUNT(*) AS n,
+      |       MIN(l_partkey) AS p_min, MAX(l_partkey) AS p_max,
+      |       MIN(l_suppkey) AS s_min, MAX(l_suppkey) AS s_max
+      |FROM z GROUP BY 1 ORDER BY 1""".stripMargin)
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q_daily_avg" -> dailyAvg,
+    "q_zorder" -> zorder,
     "q_late_reconcile" -> lateReconcile,
     "q_volume_anomaly" -> volumeAnomaly,
     "q_agg_salted" -> aggSalted,

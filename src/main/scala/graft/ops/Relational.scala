@@ -914,10 +914,40 @@ object Relational {
       |                      WHERE o_totalprice > 400000)
       |ORDER BY c.c_custkey""".stripMargin)
 
+  /** Correlated LATERAL table subquery (§2.3 SQL surface beyond
+    * q_subquery's scalar/IN forms): top-2 orders per customer, stated
+    * as a per-row derived TABLE — the "for each row, run this
+    * parameterized query" operator. Catalyst decorrelates the
+    * ORDER BY + LIMIT inner query into a join + per-key window top-k
+    * (DecorrelateInnerQuery), so the executed plan is the scalable
+    * ranked-join, never a per-row re-execution — exactly what a 100 TB
+    * plan needs. Only customers WITH orders appear (CROSS JOIN LATERAL
+    * = inner lateral on both engines); o_totalprice is an untouched
+    * parquet double, bit-equal across engines. */
+  private val lateral = QueryDef(
+    (s, dir) => {
+      Tables.customer(s, dir).createOrReplaceTempView("customer_lat")
+      Tables.orders(s, dir).createOrReplaceTempView("orders_lat")
+      s.sql(
+        """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+          |FROM customer_lat c,
+          |LATERAL (SELECT o_orderkey, o_totalprice FROM orders_lat o
+          |         WHERE o.o_custkey = c.c_custkey
+          |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+          |ORDER BY c.c_custkey, t.o_orderkey""".stripMargin)
+    },
+    """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+      |FROM customer c,
+      |LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+      |         WHERE o.o_custkey = c.c_custkey
+      |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+      |ORDER BY c.c_custkey, t.o_orderkey""".stripMargin)
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q_grouping_sets" -> groupingSets,
     "q_map_funcs" -> mapFuncs,
     "q_subquery" -> subquery,
+    "q_lateral" -> lateral,
     "q_scan_project" -> scanProject,
     "q_filter_pred" -> filterPred,
     "q_agg_basic" -> aggBasic,

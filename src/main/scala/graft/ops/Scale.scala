@@ -117,6 +117,30 @@ object Scale {
     * node that appears in an edge, labeled with its component's min id.
     * Isolated nodes never appear (same contract as the propagation
     * loop: they are their own canonical by definition). */
+  /** Morton (Z-order) interleave of the low `bits` bits of two
+    * non-negative dimension columns — the multi-dimensional clustering
+    * key for data skipping. Range-clustering a table by ONE key (see
+    * [[graft.etl.Pipeline.clusteredWrite]]) makes that key's file-level
+    * min/max tight but leaves every OTHER dimension full-range per
+    * file; sorting by the interleaved key makes file min/max tight in
+    * BOTH dimensions at once (each 2²ᵏ-aligned z-range is an exact
+    * 2ᵏ×2ᵏ tile — pinned in ScaleSpec), so predicates on either
+    * column prune files. Pure bit arithmetic (32 OR-terms for 16-bit
+    * dims), codegen-friendly, replayable in any engine — the oracle
+    * SQL is generated from the same term list by [[zOrderSql]]. */
+  def zOrderKey(x: Column, y: Column, bits: Int): Column =
+    (0 until bits).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_.bitwiseOR(_))
+
+  /** The identical interleave as engine-neutral SQL over `x`/`y`
+    * sub-expressions — keeps the oracle bit-for-bit the same formula. */
+  def zOrderSql(x: String, y: String, bits: Int): String =
+    (0 until bits).map { i =>
+      s"((($x >> $i) & 1) << ${2 * i}) | ((($y >> $i) & 1) << ${2 * i + 1})"
+    }.mkString("(", " | ", ")")
+
   def starCC(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 64): DataFrame = {
     val init = pairs

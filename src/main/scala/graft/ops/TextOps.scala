@@ -486,7 +486,54 @@ object TextOps {
       |            AND n_stop_d >= 2 AND alpha_frac >= 0.8 AS BIGINT) AS keep
       |FROM c ORDER BY doc_id""".stripMargin)
 
+  /** Vocabulary head coverage (§2.9 — the tokenizer-planning statistic):
+    * rank corpus word types by frequency and report, for the top-200
+    * head, the cumulative share of all corpus tokens each prefix covers
+    * (exact basis points — integer division, no doubles). This answers
+    * "how big must the vocab be to cover X% of tokens", the sizing
+    * question before training a tokenizer.
+    *
+    * Scale: token counts are a partial-aggregated groupBy (map-side
+    * combine collapses each executor's copies of a word first); the
+    * top-200 head is TakeOrderedAndProject (no global sort), and ONLY
+    * that bounded head flows through the un-partitioned ranking window
+    * — ≤ k rows on one task by construction, never the full vocab. The
+    * corpus total rides alongside as a broadcast 1-row cross join, not
+    * a driver collect. A FULL-vocab cumulative curve would swap the
+    * window for the Scale.blockedPrefixSum / rankPick offset machinery. */
+  private val vocabCoverage = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val counts = Tables.documents(s, dir)
+        .select(explode(split($"text", " ")).as("word"))
+        .groupBy($"word").agg(count(lit(1)).as("n"))
+      val total = counts.agg(sum($"n").as("total"))
+      val rankW = Window.orderBy($"n".desc, $"word")
+      counts.orderBy($"n".desc, $"word").limit(200)
+        .withColumn("rank", row_number().over(rankW).cast("long"))
+        .withColumn("cum",
+          sum($"n").over(rankW.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)))
+        .crossJoin(broadcast(total))
+        .withColumn("cov_bp", expr("cum * 10000 div total"))
+        .select($"rank", $"word", $"n", $"cum", $"cov_bp")
+        .orderBy($"rank")
+    },
+    """WITH w AS (SELECT UNNEST(string_split(text, ' ')) AS word FROM documents),
+      |c AS (SELECT word, COUNT(*) AS n FROM w GROUP BY 1),
+      |t AS (SELECT SUM(n) AS total FROM c),
+      |o AS (SELECT word, n,
+      |             ROW_NUMBER() OVER (ORDER BY n DESC, word) AS rank,
+      |             SUM(n) OVER (ORDER BY n DESC, word
+      |                          ROWS UNBOUNDED PRECEDING) AS cum
+      |      FROM c)
+      |SELECT CAST(rank AS BIGINT) AS rank, word, n,
+      |       CAST(cum AS BIGINT) AS cum,
+      |       CAST(cum * 10000 // total AS BIGINT) AS cov_bp
+      |FROM o, t WHERE rank <= 200 ORDER BY rank""".stripMargin)
+
   val defs: Seq[(String, QueryDef)] = Seq(
+    "q_vocab_coverage" -> vocabCoverage,
     "q_text_repetition" -> textRepetition,
     "q_gopher_filter" -> gopherFilter,
     "q_text_stats" -> textStats,

@@ -112,4 +112,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftAnti"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q_lateral decorrelates to a ranked join — no per-row re-execution") {
+    val p = plan("q_lateral")
+    // the correlated ORDER BY + LIMIT inner table must become a
+    // per-key window top-k feeding an equi join: a plan that kept the
+    // lateral as a nested-loop re-execution would show neither
+    assert(p.contains("WindowGroupLimit") || p.contains("row_number"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }

@@ -184,4 +184,34 @@ class ScaleSpec extends SparkSpec {
     val salted = Scale.saltedJoin(l, o, "l_orderkey", "o_orderkey", salts = 4).count()
     assert(salted === plain)
   }
+
+  test("zOrderKey: every 2^(2k)-aligned z-range is an exact 2^k × 2^k tile") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the data-skipping property q_zorder's stats rely on: within any
+    // aligned z-range (tile = z >> 2k) BOTH dimensions' high bits are
+    // constant — so per-tile (and hence per-file) min/max spans ≤ 2^k−1
+    // in each dimension. k = 5 (32×32 tiles) over the real fixture.
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select($"l_partkey".as("x"), $"l_suppkey".as("y"))
+    val bad = li
+      .withColumn("z", Scale.zOrderKey($"x", $"y", 16))
+      .groupBy(shiftright($"z", 10).as("tile"))
+      .agg(countDistinct(shiftright($"x", 5)).as("dx"),
+        countDistinct(shiftright($"y", 5)).as("dy"))
+      .filter($"dx" =!= 1 || $"dy" =!= 1)
+      .count()
+    assert(bad === 0L)
+    // and the key round-trips: de-interleaving recovers both inputs
+    val probe = Seq((0L, 0L), (1L, 0L), (0L, 1L), (21L, 47L), (65535L, 65535L))
+      .toDF("x", "y")
+      .withColumn("z", Scale.zOrderKey($"x", $"y", 16))
+      .as[(Long, Long, Long)].collect()
+    probe.foreach { case (x, y, z) =>
+      val (rx, ry) = (0 until 16).foldLeft((0L, 0L)) { case ((ax, ay), i) =>
+        (ax | (((z >> (2 * i)) & 1L) << i), ay | (((z >> (2 * i + 1)) & 1L) << i))
+      }
+      assert((rx, ry) === ((x, y)), s"z=$z")
+    }
+  }
 }
