@@ -943,7 +943,65 @@ object Relational {
       |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
       |ORDER BY c.c_custkey, t.o_orderkey""".stripMargin)
 
+  /** Column profiling — the ANALYZE-style data-quality pass every
+    * large-scale ingest runs before trusting a new drop: per-column
+    * row/null/distinct counts plus min/max and value-length bounds.
+    * Columns are melted to (col_name, value-as-string) rows so ONE
+    * two-phase aggregate profiles them all in a single pass over the
+    * table (map-side partials cut the melt's ×4 fan-out before the
+    * |columns|-key shuffle; the exact distinct adds the standard
+    * two-level expand). Doubles are deliberately excluded from the
+    * string melt — float formatting is engine-specific (they get
+    * range profiling via q_histogram / q_agg_basic instead); the
+    * timestamp is profiled at date grain, formatted identically by
+    * both engines. Scale: one scan, shuffle carries |columns| groups
+    * of partial states, never rows. */
+  private val profile = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val kv = (name: String, v: org.apache.spark.sql.Column) =>
+        struct(lit(name).as("col_name"), v.cast("string").as("v"))
+      Tables.orders(s, dir)
+        .select(explode(array(
+          kv("o_orderkey", $"o_orderkey"),
+          kv("o_custkey", $"o_custkey"),
+          kv("o_orderstatus", $"o_orderstatus"),
+          kv("o_orderpriority", $"o_orderpriority"),
+          kv("o_orderdate", $"o_orderdate".cast("date")))).as("m"))
+        .select($"m.col_name".as("col_name"), $"m.v".as("v"))
+        .groupBy($"col_name")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when($"v".isNull, 1L).otherwise(0L)).as("n_null"),
+          countDistinct($"v").as("n_distinct"),
+          min($"v").as("min_v"),
+          max($"v").as("max_v"),
+          min(length($"v")).cast("long").as("min_len"),
+          max(length($"v")).cast("long").as("max_len"))
+        .orderBy($"col_name")
+    },
+    """WITH m AS (
+      |  SELECT 'o_orderkey' AS col_name, CAST(o_orderkey AS VARCHAR) AS v FROM orders
+      |  UNION ALL
+      |  SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+      |  UNION ALL
+      |  SELECT 'o_orderstatus', o_orderstatus FROM orders
+      |  UNION ALL
+      |  SELECT 'o_orderpriority', o_orderpriority FROM orders
+      |  UNION ALL
+      |  SELECT 'o_orderdate', CAST(CAST(o_orderdate AS DATE) AS VARCHAR) FROM orders)
+      |SELECT col_name,
+      |       COUNT(*) AS n,
+      |       CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+      |       COUNT(DISTINCT v) AS n_distinct,
+      |       MIN(v) AS min_v,
+      |       MAX(v) AS max_v,
+      |       CAST(MIN(LENGTH(v)) AS BIGINT) AS min_len,
+      |       CAST(MAX(LENGTH(v)) AS BIGINT) AS max_len
+      |FROM m GROUP BY 1 ORDER BY 1""".stripMargin)
+
   val defs: Seq[(String, QueryDef)] = Seq(
+    "q_profile" -> profile,
     "q_grouping_sets" -> groupingSets,
     "q_map_funcs" -> mapFuncs,
     "q_subquery" -> subquery,

@@ -409,11 +409,70 @@ object VectorOps {
         |FROM ranked WHERE rk <= 3 ORDER BY qid, rk""".stripMargin
     })
 
+  /** One Lloyd iteration of k-means over the embedding store (k = 8,
+    * seeds = the 8 lowest vec_ids) — the clustering step behind
+    * SemDeDup-style semantic dedup and cluster-balanced corpus
+    * sampling. The seed centroids are aggregated into ONE row (a
+    * sorted array of (cid, vector) structs, k·dim doubles) and
+    * broadcast, so assignment is a narrow per-row map with no shuffle
+    * of the store: argmin over k exact left-to-right squared-L2
+    * distances, with a (d2, cid) struct-min for the deterministic
+    * tie-break. Re-estimation is the |k × dim|-row decimal-mean
+    * shuffle (vecCentroid discipline). Scale: k·dim stays far under
+    * any broadcast budget no matter the corpus size; only the k×dim
+    * partial sums move in the shuffle, and further Lloyd rounds reuse
+    * the same two-job shape (iterate like TextDedup's propagation —
+    * job-launch bound, not data bound). */
+  private val KSeeds = 8
+  private val kmeansStep = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val emb = Tables.spread(Tables.embeddings(s, dir), "vec_id")
+        .select($"vec_id", vcol($"embedding").as("v"))
+      // seeds skip the spread fan-out: 8 rows collapse to ONE anyway,
+      // and the parquet scan pushes vec_id < 8 down (PushedFilters)
+      val seeds = Tables.embeddings(s, dir).filter($"vec_id" < KSeeds)
+        .agg(sort_array(collect_list(
+          struct($"vec_id".as("cid"), vcol($"embedding").as("cv")))).as("cents"))
+      val d2s = transform($"cents", c =>
+        struct(
+          aggregate(zip_with($"v", c.getField("cv"),
+            (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+            .as("d2"),
+          c.getField("cid").as("cid")))
+      emb.crossJoin(broadcast(seeds))
+        .withColumn("best", array_min(d2s))
+        .select($"best.cid".as("cluster"), posexplode($"v"))
+        .groupBy($"cluster", ($"pos" + 1).cast("long").as("pos"))
+        .agg(
+          Incremental.r4a(sum($"col".cast("decimal(28,10)")), count(lit(1)))
+            .as("centroid"),
+          count(lit(1)).as("n"))
+        .orderBy($"cluster", $"pos")
+    },
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+      |           FROM embeddings),
+      |d AS (SELECT v.vec_id, v.ve, c.vec_id AS cid,
+      |             list_sum(list_transform(range(1, ${Dim + 1}), i ->
+      |               (v.ve[i] - c.ve[i]) * (v.ve[i] - c.ve[i]))) AS d2
+      |      FROM v CROSS JOIN (SELECT * FROM v WHERE vec_id < $KSeeds) c),
+      |a AS (SELECT vec_id, ve, cid,
+      |             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk
+      |      FROM d),
+      |e AS (SELECT cid AS cluster, CAST(i.i AS BIGINT) AS pos, ve[i.i] AS x
+      |      FROM a CROSS JOIN (SELECT UNNEST(range(1, 100)) AS i) i
+      |      WHERE rk = 1 AND i.i <= len(ve))
+      |SELECT cluster, pos,
+      |       FLOOR(CAST(CAST(CAST(ROUND(SUM(CAST(x AS DECIMAL(28,10))), 6) AS DECIMAL(24,6)) * 1000000 AS BIGINT) AS DOUBLE) / (COUNT(*) * 100.0) + 0.5) / 10000.0 AS centroid,
+      |       COUNT(*) AS n
+      |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q_sim_topk" -> simTopk,
     "q_dedup_embed" -> dedupEmbed,
     "q_sim_ivf" -> simIvf,
     "q_sim_lsh" -> simLsh,
     "q_vec_centroid" -> vecCentroid,
-    "q_vec_quantize" -> vecQuantize)
+    "q_vec_quantize" -> vecQuantize,
+    "q_kmeans_step" -> kmeansStep)
 }

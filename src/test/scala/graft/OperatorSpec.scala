@@ -119,4 +119,54 @@ class OperatorSpec extends SparkSpec {
         .select($"m").as[Double].head()
     assert(mean(one) === mean(many)) // bit-identical, not approx
   }
+
+  test("kmeans step: every vector lands on its true argmin centroid " +
+    "and one Lloyd step does not increase total SSE") {
+    import spark.implicits._
+    val emb = graft.util.Tables.embeddings(spark, sf)
+      .select($"vec_id",
+        transform($"embedding", x => x.cast("double")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val seeds = emb.filter { case (k, _) => k < 8 }.toSeq.sortBy(_._1).map(_._2)
+    def d2(a: Array[Double], b: Array[Double]): Double =
+      a.indices.foldLeft(0.0)((acc, i) => acc + (a(i) - b(i)) * (a(i) - b(i)))
+    def assign(cents: Seq[Array[Double]]): Map[Long, Int] =
+      emb.map { case (id, v) =>
+        id -> cents.zipWithIndex.minBy { case (c, i) => (d2(v, c), i) }._2
+      }.toMap
+    val a0 = assign(seeds)
+    // engine's recomputed centroids imply the same assignment: per-cluster
+    // counts (constant across pos) must match the reference assignment's
+    val rows = SparkEntry.all("q_kmeans_step").fn(spark, sf)
+      .filter($"pos" === 1).select($"cluster", $"n").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expCounts = a0.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    assert(rows.values.sum === emb.size.toLong)
+    rows.foreach { case (cid, n) => assert(n === expCounts(cid.toInt)) }
+    // Lloyd monotonicity: SSE under the recomputed means ≤ SSE under seeds
+    val newCents = a0.groupBy(_._2).view.mapValues { m =>
+      val vs = m.keys.map(emb).toSeq
+      Array.tabulate(64)(i => vs.map(_(i)).sum / vs.size)
+    }.toMap
+    def sse(cents: Map[Int, Array[Double]], asg: Map[Long, Int]): Double =
+      asg.map { case (id, c) => d2(emb(id), cents(c)) }.sum
+    val seedCents = seeds.zipWithIndex.map(_.swap).toMap
+    assert(sse(newCents, a0) <= sse(seedCents, a0) + 1e-9)
+  }
+
+  test("profile: per-column counts are consistent and bounds are ordered") {
+    import spark.implicits._
+    val nOrders = graft.util.Tables.orders(spark, sf).count()
+    val prof = SparkEntry.all("q_profile").fn(spark, sf).collect()
+    assert(prof.length === 5)
+    prof.foreach { r =>
+      assert(r.getLong(1) === nOrders)                  // n
+      assert(r.getLong(2) === 0L)                       // n_null
+      assert(r.getLong(3) > 0 && r.getLong(3) <= nOrders) // n_distinct
+      assert(r.getString(4) <= r.getString(5))          // min_v <= max_v
+      assert(r.getLong(6) <= r.getLong(7))              // min_len <= max_len
+    }
+    val status = prof.find(_.getString(0) == "o_orderstatus").get
+    assert(status.getLong(3) <= 3) // O/F/P
+  }
 }
