@@ -124,4 +124,31 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("runtime bloom filter from a selective dim prunes the fact scan") {
+    // Catalyst's InjectRuntimeFilter: when a shuffle join's small side
+    // carries a selective predicate, a bloom filter built from its join
+    // keys is pushed into the big side's scan stage — at 100 TB this
+    // drops most fact rows BEFORE the shuffle. Local fixtures are far
+    // under the 10 GiB application-side default, so lower the threshold
+    // to observe the shape; production keeps the default and gets this
+    // for free on any genuinely large scan.
+    import spark.implicits._
+    val restore = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      .map(k => k -> spark.conf.get(k))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    try {
+      val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      val o = spark.read.parquet(s"$sf/orders.parquet")
+        .filter($"o_orderstatus" === "F")
+      val j = li.join(o, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderpriority").count()
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.toLowerCase.contains("bloom"), p.take(4000))
+    } finally restore.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
 }
