@@ -20,6 +20,19 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
+  /** Persisted intermediates memoized per (session, dir) — same
+    * discipline as TextDedup's lineage memo: a DataFrame referenced
+    * N times in one plan tree re-executes its lineage N times unless
+    * persisted, and per-invocation persist() calls would re-register
+    * with the CacheManager. */
+  private val sessionMemo = new graft.util.SessionMemo(onHit = { hit =>
+    if (hit.storageLevel == org.apache.spark.storage.StorageLevel.NONE) hit.persist()
+    hit
+  })
+  private def memoized(s: org.apache.spark.sql.SparkSession, dir: String,
+      key: String)(build: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    sessionMemo(s, s"$key|$dir")(build.persist())
+
   /** Word frequencies per language — split + explode (UDTF surface) +
     * grouped counts; top-100 by (lang, count desc, word). */
   private val textStats = QueryDef(
@@ -532,7 +545,117 @@ object TextOps {
       |       CAST(cum * 10000 // total AS BIGINT) AS cov_bp
       |FROM o, t WHERE rank <= 200 ORDER BY rank""".stripMargin)
 
+  /** Inverted-index construction — the retrieval-index build pass
+    * (word → document-frequency, corpus-frequency, posting-list head):
+    * ONE grouped aggregate over the exploded tokens computes cf (all
+    * occurrences), df (distinct docs, derived without a second corpus
+    * explode), and the doc_id-sorted posting-list head. Emitted head
+    * capped at 10 ids and joined to a string so the result row stays
+    * bounded for ANY corpus. Scale: the index is naturally partitioned
+    * by its own key (word) — posting lists build per-word with no
+    * cross-word traffic; a full index write would range-partition
+    * words into segment files exactly like Pipeline.clusteredWrite. */
+  private val invertedIndex = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      Tables.spread(Tables.documents(s, dir), "doc_id")
+        .select($"doc_id", explode(split($"text", " ")).as("word"))
+        .groupBy($"word")
+        .agg(
+          count(lit(1)).as("cf"),
+          countDistinct($"doc_id").as("df"),
+          array_join(
+            transform(slice(sort_array(collect_set($"doc_id")), 1, 10),
+              x => x.cast("string")), ",").as("postings_head"))
+        .orderBy($"word")
+    },
+    """WITH w AS (
+      |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents),
+      |d AS (SELECT DISTINCT word, doc_id FROM w),
+      |p AS (SELECT word, doc_id,
+      |             ROW_NUMBER() OVER (PARTITION BY word ORDER BY doc_id) AS rk
+      |      FROM d),
+      |h AS (SELECT word,
+      |             string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+      |               AS postings_head
+      |      FROM p WHERE rk <= 10 GROUP BY 1),
+      |c AS (SELECT word, COUNT(*) AS cf, COUNT(DISTINCT doc_id) AS df
+      |      FROM w GROUP BY 1)
+      |SELECT c.word, cf, df, postings_head
+      |FROM c JOIN h ON c.word = h.word
+      |ORDER BY c.word""".stripMargin)
+
+  /** Bigram collocation scoring by pointwise mutual information — the
+    * phrase-vocabulary pass (word2vec-style phrase detection): count
+    * consecutive word pairs, join each side's unigram count, and score
+    * PMI = ln(c_xy·N² / (B·c_x·c_y)) over EXACT integer counts (the
+    * one double expression is written identically in both engines, so
+    * the ln and its 4-decimal round replay bit-for-bit — the
+    * q_math_funcs discipline). Support floor c_xy ≥ 5 keeps noise
+    * pairs out, top-50 by (pmi, pair) is a bounded TakeOrdered head.
+    * Scale: bigrams shuffle once on the pair key; the unigram side is
+    * |vocab| rows — broadcastable at any corpus size that has a
+    * tokenizer-sized vocabulary. */
+  private val collocationPmi = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.spread(Tables.documents(s, dir), "doc_id")
+        .select($"doc_id", split($"text", " ").as("w"))
+      // uni feeds three plan legs (totals + both unigram joins) and
+      // biTotals two (support filter + grand total) — persist both so
+      // the lineage executes once, not per reference
+      val uni = memoized(s, dir, "pmi_unigrams") {
+        docs.select(explode($"w").as("word"))
+          .groupBy($"word").agg(count(lit(1)).as("c"))
+      }
+      val totals = uni.agg(sum($"c").as("n_words"))
+      // single-word docs are filtered BEFORE sequence(1, size-1):
+      // Spark's sequence(1, 0) is DESCENDING ([1, 0]) and element_at
+      // (w, 0) is an ANSI error — never let a degenerate doc crash
+      // the pass
+      val bi = docs.filter(size($"w") >= 2)
+        .select(explode(transform(
+          sequence(lit(1), size($"w") - 1),
+          i => struct(element_at($"w", i).as("w1"),
+            element_at($"w", i + 1).as("w2")))).as("p"))
+        .select($"p.w1".as("w1"), $"p.w2".as("w2"))
+      val biTotals = memoized(s, dir, "pmi_bigrams") {
+        bi.groupBy($"w1", $"w2").agg(count(lit(1)).as("c_xy"))
+      }
+      val nBigrams = biTotals.agg(sum($"c_xy").as("n_bigrams"))
+      biTotals.filter($"c_xy" >= 5)
+        .join(broadcast(uni.select($"word".as("w1"), $"c".as("c_x"))), "w1")
+        .join(broadcast(uni.select($"word".as("w2"), $"c".as("c_y"))), "w2")
+        .crossJoin(broadcast(totals))
+        .crossJoin(broadcast(nBigrams))
+        .select($"w1", $"w2", $"c_xy", $"c_x", $"c_y",
+          round(log(($"c_xy" * lit(1.0) * $"n_words" * $"n_words") /
+            ($"n_bigrams" * lit(1.0) * $"c_x" * $"c_y")), 4).as("pmi"))
+        .orderBy($"pmi".desc, $"w1", $"w2")
+        .limit(50)
+    },
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |uni AS (SELECT UNNEST(w) AS word FROM d),
+      |u AS (SELECT word, COUNT(*) AS c FROM uni GROUP BY 1),
+      |t AS (SELECT CAST(SUM(c) AS BIGINT) AS n_words FROM u),
+      |b AS (SELECT w[i.i] AS w1, w[i.i + 1] AS w2
+      |      FROM d CROSS JOIN (SELECT UNNEST(range(1, 10000)) AS i) i
+      |      WHERE i.i <= len(w) - 1),
+      |bc AS (SELECT w1, w2, COUNT(*) AS c_xy FROM b GROUP BY 1, 2),
+      |bt AS (SELECT CAST(SUM(c_xy) AS BIGINT) AS n_bigrams FROM bc)
+      |SELECT w1, w2, c_xy, ux.c AS c_x, uy.c AS c_y,
+      |       ROUND(LN((c_xy * 1.0 * n_words * n_words) /
+      |                (n_bigrams * 1.0 * ux.c * uy.c)), 4) AS pmi
+      |FROM bc
+      |JOIN u ux ON bc.w1 = ux.word
+      |JOIN u uy ON bc.w2 = uy.word
+      |CROSS JOIN t CROSS JOIN bt
+      |WHERE c_xy >= 5
+      |ORDER BY pmi DESC, w1, w2 LIMIT 50""".stripMargin)
+
   val defs: Seq[(String, QueryDef)] = Seq(
+    "q_inverted_index" -> invertedIndex,
+    "q_collocation_pmi" -> collocationPmi,
     "q_vocab_coverage" -> vocabCoverage,
     "q_text_repetition" -> textRepetition,
     "q_gopher_filter" -> gopherFilter,

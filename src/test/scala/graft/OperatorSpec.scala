@@ -154,6 +154,42 @@ class OperatorSpec extends SparkSpec {
     assert(sse(newCents, a0) <= sse(seedCents, a0) + 1e-9)
   }
 
+  test("inverted index: df <= cf, cf sums to the token count, " +
+    "posting heads are sorted valid doc ids") {
+    import spark.implicits._
+    val idx = SparkEntry.all("q_inverted_index").fn(spark, sf).collect()
+    val totalTokens = graft.util.Tables.documents(spark, sf)
+      .select(size(split($"text", " ")).cast("long").as("n"))
+      .agg(sum($"n")).as[Long].head()
+    assert(idx.map(_.getLong(1)).sum === totalTokens) // cf partitions tokens
+    val nDocs = graft.util.Tables.documents(spark, sf).count()
+    idx.foreach { r =>
+      val (cf, df, head) = (r.getLong(1), r.getLong(2), r.getString(3))
+      assert(df <= cf && df <= nDocs)
+      val ids = head.split(",").map(_.toLong)
+      assert(ids.length <= 10 && ids.length.toLong <= df)
+      assert(ids.sameElements(ids.sorted))
+      assert(ids.forall(id => id >= 0 && id < nDocs))
+    }
+  }
+
+  test("collocation PMI recomputes from its own emitted counts") {
+    val rows = SparkEntry.all("q_collocation_pmi").fn(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    import spark.implicits._
+    val docs = graft.util.Tables.documents(spark, sf)
+      .select(split($"text", " ").as("w"))
+    val nWords = docs.select(size($"w").cast("long")).as[Long].collect().sum
+    val nBigrams = docs.select((size($"w") - 1).cast("long")).as[Long]
+      .collect().map(math.max(0L, _)).sum
+    rows.foreach { r =>
+      val (cXy, cX, cY) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(cXy >= 5 && cXy <= math.min(cX, cY))
+      val pmi = math.log(cXy * 1.0 * nWords * nWords / (nBigrams * 1.0 * cX * cY))
+      assert(math.abs(r.getDouble(5) - pmi) < 1e-3)
+    }
+  }
+
   test("profile: per-column counts are consistent and bounds are ordered") {
     import spark.implicits._
     val nOrders = graft.util.Tables.orders(spark, sf).count()
