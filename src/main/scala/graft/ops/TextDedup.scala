@@ -192,16 +192,23 @@ object TextDedup {
     },
     oracleLshCandidates + "\nSELECT da, db FROM cand ORDER BY da, db")
 
-  /** Verified near-dup pairs: exact shingle-set Jaccard computed ONLY on
-    * LSH candidate pairs, J ≥ 0.2. Shared by q_dedup_near (which emits
-    * the pairs) and q_dedup_canonical (which clusters them). */
+  /** Verified near-dup pairs: exact Jaccard over the distinct
+    * shingle-HASH sets, computed ONLY on LSH candidate pairs, J ≥ 0.2.
+    * Shared by q_dedup_near (which emits the pairs), q_dedup_canonical
+    * (which clusters them) and q_dedup_consensus.
+    *
+    * The verify runs on the SAME 64-bit key space every other tier
+    * shuffles (minhash, banding, contamination) — shingle strings
+    * never leave the scan stage, so the da/db joins carry fixed-width
+    * long arrays and the whole family rebuilds from ONE cached codegen
+    * lineage ([[hashedShingles]]). A hash fold merging two distinct
+    * shingles shifts a pair's Jaccard at ~|shingles|²/2⁶⁴ odds — the
+    * same accepted risk class as every hash-keyed tier, and the oracle
+    * replays the identical hash so both engines fold identically. */
   private def verifiedPairs(s: SparkSession, dir: String): DataFrame =
     memoized(s, dir, "verifiedPairs") {
       import s.implicits._
-      val sets = memoized(s, dir, "sets") { // joined twice (da + db side)
-        shingled(s, dir)
-          .select($"doc_id", array_distinct($"shingles").as("ss"))
-      }
+      val sets = hashedShingles(s, dir).select($"doc_id", $"hs".as("ss"))
       val cand = lshCandidates(s, dir)
       // |sa ∩ sb| via the native count-only kernel when available —
       // size(array_intersect(...)) materializes the intersection array
@@ -238,8 +245,8 @@ object TextDedup {
   private def oracleScored: String =
     oracleLshCandidates + """,
       |sets AS (
-      |  SELECT doc_id, list_distinct(list(shingle)) AS ss
-      |  FROM sh GROUP BY doc_id),
+      |  SELECT doc_id, list(h) AS ss
+      |  FROM hashed GROUP BY doc_id),
       |scored AS (
       |  SELECT c.da, c.db,
       |         CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE) AS inter,
