@@ -142,6 +142,38 @@ object HashKernels {
       seen.toArray.asInstanceOf[Array[AnyRef]].asInstanceOf[Array[Any]])
   }
 
+  /** Distinct packed char-4-gram hashes of a whole document in ONE
+    * pass — the fused form of TextDedup.dedupNgram's interpreted
+    * transform (4 × ascii(substr) per position + array_distinct).
+    * Exact equivalences replicated:
+    *  - position count = greatest(numChars - 3, 1) (a short doc yields
+    *    ONE partial gram, matching sequence(1, greatest(len-3, 1)));
+    *  - c(k) = codepoint of the k-th character, 0 past the end
+    *    (ascii(substr(k, 1)) of '' is 0);
+    *  - hash = ((c(i)·1021 + c(i+1))·1021 + c(i+2))·1021 + c(i+3);
+    *  - distinct keeps first-occurrence order (array_distinct).
+    * ExpressionSpec pins equality against the HOF formulation. */
+  def charGramHashes(s: UTF8String): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val cps = s.toString.codePoints().toArray
+    val len = cps.length
+    val m = math.max(len - 3, 1)
+    val seen = new java.util.LinkedHashSet[java.lang.Long](m * 2)
+    var i = 0
+    while (i < m) {
+      var h = 0L
+      var k = 0
+      while (k < 4) {
+        val c = if (i + k < len) cps(i + k).toLong else 0L
+        h = if (k == 0) c else h * 1021L + c
+        k += 1
+      }
+      seen.add(h)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      seen.toArray.asInstanceOf[Array[AnyRef]].asInstanceOf[Array[Any]])
+  }
+
   /** Char n-grams as UTF8String array — shared by CharNGrams eval+codegen.
     * substringSQL is 1-based and clamps at the end, exactly like the SQL
     * `substring(text, i, n)` the fallback and oracle use. */
@@ -265,6 +297,29 @@ case class WordShingleHashes(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
       s"graft.functions.HashKernels.wordShingleHashes($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Whole-document distinct packed char-4-gram hash array — SQL function
+  * `graft_chargram_hashes(text)`; the fused n-gram-dedup front end
+  * (see [[HashKernels.charGramHashes]]). */
+case class CharGramHashes(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_chargram_hashes expects string, got ${t.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.charGramHashes(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HashKernels.charGramHashes($c)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -165,6 +165,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_shingle_hashes"),
       new ExpressionInfo(classOf[WordShingleHashes].getName, "graft_shingle_hashes"),
       (children: Seq[Expression]) => WordShingleHashes(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_chargram_hashes"),
+      new ExpressionInfo(classOf[CharGramHashes].getName, "graft_chargram_hashes"),
+      (children: Seq[Expression]) => CharGramHashes(children.head)))
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

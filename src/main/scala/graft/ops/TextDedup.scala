@@ -491,9 +491,15 @@ object TextDedup {
       val packed = transform(
         sequence(lit(1), greatest(length($"text") - 3, lit(1))),
         i => ((cp(i) * 1021L + cp(i + 1)) * 1021L + cp(i + 2)) * 1021L + cp(i + 3))
+      // fused codegen kernel when registered (ExpressionSpec pins
+      // bit-equality with the interpreted HOF fallback below)
+      val gramCol =
+        if (s.catalog.functionExists("graft_chargram_hashes"))
+          call_function("graft_chargram_hashes", $"text")
+        else array_distinct(packed)
       val grams = memoized(s, dir, "ngramGrams") {
         Tables.spread(Tables.documents(s, dir), "doc_id")
-          .select($"doc_id", array_distinct(packed).as("gs"))
+          .select($"doc_id", gramCol.as("gs"))
       }
       val cand = lshCandidates(s, dir)
       val interCol =

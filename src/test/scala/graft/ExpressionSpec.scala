@@ -185,6 +185,22 @@ class ExpressionSpec extends SparkSpec {
     assert(empties.toSeq === Seq(0, 0, 0))
   }
 
+  test("fused chargram-hashes kernel == ascii/substr/array_distinct HOF chain") {
+    import spark.implicits._
+    def cp(i: org.apache.spark.sql.Column) =
+      ascii($"text".substr(i, lit(1))).cast("long")
+    val hof = array_distinct(transform(
+      sequence(lit(1), greatest(length($"text") - 3, lit(1))),
+      i => ((cp(i) * 1021L + cp(i + 1)) * 1021L + cp(i + 2)) * 1021L + cp(i + 3)))
+    val corpus = graft.util.Tables.documents(spark, sf).select($"text")
+      .unionByName(Seq("", "a", "ab", "abc", "abcd", "abcde",
+        "héllo wörld ambiguë", "日本語 テスト").toDF("text"))
+    val diff = corpus.select(
+      call_function("graft_chargram_hashes", $"text").as("k"), hof.as("h"))
+      .filter(not($"k" <=> $"h"))
+    assert(diff.count() === 0, diff.collect().take(3).mkString("; "))
+  }
+
   test("q_sim_topk plan uses the native kernel (not interpreted HOFs)") {
     val p = SparkEntry.all("q_sim_topk").fn(spark, sf)
       .queryExecution.optimizedPlan.toString
