@@ -279,8 +279,13 @@ object TextDedup {
     * runaway chains either way. The oracle replays CC as a recursive
     * transitive-closure CTE — exact same fixpoint, different engine
     * idiom. */
-  private val dedupCanonical = QueryDef(
-    (s, dir) => {
+  /** Full-corpus canonical assignment (doc_id, canonical, kept) —
+    * the CC fixpoint shared by q_dedup_canonical (which emits it) and
+    * q_cluster_stats (which reports on it). Memoized: the iterative
+    * convergence actions run once per session; the stored plan is the
+    * converged linear lineage and replays without re-iterating. */
+  private def canonicalAssign(s: SparkSession, dir: String): DataFrame =
+    memoized(s, dir, "canonicalAssign") {
       import s.implicits._
       val pairs = verifiedPairs(s, dir).select($"da", $"db")
       // undirected: propagate min in both directions
@@ -339,8 +344,22 @@ object TextDedup {
         .select($"doc_id",
           coalesce($"lbl", $"doc_id").as("canonical"),
           ($"doc_id" === coalesce($"lbl", $"doc_id")).cast("long").as("kept"))
-        .orderBy($"doc_id")
+    }
+
+  private val dedupCanonical = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      canonicalAssign(s, dir).orderBy($"doc_id")
     },
+    oracleCanonicalLabels + """
+      |SELECT doc_id, canonical,
+      |       CAST(doc_id = canonical AS BIGINT) AS kept
+      |FROM lbl ORDER BY doc_id""".stripMargin)
+
+  /** Canonical labels as a CTE chain ending in `lbl(doc_id, canonical)`
+    * — the recursive-CTE replay of [[canonicalAssign]]'s fixpoint,
+    * shared by the q_dedup_canonical and q_cluster_stats oracles. */
+  private def oracleCanonicalLabels: String =
     oracleScored.replaceFirst("WITH ", "WITH RECURSIVE ") + """,
       |ver AS (
       |  SELECT da, db FROM scored WHERE ROUND(inter / uni, 4) >= 0.2),
@@ -350,10 +369,35 @@ object TextDedup {
       |reach(a, b) AS (
       |  SELECT doc_id, doc_id FROM documents
       |  UNION
-      |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
-      |SELECT a AS doc_id, MIN(b) AS canonical,
-      |       CAST(a = MIN(b) AS BIGINT) AS kept
-      |FROM reach GROUP BY a ORDER BY a""".stripMargin)
+      |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+      |lbl AS (
+      |  SELECT a AS doc_id, MIN(b) AS canonical FROM reach GROUP BY a)""".stripMargin
+
+  /** Dedup-cluster size statistics — the corpus-report view an operator
+    * reads after a dedup pass (how much is duplicated, in what cluster
+    * sizes): cluster sizes from the canonical assignment, then the
+    * size histogram with kept/dropped doc accounting. Reuses the
+    * memoized [[canonicalAssign]]; two tiny grouped aggregates on top
+    * (|clusters| rows, then |distinct sizes| rows — both trivially
+    * shuffle-safe at any scale). */
+  private val clusterStats = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      canonicalAssign(s, dir)
+        .groupBy($"canonical").agg(count(lit(1)).as("sz"))
+        .groupBy($"sz".as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+        .select($"cluster_size", $"n_clusters",
+          ($"cluster_size" * $"n_clusters").as("n_docs"),
+          (($"cluster_size" - 1) * $"n_clusters").as("n_dropped"))
+        .orderBy($"cluster_size")
+    },
+    oracleCanonicalLabels + """,
+      |sizes AS (SELECT canonical, COUNT(*) AS sz FROM lbl GROUP BY 1)
+      |SELECT sz AS cluster_size, COUNT(*) AS n_clusters,
+      |       CAST(sz * COUNT(*) AS BIGINT) AS n_docs,
+      |       CAST((sz - 1) * COUNT(*) AS BIGINT) AS n_dropped
+      |FROM sizes GROUP BY 1 ORDER BY 1""".stripMargin)
 
   /** SimHash (32-bit) per document from shingle hashes: bit j of the
     * fingerprint is the sign of Σ ±1 over shingles (weighted by whether
@@ -673,6 +717,7 @@ object TextDedup {
     "q_dedup_lsh" -> dedupLsh,
     "q_dedup_near" -> dedupNear,
     "q_dedup_canonical" -> dedupCanonical,
+    "q_cluster_stats" -> clusterStats,
     "q_contamination" -> contamination,
     "q_dedup_ngram" -> dedupNgram,
     "q_dedup_simhash" -> simhash,

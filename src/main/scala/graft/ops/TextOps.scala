@@ -653,7 +653,50 @@ object TextOps {
       |WHERE c_xy >= 5
       |ORDER BY pmi DESC, w1, w2 LIMIT 50""".stripMargin)
 
+  /** Per-document mean unigram log-probability — the language-model
+    * quality proxy corpus filters rank documents by (CCNet-style:
+    * score against a reference LM; here the corpus's own unigram
+    * distribution): lnp(w) = ln(c_w / N), doc score = mean over its
+    * tokens. Determinism: each token's ln is ONE IEEE-identical double
+    * op chain on both engines, cast to decimal(28,10) per token (a
+    * half-boundary flip of the 10th decimal of a logarithm is
+    * measure-zero), then the per-doc SUM is exact decimal — summation
+    * order cannot move the mean ([[Incremental.r4a]] discipline).
+    * Scale: the unigram table is |vocab| rows — broadcast; the token
+    * stream joins map-side and aggregates two-phase per doc. */
+  private val docLogprob = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val words = Tables.spread(Tables.documents(s, dir), "doc_id")
+        .select($"doc_id", explode(split($"text", " ")).as("word"))
+      val uni = memoized(s, dir, "logprob_unigrams") {
+        words.groupBy($"word").agg(count(lit(1)).as("c"))
+      }
+      val tot = uni.agg(sum($"c").as("n_words"))
+      words.join(broadcast(uni), "word")
+        .crossJoin(broadcast(tot))
+        .select($"doc_id",
+          log($"c".cast("double") / $"n_words".cast("double"))
+            .cast("decimal(28,10)").as("lnp"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          Incremental.r4a(sum($"lnp"), count(lit(1))).as("avg_logprob"))
+        .orderBy($"doc_id")
+    },
+    """WITH w AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS word
+      |           FROM documents),
+      |u AS (SELECT word, COUNT(*) AS c FROM w GROUP BY 1),
+      |t AS (SELECT CAST(SUM(c) AS BIGINT) AS n_words FROM u),
+      |lp AS (SELECT doc_id,
+      |              CAST(LN(CAST(c AS DOUBLE) / CAST(n_words AS DOUBLE))
+      |                   AS DECIMAL(28,10)) AS lnp
+      |       FROM w JOIN u USING (word) CROSS JOIN t)
+      |SELECT doc_id, COUNT(*) AS n_tokens,
+      |       FLOOR(CAST(CAST(CAST(ROUND(SUM(lnp), 6) AS DECIMAL(24,6)) * 1000000 AS BIGINT) AS DOUBLE) / (COUNT(*) * 100.0) + 0.5) / 10000.0 AS avg_logprob
+      |FROM lp GROUP BY 1 ORDER BY 1""".stripMargin)
+
   val defs: Seq[(String, QueryDef)] = Seq(
+    "q_doc_logprob" -> docLogprob,
     "q_inverted_index" -> invertedIndex,
     "q_collocation_pmi" -> collocationPmi,
     "q_vocab_coverage" -> vocabCoverage,

@@ -190,6 +190,47 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("cluster stats histogram reconciles with the canonical assignment") {
+    import spark.implicits._
+    val stats = SparkEntry.all("q_cluster_stats").fn(spark, sf).collect()
+    val nDocs = graft.util.Tables.documents(spark, sf).count()
+    assert(stats.map(_.getLong(2)).sum === nDocs) // n_docs partitions corpus
+    stats.foreach { r =>
+      val (sz, nc, nd, dropped) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nd === sz * nc && dropped === (sz - 1) * nc)
+    }
+    // recompute the histogram from q_dedup_canonical's labels
+    val fromLabels = SparkEntry.all("q_dedup_canonical").fn(spark, sf)
+      .groupBy($"canonical").count()
+      .groupBy($"count").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stats.map(r => r.getLong(0) -> r.getLong(1)).toMap === fromLabels)
+  }
+
+  test("doc logprob: scores are negative log-likelihood means, " +
+    "token counts match, and a hand-computed doc agrees") {
+    import spark.implicits._
+    val rows = SparkEntry.all("q_doc_logprob").fn(spark, sf).collect()
+    val docs = graft.util.Tables.documents(spark, sf)
+      .select($"doc_id", split($"text", " ").as("w")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(rows.length === docs.size)
+    val counts = docs.values.flatten.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val n = counts.values.sum.toDouble
+    rows.foreach { r =>
+      val (id, nTok, lp) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      assert(nTok === docs(id).size.toLong)
+      assert(lp < 0.0)
+      val exp = docs(id).map(w =>
+        BigDecimal(math.log(counts(w) / n))
+          .setScale(10, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble /
+        docs(id).size
+      assert(math.abs(lp - exp) < 2e-4, s"doc $id: $lp vs $exp")
+    }
+  }
+
   test("profile: per-column counts are consistent and bounds are ordered") {
     import spark.implicits._
     val nOrders = graft.util.Tables.orders(spark, sf).count()
