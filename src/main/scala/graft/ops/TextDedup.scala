@@ -399,6 +399,44 @@ object TextDedup {
       |       CAST((sz - 1) * COUNT(*) AS BIGINT) AS n_dropped
       |FROM sizes GROUP BY 1 ORDER BY 1""".stripMargin)
 
+  /** Corpus composition report — the per-(lang, source) summary a
+    * pipeline operator signs off on before a training run: document
+    * and token counts, duplicate counts from the canonical assignment,
+    * and exact basis-point duplicate rate / tokens-per-doc (integer
+    * division everywhere — no doubles, no rounding divergence).
+    * Composes [[canonicalAssign]] with the token counts in ONE
+    * grouped aggregate after an id-keyed join; |langs × sources|
+    * output rows. */
+  private val corpusReport = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+        .select($"doc_id", $"lang", $"source",
+          size(split($"text", " ")).cast("long").as("toks"))
+      docs.join(canonicalAssign(s, dir).select($"doc_id", $"kept"), "doc_id")
+        .groupBy($"lang", $"source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum($"toks").as("n_tokens"),
+          sum(lit(1L) - $"kept").as("n_dup"))
+        .select($"lang", $"source", $"n_docs", $"n_tokens", $"n_dup",
+          expr("n_dup * 10000 div n_docs").as("dup_bp"),
+          expr("n_tokens * 100 div n_docs").as("tok_per_doc_x100"))
+        .orderBy($"lang", $"source")
+    },
+    oracleCanonicalLabels + """,
+      |d AS (SELECT doc_id, lang, source,
+      |             CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+      |      FROM documents)
+      |SELECT d.lang, d.source,
+      |       COUNT(*) AS n_docs,
+      |       CAST(SUM(d.toks) AS BIGINT) AS n_tokens,
+      |       CAST(SUM(CASE WHEN l.doc_id = l.canonical THEN 0 ELSE 1 END) AS BIGINT) AS n_dup,
+      |       CAST(SUM(CASE WHEN l.doc_id = l.canonical THEN 0 ELSE 1 END) * 10000 // COUNT(*) AS BIGINT) AS dup_bp,
+      |       CAST(SUM(d.toks) * 100 // COUNT(*) AS BIGINT) AS tok_per_doc_x100
+      |FROM d JOIN lbl l ON d.doc_id = l.doc_id
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+
   /** SimHash (32-bit) per document from shingle hashes: bit j of the
     * fingerprint is the sign of Σ ±1 over shingles (weighted by whether
     * bit j of the shingle hash is set). */
@@ -718,6 +756,7 @@ object TextDedup {
     "q_dedup_near" -> dedupNear,
     "q_dedup_canonical" -> dedupCanonical,
     "q_cluster_stats" -> clusterStats,
+    "q_corpus_report" -> corpusReport,
     "q_contamination" -> contamination,
     "q_dedup_ngram" -> dedupNgram,
     "q_dedup_simhash" -> simhash,

@@ -231,6 +231,20 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("corpus report reconciles with cluster stats and the corpus") {
+    import spark.implicits._
+    val rep = SparkEntry.all("q_corpus_report").fn(spark, sf).collect()
+    val nDocs = graft.util.Tables.documents(spark, sf).count()
+    assert(rep.map(_.getLong(2)).sum === nDocs)
+    val dropped = SparkEntry.all("q_cluster_stats").fn(spark, sf)
+      .agg(sum($"n_dropped")).as[Long].head()
+    assert(rep.map(_.getLong(4)).sum === dropped) // n_dup total
+    rep.foreach { r =>
+      assert(r.getLong(5) === r.getLong(4) * 10000 / r.getLong(2)) // dup_bp
+      assert(r.getLong(6) === r.getLong(3) * 100 / r.getLong(2))   // tok/doc
+    }
+  }
+
   test("profile: per-column counts are consistent and bounds are ordered") {
     import spark.implicits._
     val nOrders = graft.util.Tables.orders(spark, sf).count()
