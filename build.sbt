@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] runs 32 concurrent tasks in ONE JVM: unified memory is
+  // ~0.6*heap, so an 8g heap gives each task ~150 MB before sort/agg
+  // spill — the r4 bench regression (VERDICT r4) was this heap starving
+  // 32-way shuffle/sort plans. Size the single local JVM like the sum
+  // of the executors it stands in for (the box has 128 GiB).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

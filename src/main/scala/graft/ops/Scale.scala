@@ -278,8 +278,10 @@ object Scale {
       groupCol: String,
       valCol: String,
       ranksFor: Long => Seq[Long],
-      precounted: Option[Seq[(String, Long)]] = None): DataFrame =
-    rankPickBy(spark, df, groupCol, valCol, (_, n) => ranksFor(n), precounted)
+      precounted: Option[Seq[(String, Long)]] = None,
+      maxGroups: Int = 100000): DataFrame =
+    rankPickBy(spark, df, groupCol, valCol, (_, n) => ranksFor(n), precounted,
+      maxGroups)
 
   /** [[rankPick]] with GROUP-AWARE target ranks — lets several logical
     * rank-picks share ONE global sort: melt the measures into a single
@@ -292,18 +294,33 @@ object Scale {
       groupCol: String,
       valCol: String,
       ranksFor: (String, Long) => Seq[Long],
-      precounted: Option[Seq[(String, Long)]] = None): DataFrame = {
+      precounted: Option[Seq[(String, Long)]] = None,
+      maxGroups: Int = 100000): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     require(df.schema(groupCol).dataType == StringType,
       s"rankPick groups by a string key; got ${df.schema(groupCol).dataType.sql}" +
         " — cast the group column first")
     // group order must be SPARK's sort order (orderBy below), not a
-    // driver-side sortBy — see `precounted` scaladoc
+    // driver-side sortBy — see `precounted` scaladoc.
+    // The per-group (key, count) offset table lives on the driver — the
+    // documented watermark-class scalar read. That contract is only safe
+    // when group cardinality is low, so ENFORCE it (VERDICT r4 item 4):
+    // fetch maxGroups+1 rows via TakeOrderedAndProject (no full collect
+    // on the failure path either) and fail fast instead of silently
+    // becoming a driver-side bottleneck on a high-cardinality key.
     val counts: Seq[(String, Long)] = precounted.getOrElse {
-      df.groupBy(col(groupCol)).count().orderBy(col(groupCol))
+      val rows = df.groupBy(col(groupCol)).count().orderBy(col(groupCol))
+        .limit(maxGroups + 1)
         .collect().toSeq.map(r => r.getString(0) -> r.getLong(1))
+      require(rows.size <= maxGroups,
+        s"rankPick holds one (group, count) pair per group on the driver; " +
+          s"'$groupCol' has >$maxGroups groups — use a distributed " +
+          "window rank per group instead, or raise maxGroups deliberately")
+      rows
     }
+    require(counts.size <= maxGroups,
+      s"rankPick precounted table has ${counts.size} groups > maxGroups=$maxGroups")
     val schema = StructType(Seq(
       StructField(groupCol, StringType, nullable = false),
       StructField("rn", LongType, nullable = false),

@@ -103,6 +103,19 @@ class PlanSpec extends SparkSpec {
       !p.contains("CartesianProduct"), p)
   }
 
+  test("q_dedup_substring counts grams via hash agg + semi join, not a sorted window") {
+    // the r3/r4 shape counted corpus-wide gram occurrences with
+    // count().over(Window.partitionBy(gh)) — sort-based over ALL
+    // exploded corpus tokens, the suite's slowest query under memory
+    // pressure (VERDICT r4 item 2). The chosen shape: HashAggregate on
+    // the gram key → filter to the sparse repeated-key set → LeftSemi
+    // join back. Pin: no window operator anywhere, a semi join present.
+    val p = plan("q_dedup_substring")
+    assert(!p.contains("Window"), p)
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("q_late_reconcile prunes the recompute to affected-day partitions") {
     val p = plan("q_late_reconcile")
     // the affected-day set is broadcast into a semi join (the partition

@@ -96,6 +96,29 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("rankPick fails fast above its driver-side group-cardinality cap") {
+    import spark.implicits._
+    // the per-group offset table is a driver-side collect — the
+    // documented watermark-class scalar read. The cap makes that
+    // contract mechanical: a high-cardinality group key must throw,
+    // not silently funnel the group census through the driver.
+    val wide = (1 to 50).map(i => (s"g$i", i.toDouble)).toDF("g", "v")
+    val e = intercept[IllegalArgumentException] {
+      Scale.rankPick(spark, wide, "g", "v", n => Seq(1L), maxGroups = 10)
+    }
+    assert(e.getMessage.contains("maxGroups") || e.getMessage.contains("groups"))
+    // precounted path enforces the same cap
+    val pre = (1 to 50).map(i => (s"g$i", 1L))
+    val e2 = intercept[IllegalArgumentException] {
+      Scale.rankPick(spark, wide, "g", "v", n => Seq(1L),
+        precounted = Some(pre), maxGroups = 10)
+    }
+    assert(e2.getMessage.contains("maxGroups"))
+    // and below the cap the same call succeeds
+    assert(Scale.rankPick(spark, wide, "g", "v", n => Seq(1L),
+      maxGroups = 64).count() === 50L)
+  }
+
   test("starCC labels == union-find ground truth: hub, chain, random, cliques") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
