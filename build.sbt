@@ -26,10 +26,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // local[32] runs 32 concurrent tasks in ONE JVM: unified memory is
-  // ~0.6*heap, so an 8g heap gives each task ~150 MB before sort/agg
-  // spill — the r4 bench regression (VERDICT r4) was this heap starving
-  // 32-way shuffle/sort plans. Size the single local JVM like the sum
-  // of the executors it stands in for (the box has 128 GiB).
+  // local[32] runs 32 concurrent tasks in ONE JVM. The r5 triage A/B'd
+  // 8g vs 48g on identical interleaved reps: medians were equal, so the
+  // r4 bench slowdown was NOT heap starvation (it was box contention —
+  // BASELINE.md r5 row). 48g stays as headroom: the box has 128 GiB,
+  // and with 0.6*heap unified memory each of the 32 tasks gets ~900 MB
+  // before spill, so memory footprint can never become the confound in
+  // a future regression readout.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

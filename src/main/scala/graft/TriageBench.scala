@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.util.Tables
+
+/** Round-5 triage: interleaved reps of (a) the two substring-dedup
+  * count shapes and (b) untouched control queries, in one JVM —
+  * BASELINE.md protocol. Run twice (SPARK_DRIVER_MEM=8g / 48g) to
+  * separate plan effects from heap effects. Dev tool, not a driver
+  * artifact. */
+object TriageBench {
+
+  private def substringBase(s: SparkSession, dir: String) = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val w = split($"text", " ")
+    val m = greatest(size(w) - 7, lit(0))
+    val grams = when(m > 0,
+      transform(sequence(lit(1), m), i => xxhash64(slice(w, i, lit(8)))))
+      .otherwise(array().cast("array<bigint>"))
+    (docs, m, docs.select($"doc_id", explode(grams).as("gh")))
+  }
+
+  private def subWindow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val (docs, _, ex) = substringBase(s, dir)
+    val per = ex
+      .withColumn("c", count(lit(1)).over(Window.partitionBy($"gh")))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(($"c" > 1).cast("long")).as("n_dup"))
+    docs.select($"doc_id").join(per, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_grams", lit(0L)).as("n_grams"),
+        coalesce($"n_dup", lit(0L)).as("n_dup"))
+      .orderBy($"doc_id")
+  }
+
+  private def subSemi(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (docs, m, ex) = substringBase(s, dir)
+    val dupKeys = ex.groupBy($"gh").agg(count(lit(1)).as("c"))
+      .filter($"c" > 1).select($"gh")
+    val dupPer = ex.join(dupKeys, Seq("gh"), "left_semi")
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_dup"))
+    docs.select($"doc_id", m.cast("long").as("n_grams"))
+      .join(dupPer, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_grams", coalesce($"n_dup", lit(0L)).as("n_dup"))
+      .orderBy($"doc_id")
+  }
+
+  /** One explode, no sort: pre-aggregate per (doc_id, gh) so the
+    * corpus-count branch and the per-doc branch share ONE exchange
+    * (ReuseExchange) instead of re-running the explode kernel. */
+  private def subReuse(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (docs, m, ex) = substringBase(s, dir)
+    val dg = ex.groupBy($"doc_id", $"gh").agg(count(lit(1)).as("k"))
+    val dup = dg.groupBy($"gh").agg(sum($"k").as("c"))
+      .filter($"c" > 1).select($"gh")
+    val dupPer = dg.join(dup, Seq("gh"), "left_semi")
+      .groupBy($"doc_id").agg(sum($"k").as("n_dup"))
+    docs.select($"doc_id", m.cast("long").as("n_grams"))
+      .join(dupPer, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_grams", coalesce($"n_dup", lit(0L)).as("n_dup"))
+      .orderBy($"doc_id")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = args.find(_.forall(_.isDigit)).map(_.toInt).getOrElse(3)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val cases: Seq[(String, () => DataFrame)] = Seq(
+      "substring_window" -> (() => subWindow(spark, sfDir)),
+      "substring_semijoin" -> (() => subSemi(spark, sfDir)),
+      "substring_reuse" -> (() => subReuse(spark, sfDir)),
+      "ctl_filter_pred" -> (() => SparkEntry.all("q_filter_pred").fn(spark, sfDir)),
+      "ctl_daily_avg" -> (() => SparkEntry.all("q_daily_avg").fn(spark, sfDir)),
+      "ctl_date_funcs" -> (() => SparkEntry.all("q_date_funcs").fn(spark, sfDir)))
+
+    if (args.contains("explain")) {
+      Seq("substring_window" -> subWindow(spark, sfDir),
+        "substring_semijoin" -> subSemi(spark, sfDir),
+        "substring_reuse" -> subReuse(spark, sfDir)).foreach { case (n, df) =>
+        df.write.format("noop").mode("overwrite").save()
+        println(s"==== $n FINAL PLAN ====")
+        println(df.queryExecution.executedPlan.toString.take(4000))
+      }
+      spark.stop(); return
+    }
+    // warm-up round (untimed)
+    cases.foreach { case (_, f) =>
+      try f().write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable => println(s"warm fail: ${e.getMessage}") }
+    }
+    val times = scala.collection.mutable.Map[String, List[Double]]()
+    (1 to reps).foreach { _ =>
+      cases.foreach { case (name, f) =>
+        val t0 = System.nanoTime()
+        f().write.format("noop").mode("overwrite").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        times(name) = dt :: times.getOrElse(name, Nil)
+      }
+    }
+    val heapGb = Runtime.getRuntime.maxMemory / 1e9
+    println(f"TRIAGE heap=${heapGb}%.1fgb sf=$sfDir cpus=$cpus")
+    cases.foreach { case (name, _) =>
+      val ts = times(name).sorted
+      println(f"TRIAGE $name%-22s median=${ts(ts.length / 2)}%7.2f  reps=${ts.map(t => f"$t%.2f").mkString(",")}")
+    }
+    spark.stop()
+  }
+}

@@ -126,6 +126,88 @@ object Pipeline {
       .filter(col("load_date") === lit(loadDate)).count()
   }
 
+  /** Key-level MERGE (upsert) into the date-partitioned sink — the one
+    * warehouse primitive the append/overwrite modes don't cover: a
+    * replay or correction carrying CHANGED values for a subset of keys
+    * inside a partition. Date-keyed dynamic partition overwrite
+    * ([[runIncremental]] `overwritePartitions`) rewrites whole date
+    * partitions FROM THE DELTA, so keys absent from the delta would be
+    * dropped; blind append duplicates them. This is copy-on-write merge
+    * (the Delta/Hudi CoW shape, public design): rewrite only the
+    * affected date partitions, preserving their untouched keys.
+    *
+    * Mechanics:
+    *  1. the affected-date list is a distinct-collect of the updates'
+    *     partition key — watermark-class driver state (days, not rows),
+    *     enforced by `maxPartitions`;
+    *  2. existing rows of ONLY those dates are read (the isin literal
+    *     list static-prunes the partitioned scan), updates' keys are
+    *     anti-joined away, and the union with the updates is staged to
+    *     a dot-dir Spark's file listing ignores — writing the merge
+    *     result BEFORE touching the sink sidesteps the
+    *     read-overwrite-same-path hazard and makes a mid-write crash
+    *     harmless (the sink is untouched until stage 3);
+    *  3. the staged rows dynamic-partition-overwrite exactly the
+    *     affected dates. Replaying the same upsert regenerates the same
+    *     staging content, so retries are idempotent end-to-end.
+    *
+    * At 100 TB both the read and the rewrite touch |affected dates| ×
+    * |groups/day| daily rows — never the full sink; the double write of
+    * the merged partitions is the standard CoW merge cost.
+    *
+    * Returns the number of rows written into the affected partitions. */
+  def upsert(
+      spark: SparkSession,
+      updates: DataFrame,
+      sinkDir: String,
+      keyCols: Seq[String] = Seq("date", "group_key"),
+      partitionCol: String = "date",
+      maxPartitions: Int = 10000): Long = {
+    require(keyCols.contains(partitionCol),
+      s"upsert key $keyCols must include the partition column $partitionCol" +
+        " — a key that moves across partitions needs a full-sink merge")
+    val dir = new java.io.File(sinkDir)
+    val sinkEmpty =
+      !dir.exists() || dir.listFiles() == null ||
+        !dir.listFiles().exists(f => !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+    if (sinkEmpty) {
+      updates.write.partitionBy(partitionCol).mode(SaveMode.Append).parquet(sinkDir)
+      return updates.count()
+    }
+    val affected = updates.select(col(partitionCol)).distinct()
+      .limit(maxPartitions + 1).collect().map(_.get(0))
+    require(affected.length <= maxPartitions,
+      s"upsert touches >$maxPartitions $partitionCol partitions — " +
+        "that is a table rewrite, not an incremental merge; split the batch")
+    if (affected.isEmpty) return 0L
+    val existing = spark.read.parquet(sinkDir)
+      .filter(col(partitionCol).isin(affected.toIndexedSeq: _*))
+    val keep = existing.join(
+      updates.select(keyCols.map(col): _*), keyCols.toIndexedSeq, "left_anti")
+    val merged = keep.unionByName(updates)
+    val staging = s"$sinkDir/.merge_staging"
+    merged.write.mode(SaveMode.Overwrite).parquet(staging)
+    val staged = spark.read.parquet(staging)
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.get(key, "static")
+    spark.conf.set(key, "dynamic")
+    try staged.write
+      .partitionBy(partitionCol)
+      .mode(SaveMode.Overwrite)
+      .parquet(sinkDir)
+    finally spark.conf.set(key, prev)
+    val n = staged.count()
+    // staging is transient; a leftover from a crash is overwritten by
+    // the next run, deletion is just hygiene
+    def rm(f: java.io.File): Unit = {
+      val kids = f.listFiles()
+      if (kids != null) kids.foreach(rm)
+      f.delete(): Unit
+    }
+    rm(new java.io.File(staging))
+    n
+  }
+
   /** Idempotent-consumer read over the append-only sink: the reference's
     * WRITE_APPEND can duplicate a (date, group) on re-run after a partial
     * failure (energy_etl.py:103-107 — no merge); readers recover

@@ -694,26 +694,30 @@ object TextDedup {
     * Scale: the window explode is narrow (corpus tokens × 1 rows), and
     * windows travel as 64-bit xxhash64 keys of the 8-word slice — never
     * as gram strings (fixed-width shuffle keys, no concat of word
-    * copies). Corpus-wide counts come from a HASH aggregate on the key
-    * (map-side partial combine, no sort), filtered to the keys that
-    * actually repeat — a sparse set in any real corpus — and only THAT
-    * set joins back to the exploded stream (left semi; AQE broadcasts
-    * it when small, falls back to a shuffled semi join otherwise). The
-    * r3/r4 shape counted via `count().over(Window.partitionBy(gh))`
-    * instead: "one shuffle" on paper, but a window over a
-    * high-cardinality key is sort-based — it buffers and sorts ALL
-    * exploded corpus tokens per partition, the suite's slowest query at
-    * 14.5 s under r4's memory pressure (VERDICT r4 item 2). Per-doc
-    * totals never need the explode at all: n_grams ≡ max(|words|−7, 0)
-    * straight off the split, so the dup-side aggregate is the only
-    * exploded shuffle and its map-side combine collapses it to one row
-    * per (doc, partition). The count is invariant under any injective
-    * rekeying, so the string-counting oracle replays it exactly; a
-    * 64-bit collision (~n²/2⁶⁴, ≈1e-8 at sf0.1) is the only divergence
-    * mode, same risk class as every hash-keyed dedup tier. */
+    * copies). The corpus-wide count per key is a count-over-window
+    * partitioned by the key: ONE shuffle and ONE pass of the explode
+    * kernel. VERDICT r4 flagged the per-partition sort behind that
+    * window and asked for an A/B against join-back shapes; the
+    * interleaved triage (graft.TriageBench, sf0.1 local[32], 3 reps,
+    * both 8g and 48g heaps) answered: window 2.1-2.3 s,
+    * dup-keys-semi-join 3.2-3.5 s (the broadcast semi join itself is
+    * cheap but the explode kernel runs TWICE — count branch + probe
+    * branch), (doc,gh) pre-agg with exchange reuse 4.1-4.4 s (the
+    * 10M-entry hash agg costs more than the sort it saves, k≈1
+    * everywhere). r4's 14.5 s reading of this query was driver-box
+    * contention, not the plan — the same binary re-ran at 2.1 s
+    * (BASELINE.md r5 row). The window shape stays; its one scale
+    * caveat is a single boilerplate gram repeated ~1e9 times skewing
+    * one reducer, where the semi-join variant (preserved in
+    * TriageBench for that day) pre-reduces hot keys map-side. The
+    * count is invariant under any injective rekeying, so the
+    * string-counting oracle replays it exactly; a 64-bit collision
+    * (~n²/2⁶⁴, ≈1e-8 at sf0.1) is the only divergence mode, same risk
+    * class as every hash-keyed dedup tier. */
   private val dedupSubstring = QueryDef(
     (s, dir) => {
       import s.implicits._
+      import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, dir)
       val w = split($"text", " ")
       val m = greatest(size(w) - 7, lit(0))
@@ -722,19 +726,18 @@ object TextDedup {
         transform(sequence(lit(1), m), i => xxhash64(slice(w, i, lit(8)))))
         .otherwise(array().cast("array<bigint>"))
       val ex = docs.select($"doc_id", explode(grams).as("gh"))
-      // only the keys that repeat corpus-wide (includes within-doc
-      // repeats — sum over docs, not distinct docs)
-      val dupKeys = ex.groupBy($"gh").agg(count(lit(1)).as("c"))
-        .filter($"c" > 1).select($"gh")
-      val dupPer = ex.join(dupKeys, Seq("gh"), "left_semi")
-        .groupBy($"doc_id").agg(count(lit(1)).as("n_dup"))
-      docs.select($"doc_id", m.cast("long").as("n_grams"))
-        .join(dupPer, Seq("doc_id"), "left")
-        .select($"doc_id", $"n_grams",
+      val per = ex
+        .withColumn("c", count(lit(1)).over(Window.partitionBy($"gh")))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(($"c" > 1).cast("long")).as("n_dup"))
+      docs.select($"doc_id")
+        .join(per, Seq("doc_id"), "left")
+        .select($"doc_id",
+          coalesce($"n_grams", lit(0L)).as("n_grams"),
           coalesce($"n_dup", lit(0L)).as("n_dup"),
-          when($"n_grams" > 0,
-            expr("coalesce(n_dup, 0L) * 10000 div n_grams"))
-            .otherwise(lit(0L))
+          when(coalesce($"n_grams", lit(0L)) > 0,
+            expr("n_dup * 10000 div n_grams")).otherwise(lit(0L))
             .cast("long").as("dup_bp"))
         .orderBy($"doc_id")
     },

@@ -171,6 +171,49 @@ class PipelineSpec extends SparkSpec {
     assert(parsed.agg(sum($"value")).as[Double].head() === 4.0)
   }
 
+  test("upsert: changed keys update, untouched keys survive, replay idempotent") {
+    import spark.implicits._
+    val sink = Files.createTempDirectory("graft_upsert").toString + "/t"
+    def mk(rows: Seq[(String, String, Double, Long, String)]) =
+      rows.toDF("date", "group_key", "avg_value", "n", "load_date")
+        .select(col("date").cast("date"), col("group_key"),
+          col("avg_value"), col("n"), col("load_date").cast("date"))
+    val seed = mk(Seq(
+      ("2024-01-01", "SE1", 10.0, 2L, "2024-01-02"),
+      ("2024-01-01", "SE2", 5.0, 1L, "2024-01-02"),
+      ("2024-01-02", "SE1", 40.0, 2L, "2024-01-03")))
+    assert(Pipeline.upsert(spark, seed, sink) === 3)
+    // correction batch: SE1@01-01 CHANGES, SE3@01-01 is new,
+    // 01-02 is not in the batch at all
+    val fix = mk(Seq(
+      ("2024-01-01", "SE1", 11.5, 3L, "2024-01-05"),
+      ("2024-01-01", "SE3", 7.0, 1L, "2024-01-05")))
+    Pipeline.upsert(spark, fix, sink)
+    def snap() = spark.read.parquet(sink)
+      .select(col("date").cast("string"), col("group_key"),
+        col("avg_value"), col("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getDouble(2), r.getLong(3)))).toMap
+    val s1 = snap()
+    assert(s1.size === 4, "no duplicate keys after merge")
+    assert(s1(("2024-01-01", "SE1")) === ((11.5, 3L)), "changed key updated")
+    assert(s1(("2024-01-01", "SE2")) === ((5.0, 1L)),
+      "untouched key inside the rewritten partition survives")
+    assert(s1(("2024-01-02", "SE1")) === ((40.0, 2L)), "untouched partition intact")
+    assert(s1(("2024-01-01", "SE3")) === ((7.0, 1L)), "new key inserted")
+    // crash-replay of the same batch changes nothing
+    Pipeline.upsert(spark, fix, sink)
+    assert(snap() === s1)
+    // mechanical contracts: partition cap, key must cover the partition col
+    intercept[IllegalArgumentException] {
+      Pipeline.upsert(spark, seed, sink, maxPartitions = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Pipeline.upsert(spark, seed, sink, keyCols = Seq("group_key"))
+    }
+  }
+
   test("clusteredWrite yields disjoint per-file key ranges (file-skipping layout)") {
     val dir = Files.createTempDirectory("graft_clustered").toString + "/t"
     val docs = graft.util.Tables.documents(spark, sf)

@@ -103,17 +103,19 @@ class PlanSpec extends SparkSpec {
       !p.contains("CartesianProduct"), p)
   }
 
-  test("q_dedup_substring counts grams via hash agg + semi join, not a sorted window") {
-    // the r3/r4 shape counted corpus-wide gram occurrences with
-    // count().over(Window.partitionBy(gh)) — sort-based over ALL
-    // exploded corpus tokens, the suite's slowest query under memory
-    // pressure (VERDICT r4 item 2). The chosen shape: HashAggregate on
-    // the gram key → filter to the sparse repeated-key set → LeftSemi
-    // join back. Pin: no window operator anywhere, a semi join present.
+  test("q_dedup_substring runs the explode kernel once (keyed window, no join-back)") {
+    // VERDICT r4 asked for an A/B of this query's count shape; the
+    // interleaved triage (TriageBench, see the QueryDef scaladoc) kept
+    // the keyed-window count: one explode pass, one shuffle. The
+    // join-back variants re-run the explode kernel (2 Generate nodes)
+    // or add a 10M-entry pre-aggregation, and both lost. Pin the
+    // winning shape's load-bearing property: exactly ONE Generate over
+    // the corpus, a PARTITIONED window (never a global one), no
+    // nested-loop anywhere.
     val p = plan("q_dedup_substring")
-    assert(!p.contains("Window"), p)
-    assert(p.contains("LeftSemi"), p)
-    assert(p.contains("HashAggregate"), p)
+    assert("\\bGenerate explode".r.findAllIn(p).size === 1, p)
+    assert(p.contains("Window"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
 
   test("q_late_reconcile prunes the recompute to affected-day partitions") {
