@@ -67,7 +67,11 @@ object Bench {
     val failed = results.collect { case (k, v) if v < 0 => s"\"" + k + "\"" }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
+    // headline total INCLUDES the shared-lineage warm: prior rounds
+    // billed that rebuild inside whichever query touched it first, so
+    // excluding it here would silently shrink the metric round-over-
+    // round. The breakdown fields keep the two costs separable.
+    val total = results.values.filter(_ >= 0).sum + warmSec
     val failedJson = failed.mkString("[", ",", "]")
     // memory telemetry: the r4 regression was heap starvation
     // (VERDICT r4) — record the budget each run actually had so a

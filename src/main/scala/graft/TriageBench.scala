@@ -88,7 +88,13 @@ object TriageBench {
       "substring_reuse" -> (() => subReuse(spark, sfDir)),
       "ctl_filter_pred" -> (() => SparkEntry.all("q_filter_pred").fn(spark, sfDir)),
       "ctl_daily_avg" -> (() => SparkEntry.all("q_daily_avg").fn(spark, sfDir)),
-      "ctl_date_funcs" -> (() => SparkEntry.all("q_date_funcs").fn(spark, sfDir)))
+      "ctl_date_funcs" -> (() => SparkEntry.all("q_date_funcs").fn(spark, sfDir)),
+      // VERDICT r4 item 1's named unchanged-but-regressed set — the
+      // formal interleaved-reps readout for the contention diagnosis
+      "ctl_agg_approx" -> (() => SparkEntry.all("q_agg_approx").fn(spark, sfDir)),
+      "ctl_window_dist" -> (() => SparkEntry.all("q_window_dist").fn(spark, sfDir)),
+      "ctl_union_all" -> (() => SparkEntry.all("q_union_all").fn(spark, sfDir)),
+      "ctl_window_frame" -> (() => SparkEntry.all("q_window_frame").fn(spark, sfDir)))
 
     if (args.contains("explain")) {
       Seq("substring_window" -> subWindow(spark, sfDir),

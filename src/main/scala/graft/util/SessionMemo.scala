@@ -29,7 +29,9 @@ private[graft] final class SessionMemo(
       if (m == null || !persistedLineage) Seq.empty
       else {
         import scala.jdk.CollectionConverters._
-        m.values().asScala.toSeq
+        // deterministic (key-sorted) order so warm-time variance across
+        // runs reflects the box, never HashMap iteration order
+        m.entrySet().asScala.toSeq.sortBy(_.getKey).map(_.getValue)
       }
     }
 
