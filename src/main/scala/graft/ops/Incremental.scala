@@ -389,7 +389,49 @@ object Incremental {
       |       MIN(l_suppkey) AS s_min, MAX(l_suppkey) AS s_max
       |FROM z GROUP BY 1 ORDER BY 1""".stripMargin)
 
+  /** Key-skew census per partition-key candidate — the measurement
+    * that DECIDES salting ([[Scale.saltedAgg]] / AQE skew thresholds)
+    * instead of guessing: per event_type, the distinct-key count,
+    * total rows, the heaviest key's row count, its share of the
+    * type's rows, and max/mean in exact basis points (integer
+    * cross-multiplication — no doubles, `div` on both engines).
+    * max_over_mean_bp ≈ 10000 means uniform keys; ≥ a few × 10000
+    * means the heaviest key dominates its reducer and the downstream
+    * aggregate wants a salt.
+    *
+    * Scale: two chained two-phase hash aggregates — per-(type, key)
+    * counts shuffle once on the composite key (map-side combine
+    * absorbs the hot key's rows), the per-type rollup shuffles
+    * |distinct keys| pre-reduced rows. Nothing driver-side. */
+  private val skewProfile = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .groupBy($"event_type", $"user_id")
+        .agg(count(lit(1)).as("c"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_keys"),
+          sum($"c").as("n_rows"),
+          max($"c").as("max_cnt"))
+        .select($"event_type", $"n_keys", $"n_rows", $"max_cnt",
+          expr("max_cnt * 10000 div n_rows").cast("long").as("top1_share_bp"),
+          expr("max_cnt * n_keys * 10000 div n_rows").cast("long")
+            .as("max_over_mean_bp"))
+        .orderBy($"event_type")
+    },
+    """WITH pk AS (
+      |  SELECT event_type, user_id, COUNT(*) AS c
+      |  FROM events GROUP BY 1, 2)
+      |SELECT event_type,
+      |       COUNT(*) AS n_keys,
+      |       CAST(SUM(c) AS BIGINT) AS n_rows,
+      |       CAST(MAX(c) AS BIGINT) AS max_cnt,
+      |       CAST(MAX(c) * 10000 // SUM(c) AS BIGINT) AS top1_share_bp,
+      |       CAST(MAX(c) * COUNT(*) * 10000 // SUM(c) AS BIGINT) AS max_over_mean_bp
+      |FROM pk GROUP BY 1 ORDER BY 1""".stripMargin)
+
   val defs: Seq[(String, QueryDef)] = Seq(
+    "q_skew_profile" -> skewProfile,
     "q_daily_avg" -> dailyAvg,
     "q_zorder" -> zorder,
     "q_late_reconcile" -> lateReconcile,

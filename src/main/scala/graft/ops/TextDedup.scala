@@ -762,7 +762,40 @@ object TextDedup {
       |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
       |ORDER BY d.doc_id""".stripMargin)
 
+  /** SimHash Hamming-distance histogram over the LSH candidate pairs —
+    * the calibration readout for the consensus gate's `hamming ≤ 8`
+    * threshold: a bimodal histogram (near-dup mass at low distances,
+    * chance-collision mass near 16/32) tells an operator where to cut
+    * BEFORE running destructive deletion with that cut. Pure integers
+    * end-to-end: XOR + popcount on the shared fingerprints, count per
+    * distance.
+    *
+    * Scale: reuses the memoized signature/fingerprint lineage; the two
+    * id-keyed joins attach 8-byte fingerprints to the (sparse) LSH
+    * candidate set, never to the corpus; the histogram is a ≤33-row
+    * two-phase aggregate. */
+  private val hammingHist = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val fps = simhashFps(s, dir)
+      lshCandidates(s, dir)
+        .join(fps.select($"doc_id".as("da"), $"simhash".as("fa")), "da")
+        .join(fps.select($"doc_id".as("db"), $"simhash".as("fb")), "db")
+        .select(bit_count($"fa".bitwiseXOR($"fb")).cast("long").as("hamming"))
+        .groupBy($"hamming")
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy($"hamming")
+    },
+    oracleLshCandidates + ",\n" + oracleSimhashCte + """
+      |SELECT CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming,
+      |       COUNT(*) AS n_pairs
+      |FROM cand c
+      |JOIN shash a ON c.da = a.doc_id
+      |JOIN shash b ON c.db = b.doc_id
+      |GROUP BY 1 ORDER BY 1""".stripMargin)
+
   val defs: Seq[(String, QueryDef)] = Seq(
+    "q_hamming_hist" -> hammingHist,
     "q_dedup_substring" -> dedupSubstring,
     "q_dedup_minhash" -> dedupMinhash,
     "q_dedup_lsh" -> dedupLsh,

@@ -695,7 +695,41 @@ object TextOps {
       |       FLOOR(CAST(CAST(CAST(ROUND(SUM(lnp), 6) AS DECIMAL(24,6)) * 1000000 AS BIGINT) AS DOUBLE) / (COUNT(*) * 100.0) + 0.5) / 10000.0 AS avg_logprob
       |FROM lp GROUP BY 1 ORDER BY 1""".stripMargin)
 
+  /** Boilerplate-prefix clustering — the cheap first-pass dedup tier a
+    * web-corpus pipeline runs BEFORE the shingle family: documents
+    * sharing an identical leading-6-word prefix (scraped headers,
+    * license banners, template intros) group into one cluster row with
+    * membership stats. Spark `substring_index` and the oracle's
+    * split-slice-join agree on the "all words when shorter" edge.
+    *
+    * Scale: one projection + one two-phase hash aggregate on the
+    * prefix; no explode, no join — the prefix string (bounded to 6
+    * words) is the only shuffled payload, and the `n_docs > 1` filter
+    * keeps the output to actual clusters. Totals stay integer-exact
+    * (n_chars is a stored BIGINT; the oracle casts its HUGEINT sum). */
+  private val prefixCluster = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select(substring_index($"text", " ", 6).as("prefix"),
+          $"doc_id", $"n_chars")
+        .groupBy($"prefix")
+        .agg(count(lit(1)).as("n_docs"),
+          min($"doc_id").as("first_doc"),
+          sum($"n_chars").as("total_chars"))
+        .filter($"n_docs" > 1)
+        .orderBy($"prefix")
+    },
+    """WITH p AS (
+      |  SELECT array_to_string(str_split(text, ' ')[1:6], ' ') AS prefix,
+      |         doc_id, n_chars
+      |  FROM documents)
+      |SELECT prefix, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc,
+      |       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      |FROM p GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY prefix""".stripMargin)
+
   val defs: Seq[(String, QueryDef)] = Seq(
+    "q_prefix_cluster" -> prefixCluster,
     "q_doc_logprob" -> docLogprob,
     "q_inverted_index" -> invertedIndex,
     "q_collocation_pmi" -> collocationPmi,
