@@ -794,7 +794,63 @@ object TextDedup {
       |JOIN shash b ON c.db = b.doc_id
       |GROUP BY 1 ORDER BY 1""".stripMargin)
 
+  /** Quality-aware canonical selection — production near-dup pipelines
+    * keep the BEST member of each duplicate cluster, not the lowest id
+    * (the id-keyed pick of [[canonicalAssign]] is reproducible but
+    * quality-blind: it can keep the truncated scrape and drop the clean
+    * one). Score = |distinct words| · 1e6 + |words|: an integer
+    * lexical-richness proxy (repetition-heavy variants lose), exact on
+    * both engines — no double ratios in the argmax, so no cross-engine
+    * tie ambiguity. Per cluster: size, the max score, and the winning
+    * doc (score desc, doc_id asc as the total tie-break).
+    *
+    * Scale: the score is a scan-local projection; everything after is
+    * id-keyed joins and per-cluster aggregates on the memoized
+    * assignment — the same ≤|corpus| row volumes as q_cluster_stats,
+    * no new explode, no pair-set blowup. */
+  private val dedupBest = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val words = split($"text", " ")
+      val scored = Tables.documents(s, dir).select($"doc_id",
+        (size(array_distinct(words)).cast("long") * 1000000L +
+          size(words).cast("long")).as("score"))
+      val j = canonicalAssign(s, dir).select($"doc_id", $"canonical")
+        .join(scored, "doc_id")
+      val best = j.groupBy($"canonical").agg(
+        count(lit(1)).as("cluster_size"), max($"score").as("best_score"))
+      j.join(best, "canonical")
+        .filter($"score" === $"best_score")
+        .groupBy($"canonical")
+        .agg(min($"doc_id").as("best_doc"))
+        .join(best, "canonical")
+        .select($"canonical", $"cluster_size", $"best_doc", $"best_score")
+        .orderBy($"canonical")
+    },
+    oracleCanonicalLabels + """,
+      |sc AS (
+      |  SELECT doc_id,
+      |         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+      |           * 1000000
+      |           + CAST(len(string_split(text, ' ')) AS BIGINT) AS score
+      |  FROM documents),
+      |jn AS (
+      |  SELECT l.doc_id, l.canonical, sc.score
+      |  FROM lbl l JOIN sc ON l.doc_id = sc.doc_id),
+      |best AS (
+      |  SELECT canonical, COUNT(*) AS cluster_size, MAX(score) AS best_score
+      |  FROM jn GROUP BY 1),
+      |pick AS (
+      |  SELECT jn.canonical, MIN(jn.doc_id) AS best_doc
+      |  FROM jn JOIN best ON jn.canonical = best.canonical
+      |                   AND jn.score = best.best_score
+      |  GROUP BY 1)
+      |SELECT p.canonical, b.cluster_size, p.best_doc, b.best_score
+      |FROM pick p JOIN best b ON p.canonical = b.canonical
+      |ORDER BY p.canonical""".stripMargin)
+
   val defs: Seq[(String, QueryDef)] = Seq(
+    "q_dedup_best" -> dedupBest,
     "q_hamming_hist" -> hammingHist,
     "q_dedup_substring" -> dedupSubstring,
     "q_dedup_minhash" -> dedupMinhash,
