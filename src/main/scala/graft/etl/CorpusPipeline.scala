@@ -77,6 +77,28 @@ object CorpusPipeline {
     docs.join(canonical.filter(col("kept") === 1L).select("doc_id"),
       Seq("doc_id"), "left_semi")
 
+  /** Near-dup removal, QUALITY-AWARE transitive policy (q_dedup_best's
+    * rule as a pipeline stage): per connected component keep the member
+    * with the highest integer lexical-richness score
+    * (|distinct words|·1e6 + |words|; ties broken by lowest doc_id), so
+    * the clean variant survives instead of whichever scrape happened to
+    * get the lowest id. `canonical` is any (doc_id, canonical) frame
+    * (q_dedup_canonical / [[canonicalStar]] output). Same id-keyed
+    * join + per-cluster argmax volumes as the stats queries — no new
+    * explode, no pair blowup. */
+  def dropNearDupsBest(docs: DataFrame, canonical: DataFrame): DataFrame = {
+    val words = split(col("text"), " ")
+    val scored = docs.select(col("doc_id"),
+      (size(array_distinct(words)).cast("long") * 1000000L +
+        size(words).cast("long")).as("_score"))
+    val j = canonical.select("doc_id", "canonical").join(scored, "doc_id")
+    // max over the UNIQUE (score, -doc_id) pair: deterministic argmax
+    val best = j.groupBy(col("canonical"))
+      .agg(max(struct(col("_score"), (-col("doc_id")).as("_nid"))).as("_m"))
+      .select((-col("_m._nid")).as("doc_id"))
+    docs.join(best, Seq("doc_id"), "left_semi")
+  }
+
   /** Build the (doc_id, canonical, kept) frame from verified near-dup
     * pairs with the skew-resistant alternating-star CC
     * ([[graft.ops.Scale.starCC]]) — the 100 TB transitive-policy path

@@ -72,4 +72,28 @@ class CorpusPipelineSpec extends SparkSpec {
     val pairwise = CorpusPipeline.dropNearDups(docs, nearPairs)
     assert(kept.count() <= pairwise.count())
   }
+
+  test("quality-aware near-dedup keeps q_dedup_best's pick per cluster") {
+    val docs = Tables.documents(spark, sf)
+    val canonical = SparkEntry.all("q_dedup_canonical").fn(spark, sf)
+    val kept = CorpusPipeline.dropNearDupsBest(docs, canonical)
+    // one survivor per cluster — same count as the id-keyed policy,
+    // different (quality-driven) membership
+    assert(kept.count() === canonical.filter(col("kept") === 1L).count())
+    // survivors are exactly the oracle-verified q_dedup_best picks
+    val picks = SparkEntry.all("q_dedup_best").fn(spark, sf)
+      .select(col("best_doc").as("doc_id"))
+    assert(kept.select("doc_id").except(picks).count() === 0)
+    assert(picks.except(kept.select("doc_id")).count() === 0)
+    // and a kept doc never has a strictly higher-scored cluster-mate
+    val words = split(col("text"), " ")
+    val scored = docs.select(col("doc_id"),
+      (size(array_distinct(words)).cast("long") * 1000000L +
+        size(words).cast("long")).as("s"))
+    val j = canonical.select("doc_id", "canonical").join(scored, "doc_id")
+    val maxPer = j.groupBy("canonical").agg(max(col("s")).as("mx"))
+    val keptScores = kept.select(col("doc_id"))
+      .join(j, "doc_id").join(maxPer, "canonical")
+    assert(keptScores.filter(col("s") < col("mx")).count() === 0)
+  }
 }
