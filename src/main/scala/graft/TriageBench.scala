@@ -86,6 +86,7 @@ object TriageBench {
       "substring_window" -> (() => subWindow(spark, sfDir)),
       "substring_semijoin" -> (() => subSemi(spark, sfDir)),
       "substring_reuse" -> (() => subReuse(spark, sfDir)),
+      "substring_q_current" -> (() => SparkEntry.all("q_dedup_substring").fn(spark, sfDir)),
       "ctl_filter_pred" -> (() => SparkEntry.all("q_filter_pred").fn(spark, sfDir)),
       "ctl_daily_avg" -> (() => SparkEntry.all("q_daily_avg").fn(spark, sfDir)),
       "ctl_date_funcs" -> (() => SparkEntry.all("q_date_funcs").fn(spark, sfDir)),

@@ -174,6 +174,48 @@ object HashKernels {
       seen.toArray.asInstanceOf[Array[AnyRef]].asInstanceOf[Array[Any]])
   }
 
+  /** Sliding 8-word-window xxhash64 keys of a whole document in ONE
+    * pass — the fused form of TextDedup.dedupSubstring's interpreted
+    * `transform(sequence(1, m), i => xxhash64(slice(w, i, 8)))`:
+    * higher-order functions never enter whole-stage codegen and the
+    * builtin `slice` copies an 8-element array per position, so the
+    * fused kernel hashes each word's UTF-8 bytes once and chains the
+    * per-window seeds directly. Exact equivalences replicated:
+    *  - words = split(text, " ", -1) — trailing empties kept, same as
+    *    the builtin split;
+    *  - windows only when |words| ≥ 8 (`when(m > 0, …)` guard), one
+    *    per start position, NON-distinct and in order;
+    *  - hash = Spark's xxhash64 over array<string>: seed 42, then for
+    *    each of the 8 words h = XXH64(bytes, h) — bit-identical to the
+    *    builtin (ExpressionSpec pins it). */
+  def windowGramHashes(s: UTF8String): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val words = s.toString.split(" ", -1)
+    val n = words.length - 7
+    if (n <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(new Array[Any](0))
+    val bytes = new Array[Array[Byte]](words.length)
+    var k = 0
+    while (k < words.length) {
+      bytes(k) = words(k).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      k += 1
+    }
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      var h = 42L
+      var j = 0
+      while (j < 8) {
+        val b = bytes(i + j)
+        h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+          b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length, h)
+        j += 1
+      }
+      out(i) = h
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Char n-grams as UTF8String array — shared by CharNGrams eval+codegen.
     * substringSQL is 1-based and clamps at the end, exactly like the SQL
     * `substring(text, i, n)` the fallback and oracle use. */
@@ -320,6 +362,29 @@ case class CharGramHashes(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
       s"graft.functions.HashKernels.charGramHashes($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Whole-document sliding 8-word-window xxhash64 key array — SQL
+  * function `graft_window_hashes(text)`; the fused substring-dedup
+  * front end (see [[HashKernels.windowGramHashes]]). */
+case class WindowGramHashes(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_window_hashes expects string, got ${t.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.windowGramHashes(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HashKernels.windowGramHashes($c)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -169,6 +169,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_chargram_hashes"),
       new ExpressionInfo(classOf[CharGramHashes].getName, "graft_chargram_hashes"),
       (children: Seq[Expression]) => CharGramHashes(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_window_hashes"),
+      new ExpressionInfo(classOf[WindowGramHashes].getName, "graft_window_hashes"),
+      (children: Seq[Expression]) => WindowGramHashes(children.head)))
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

@@ -722,9 +722,16 @@ object TextDedup {
       val w = split($"text", " ")
       val m = greatest(size(w) - 7, lit(0))
       // sequence(1, 0) would generate a DESCENDING ramp — guard short docs
-      val grams = when(m > 0,
-        transform(sequence(lit(1), m), i => xxhash64(slice(w, i, lit(8)))))
-        .otherwise(array().cast("array<bigint>"))
+      val grams =
+        // fused codegen kernel when registered (bit-identical to the
+        // HOF formulation — ExpressionSpec pins it): the transform +
+        // slice path is interpreted per window and copies an 8-element
+        // array per position, the kernel hashes each word's bytes once
+        if (s.catalog.functionExists("graft_window_hashes"))
+          call_function("graft_window_hashes", $"text")
+        else when(m > 0,
+          transform(sequence(lit(1), m), i => xxhash64(slice(w, i, lit(8)))))
+          .otherwise(array().cast("array<bigint>"))
       val ex = docs.select($"doc_id", explode(grams).as("gh"))
       val per = ex
         .withColumn("c", count(lit(1)).over(Window.partitionBy($"gh")))

@@ -90,6 +90,24 @@ class ExpressionSpec extends SparkSpec {
       .filter($"n" =!= $"b").count() === 0)
   }
 
+  test("native window-gram hashes == xxhash64-over-slice transform, bit for bit") {
+    import spark.implicits._
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+      // synthetic edge docs: < 8 words (empty array), exactly 8, empty
+      // words from double spaces, trailing space, supplementary plane
+      .select($"text").unionByName(Seq(
+        "one two three", "a b c d e f g h", "a  b c d e f g  h i",
+        "tail space a b c d e f g ", "𝄞 music 𝄞 a b c d e f"
+      ).toDF("text"))
+    val w = split($"text", " ")
+    val m = greatest(size(w) - 7, lit(0))
+    val hof = when(m > 0,
+      transform(sequence(lit(1), m), i => xxhash64(slice(w, i, lit(8)))))
+      .otherwise(array().cast("array<bigint>"))
+    assert(d.select(call_function("graft_window_hashes", $"text").as("n"), hof.as("b"))
+      .filter(not($"n" <=> $"b")).count() === 0)
+  }
+
   test("native ngrams == substring-transform fold on the documents corpus") {
     import spark.implicits._
     val d = spark.read.parquet(s"$sf/documents.parquet")
