@@ -155,6 +155,12 @@ object Pipeline {
     * |groups/day| daily rows — never the full sink; the double write of
     * the merged partitions is the standard CoW merge cost.
     *
+    * Single-writer contract (the same one every path-based CoW merge
+    * has): concurrent upserts to ONE sink share the staging dir and can
+    * interleave partition replacement — serialize writers per sink (a
+    * scheduler lock or a Delta/Iceberg-style transactional commit layer
+    * at production scale).
+    *
     * Returns the number of rows written into the affected partitions. */
   def upsert(
       spark: SparkSession,
