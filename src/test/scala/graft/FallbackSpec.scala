@@ -10,10 +10,11 @@ class FallbackSpec extends SparkSpec {
 
   private val kernels = Seq("graft_dot", "graft_l2norm", "graft_fp",
     "graft_shingle_hash", "graft_shingle_hashes", "graft_ngrams",
-    "graft_intersect_card")
+    "graft_intersect_card", "graft_chargram_hashes", "graft_window_hashes")
   private val affected = Seq("q_sim_topk", "q_dedup_embed", "q_vec_centroid",
     "q_lang_id", "q_text_fingerprint", "q_dedup_near", "q_dedup_minhash",
-    "q_dedup_ngram", "q_dedup_canonical", "q_contamination")
+    "q_dedup_ngram", "q_dedup_canonical", "q_contamination",
+    "q_dedup_substring")
 
   test("fallback builders == kernel builders for every kernel-aware query") {
     val withKernels = affected.map(n =>
@@ -51,7 +52,9 @@ object Reregister {
       "graft_shingle_hash" -> (c => ShingleHash(c.head)),
       "graft_ngrams" -> (c => CharNGrams(c(0), c(1))),
       "graft_intersect_card" -> (c => ArrayIntersectCard(c(0), c(1))),
-      "graft_shingle_hashes" -> (c => WordShingleHashes(c.head)))
+      "graft_shingle_hashes" -> (c => WordShingleHashes(c.head)),
+      "graft_chargram_hashes" -> (c => CharGramHashes(c.head)),
+      "graft_window_hashes" -> (c => WindowGramHashes(c.head)))
     fns.foreach { case (name, builder) =>
       org.apache.spark.sql.graftshim.Shim.registerFunction(spark, name, builder)
     }
