@@ -214,6 +214,35 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("upsert property: random batch sequence == driver-side map fold") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val sink = Files.createTempDirectory("graft_upsert_prop").toString + "/t"
+    val dates = (1 to 6).map(d => f"2024-02-$d%02d")
+    val groups = Seq("SE1", "SE2", "SE3")
+    // reference semantics: last write per (date, group) wins
+    val ref = scala.collection.mutable.Map[(String, String), (Double, Long)]()
+    (1 to 5).foreach { batch =>
+      val rows = (1 to (3 + rnd.nextInt(6))).map { _ =>
+        val k = (dates(rnd.nextInt(dates.length)), groups(rnd.nextInt(groups.length)))
+        k -> ((rnd.nextInt(1000).toDouble / 10, rnd.nextInt(100).toLong))
+      }.toMap // unique keys within a batch (upsert's caller contract)
+      rows.foreach { case (k, v) => ref(k) = v }
+      val df = rows.toSeq.map { case ((d, g), (v, n)) => (d, g, v, n, "2024-03-01") }
+        .toDF("date", "group_key", "avg_value", "n", "load_date")
+        .select(col("date").cast("date"), col("group_key"),
+          col("avg_value"), col("n"), col("load_date").cast("date"))
+      Pipeline.upsert(spark, df, sink)
+    }
+    val got = spark.read.parquet(sink)
+      .select(col("date").cast("string"), col("group_key"),
+        col("avg_value"), col("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getDouble(2), r.getLong(3)))).toMap
+    assert(got === ref.toMap)
+  }
+
   test("clusteredWrite yields disjoint per-file key ranges (file-skipping layout)") {
     val dir = Files.createTempDirectory("graft_clustered").toString + "/t"
     val docs = graft.util.Tables.documents(spark, sf)
