@@ -822,16 +822,16 @@ object TextDedup {
       val scored = Tables.documents(s, dir).select($"doc_id",
         (size(array_distinct(words)).cast("long") * 1000000L +
           size(words).cast("long")).as("score"))
-      val j = canonicalAssign(s, dir).select($"doc_id", $"canonical")
+      // ONE pass: max over the UNIQUE (score, -doc_id) struct is the
+      // deterministic argmax — highest score, ties to the LOWEST
+      // doc_id — so no max-then-join-back second aggregate
+      canonicalAssign(s, dir).select($"doc_id", $"canonical")
         .join(scored, "doc_id")
-      val best = j.groupBy($"canonical").agg(
-        count(lit(1)).as("cluster_size"), max($"score").as("best_score"))
-      j.join(best, "canonical")
-        .filter($"score" === $"best_score")
         .groupBy($"canonical")
-        .agg(min($"doc_id").as("best_doc"))
-        .join(best, "canonical")
-        .select($"canonical", $"cluster_size", $"best_doc", $"best_score")
+        .agg(count(lit(1)).as("cluster_size"),
+          max(struct($"score".as("s"), (-$"doc_id").as("nid"))).as("m"))
+        .select($"canonical", $"cluster_size",
+          (-$"m.nid").as("best_doc"), $"m.s".as("best_score"))
         .orderBy($"canonical")
     },
     oracleCanonicalLabels + """,
