@@ -68,7 +68,25 @@ object ABBench {
         s"$q+spread" -> (() => { Tables.spreadEnabled = true; fn(s, dir) }),
         s"$q-nospread" -> (() => { Tables.spreadEnabled = false; fn(s, dir) }))
     }
-    handBuilt ++ spreadAB
+    // r5: lang-ID trigram front end — fused CharTrigrams kernel vs the
+    // interpreted ascii/substr HOF chain. q_lang_id re-plans per call
+    // through its functionExists switch, so toggling the registration
+    // inside each closure selects the shape; nothing in the lineage is
+    // memoized, so both slots execute the full pipeline.
+    val langIdAB = {
+      val fn = SparkEntry.all("q_lang_id").fn
+      val shim = org.apache.spark.sql.graftshim.Shim
+      Seq(
+        "langid_kernel" -> (() => {
+          shim.registerFunction(s, "graft_char3grams",
+            c => graft.functions.CharTrigrams(c.head))
+          fn(s, dir)
+        }),
+        "langid_hof" -> (() => {
+          shim.dropFunction(s, "graft_char3grams"); fn(s, dir)
+        }))
+    }
+    handBuilt ++ spreadAB ++ langIdAB
   }
 
   def main(args: Array[String]): Unit = {

@@ -92,6 +92,7 @@ object TriageBench {
       "ctl_date_funcs" -> (() => SparkEntry.all("q_date_funcs").fn(spark, sfDir)),
       // VERDICT r4 item 1's named unchanged-but-regressed set — the
       // formal interleaved-reps readout for the contention diagnosis
+      "ctl_lang_id" -> (() => SparkEntry.all("q_lang_id").fn(spark, sfDir)),
       "ctl_agg_approx" -> (() => SparkEntry.all("q_agg_approx").fn(spark, sfDir)),
       "ctl_window_dist" -> (() => SparkEntry.all("q_window_dist").fn(spark, sfDir)),
       "ctl_union_all" -> (() => SparkEntry.all("q_union_all").fn(spark, sfDir)),

@@ -174,6 +174,34 @@ object HashKernels {
       seen.toArray.asInstanceOf[Array[AnyRef]].asInstanceOf[Array[Any]])
   }
 
+  /** Packed char-TRIGRAM keys of a whole document, NON-distinct and in
+    * order — the fused form of TextOps.langId's interpreted
+    * `transform(sequence(1, greatest(len-2, 1)), i => (c(i)·1021 +
+    * c(i+1))·1021 + c(i+2))`. Same conventions as [[charGramHashes]]
+    * at width 3 but keeping every occurrence (lang-ID needs term
+    * frequencies, not a set): m = max(len−2, 1) positions (a short doc
+    * yields one partial gram), c(k) = codepoint or 0 past the end
+    * (`ascii(substr)` of '' is 0). ExpressionSpec pins equality. */
+  def charTrigrams(s: UTF8String): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val cps = s.toString.codePoints().toArray
+    val len = cps.length
+    val m = math.max(len - 2, 1)
+    val out = new Array[Any](m)
+    var i = 0
+    while (i < m) {
+      var h = 0L
+      var k = 0
+      while (k < 3) {
+        val c = if (i + k < len) cps(i + k).toLong else 0L
+        h = if (k == 0) c else h * 1021L + c
+        k += 1
+      }
+      out(i) = h
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Sliding 8-word-window xxhash64 keys of a whole document in ONE
     * pass — the fused form of TextDedup.dedupSubstring's interpreted
     * `transform(sequence(1, m), i => xxhash64(slice(w, i, 8)))`:
@@ -362,6 +390,29 @@ case class CharGramHashes(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
       s"graft.functions.HashKernels.charGramHashes($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Whole-document packed char-trigram key array (non-distinct) — SQL
+  * function `graft_char3grams(text)`; the fused lang-ID front end
+  * (see [[HashKernels.charTrigrams]]). */
+case class CharTrigrams(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_char3grams expects string, got ${t.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.charTrigrams(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HashKernels.charTrigrams($c)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -173,6 +173,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_window_hashes"),
       new ExpressionInfo(classOf[WindowGramHashes].getName, "graft_window_hashes"),
       (children: Seq[Expression]) => WindowGramHashes(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_char3grams"),
+      new ExpressionInfo(classOf[CharTrigrams].getName, "graft_char3grams"),
+      (children: Seq[Expression]) => CharTrigrams(children.head)))
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

@@ -148,9 +148,14 @@ object TextOps {
       // key carry primitive longs instead of 3-char strings, and the
       // score is invariant under any bijection of the trigram keys
       def cp3(i: Column): Column = ascii($"text".substr(i, lit(1))).cast("long")
-      val triCol = transform(
-        sequence(lit(1), greatest(length($"text") - 2, lit(1))),
-        i => (cp3(i) * 1021L + cp3(i + 1)) * 1021L + cp3(i + 2))
+      // fused codegen kernel when registered (bit-identical — the HOF
+      // chain evaluates 3 interpreted substr/ascii calls per position)
+      val triCol =
+        if (s.catalog.functionExists("graft_char3grams"))
+          call_function("graft_char3grams", $"text")
+        else transform(
+          sequence(lit(1), greatest(length($"text") - 2, lit(1))),
+          i => (cp3(i) * 1021L + cp3(i + 1)) * 1021L + cp3(i + 2))
       // ONE trigram explode over the corpus: per-(doc, trigram) counts
       // first, then the train profile is a re-aggregation of those
       // counts (Σ per-doc counts ≡ counting all train instances) and
@@ -728,7 +733,114 @@ object TextOps {
       |       CAST(SUM(n_chars) AS BIGINT) AS total_chars
       |FROM p GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY prefix""".stripMargin)
 
+  /** DSIR-style importance weight (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling" — the hashed
+    * n-gram variant reduced to unigrams): score each document by how
+    * much more likely its tokens are under a TARGET distribution (here
+    * the lang='en' slice) than under the full-corpus proposal,
+    * weight(d) = Σ_tokens ln p̂_t(w) − ln p̂_a(w) with add-1 smoothing
+    * over the shared corpus vocabulary V. Both smoothed ratios are
+    * assembled from exact BIGINT counts and divided in ONE
+    * identically-written double ln per token, cast to decimal(28,10),
+    * exact decimal SUM, 4-decimal round (the q_doc_logprob
+    * discipline — summation order cannot move the result).
+    *
+    * Scale: the smoothed unigram table is |vocab| rows and broadcast;
+    * the constants (N_t, N_a, V) are ONE broadcast row; the token
+    * stream joins map-side and aggregates two-phase per doc — the
+    * store never shuffles raw text, exactly the shape DSIR runs at
+    * corpus scale (their hashing trick would replace `word` with a
+    * bucketed hash key here, same plan). */
+  private val dsirWeight = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val words = Tables.spread(Tables.documents(s, dir), "doc_id")
+        .select($"doc_id", $"lang", explode(split($"text", " ")).as("word"))
+      val uni = memoized(s, dir, "dsir_unigrams") {
+        val corpus = words.groupBy($"word").agg(count(lit(1)).as("ca"))
+        val target = words.filter($"lang" === "en")
+          .groupBy($"word").agg(count(lit(1)).as("ct0"))
+        corpus.join(target, Seq("word"), "left")
+          .select($"word", $"ca", coalesce($"ct0", lit(0L)).as("ct"))
+      }
+      val consts = uni.agg(sum($"ca").as("na"), sum($"ct").as("nt"),
+        count(lit(1)).as("v"))
+      words.select($"doc_id", $"word")
+        .join(broadcast(uni), "word")
+        .crossJoin(broadcast(consts))
+        .select($"doc_id",
+          log((($"ct" + 1).cast("double") * ($"na" + $"v").cast("double")) /
+              (($"ca" + 1).cast("double") * ($"nt" + $"v").cast("double")))
+            .cast("decimal(28,10)").as("lnr"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          Incremental.r4s(sum($"lnr")).as("dsir_weight"))
+        .orderBy($"doc_id")
+    },
+    """WITH w AS (SELECT doc_id, lang, UNNEST(string_split(text, ' ')) AS word
+      |           FROM documents),
+      |ca AS (SELECT word, COUNT(*) AS ca FROM w GROUP BY 1),
+      |ct AS (SELECT word, COUNT(*) AS ct FROM w WHERE lang = 'en' GROUP BY 1),
+      |u AS (SELECT ca.word, ca.ca, COALESCE(ct.ct, 0) AS ct
+      |      FROM ca LEFT JOIN ct USING (word)),
+      |k AS (SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(ct) AS BIGINT) AS nt,
+      |             COUNT(*) AS v FROM u),
+      |r AS (SELECT doc_id,
+      |        CAST(LN((CAST(ct + 1 AS DOUBLE) * CAST(na + v AS DOUBLE)) /
+      |                (CAST(ca + 1 AS DOUBLE) * CAST(nt + v AS DOUBLE)))
+      |             AS DECIMAL(28,10)) AS lnr
+      |      FROM w JOIN u USING (word) CROSS JOIN k)
+      |SELECT doc_id, COUNT(*) AS n_tokens,
+      |       CAST(ROUND(SUM(lnr), 4) AS DOUBLE) AS dsir_weight
+      |FROM r GROUP BY 1 ORDER BY doc_id""".stripMargin)
+
+  /** Per-document unigram Shannon entropy — the lexical-diversity
+    * quality signal (low entropy ⇒ repetitive/boilerplate text; the
+    * complement of q_text_repetition's top-gram fractions): H(d) =
+    * −Σ_types (c/n)·ln(c/n) over the doc's own token distribution.
+    * Each type's term is ONE identically-written double chain on
+    * exact integer (c, n), cast to decimal(28,10); the per-doc sum is
+    * exact decimal, rounded to 4 decimals (−S is ≥ 0, so half-up
+    * agrees on both engines).
+    *
+    * Scale: one explode → two-phase (doc, word) count → per-doc total
+    * → co-partitioned join back on doc_id (both sides hash-partition
+    * by doc_id; no broadcast needed, no raw-text shuffle) → two-phase
+    * final aggregate. Every stage is narrow in the doc dimension. */
+  private val tokenEntropy = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val dw = Tables.spread(Tables.documents(s, dir), "doc_id")
+        .select($"doc_id", explode(split($"text", " ")).as("word"))
+        .groupBy($"doc_id", $"word").agg(count(lit(1)).as("c"))
+      val tot = dw.groupBy($"doc_id").agg(sum($"c").as("n"))
+      dw.join(tot, "doc_id")
+        .select($"doc_id", $"n",
+          (($"c".cast("double") / $"n".cast("double")) *
+            log($"c".cast("double") / $"n".cast("double")))
+            .cast("decimal(28,10)").as("term"))
+        .groupBy($"doc_id", $"n")
+        .agg(count(lit(1)).as("n_types"),
+          Incremental.r4s(-sum($"term")).as("entropy"))
+        .select($"doc_id", $"n".as("n_tokens"), $"n_types", $"entropy")
+        .orderBy($"doc_id")
+    },
+    """WITH w AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS word
+      |           FROM documents),
+      |dw AS (SELECT doc_id, word, COUNT(*) AS c FROM w GROUP BY 1, 2),
+      |t AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM dw GROUP BY 1),
+      |e AS (SELECT dw.doc_id, n,
+      |        CAST((CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) *
+      |             LN(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+      |             AS DECIMAL(28,10)) AS term
+      |      FROM dw JOIN t USING (doc_id))
+      |SELECT doc_id, n AS n_tokens, COUNT(*) AS n_types,
+      |       CAST(ROUND(-SUM(term), 4) AS DOUBLE) AS entropy
+      |FROM e GROUP BY 1, 2 ORDER BY doc_id""".stripMargin)
+
   val defs: Seq[(String, QueryDef)] = Seq(
+    "q_dsir_weight" -> dsirWeight,
+    "q_token_entropy" -> tokenEntropy,
     "q_prefix_cluster" -> prefixCluster,
     "q_doc_logprob" -> docLogprob,
     "q_inverted_index" -> invertedIndex,

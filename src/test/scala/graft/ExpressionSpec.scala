@@ -108,6 +108,21 @@ class ExpressionSpec extends SparkSpec {
       .filter(not($"n" <=> $"b")).count() === 0)
   }
 
+  test("native char-trigrams == ascii/substr transform, bit for bit") {
+    import spark.implicits._
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"text").unionByName(Seq(
+        "", "a", "ab", "abc", "abcd", "𝄞a𝄞b", "a b  c"
+      ).toDF("text"))
+    def cp(i: org.apache.spark.sql.Column) =
+      ascii($"text".substr(i, lit(1))).cast("long")
+    val hof = transform(
+      sequence(lit(1), greatest(length($"text") - 2, lit(1))),
+      i => (cp(i) * 1021L + cp(i + 1)) * 1021L + cp(i + 2))
+    assert(d.select(call_function("graft_char3grams", $"text").as("n"), hof.as("b"))
+      .filter(not($"n" <=> $"b")).count() === 0)
+  }
+
   test("native ngrams == substring-transform fold on the documents corpus") {
     import spark.implicits._
     val d = spark.read.parquet(s"$sf/documents.parquet")

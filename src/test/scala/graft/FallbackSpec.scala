@@ -10,7 +10,8 @@ class FallbackSpec extends SparkSpec {
 
   private val kernels = Seq("graft_dot", "graft_l2norm", "graft_fp",
     "graft_shingle_hash", "graft_shingle_hashes", "graft_ngrams",
-    "graft_intersect_card", "graft_chargram_hashes", "graft_window_hashes")
+    "graft_intersect_card", "graft_chargram_hashes", "graft_window_hashes",
+    "graft_char3grams")
   private val affected = Seq("q_sim_topk", "q_dedup_embed", "q_vec_centroid",
     "q_lang_id", "q_text_fingerprint", "q_dedup_near", "q_dedup_minhash",
     "q_dedup_ngram", "q_dedup_canonical", "q_contamination",
@@ -54,7 +55,8 @@ object Reregister {
       "graft_intersect_card" -> (c => ArrayIntersectCard(c(0), c(1))),
       "graft_shingle_hashes" -> (c => WordShingleHashes(c.head)),
       "graft_chargram_hashes" -> (c => CharGramHashes(c.head)),
-      "graft_window_hashes" -> (c => WindowGramHashes(c.head)))
+      "graft_window_hashes" -> (c => WindowGramHashes(c.head)),
+      "graft_char3grams" -> (c => CharTrigrams(c.head)))
     fns.foreach { case (name, builder) =>
       org.apache.spark.sql.graftshim.Shim.registerFunction(spark, name, builder)
     }

@@ -231,6 +231,62 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("token entropy: type/token counts match, H ∈ [0, ln n_types], " +
+    "and a hand-computed distribution agrees") {
+    import spark.implicits._
+    val rows = SparkEntry.all("q_token_entropy").fn(spark, sf).collect()
+    val docs = graft.util.Tables.documents(spark, sf)
+      .select($"doc_id", split($"text", " ").as("w")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(rows.length === docs.size)
+    rows.foreach { r =>
+      val (id, nTok, nTyp, h) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      val w = docs(id)
+      assert(nTok === w.size.toLong)
+      assert(nTyp === w.distinct.size.toLong)
+      // uniform distribution maximizes H at ln(n_types); 1e-4 slack for
+      // the 4-decimal half-up round
+      assert(h >= 0.0 && h <= math.log(nTyp.toDouble) + 1e-4)
+      val counts = w.groupBy(identity).view.mapValues(_.size).toMap
+      val exp = -counts.values.map { c =>
+        val p = c.toDouble / nTok
+        BigDecimal(p * math.log(p))
+          .setScale(10, BigDecimal.RoundingMode.HALF_UP)
+      }.sum.toDouble
+      assert(math.abs(h - exp) < 2e-4, s"doc $id: $h vs $exp")
+    }
+  }
+
+  test("dsir weight: token counts match and a hand-computed smoothed " +
+    "log-ratio sum agrees per doc") {
+    import spark.implicits._
+    val rows = SparkEntry.all("q_dsir_weight").fn(spark, sf).collect()
+    val docs = graft.util.Tables.documents(spark, sf)
+      .select($"doc_id", $"lang", split($"text", " ").as("w")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getSeq[String](2)))
+    val ca = docs.flatMap(_._3).groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val ct = docs.filter(_._2 == "en").flatMap(_._3).groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val na = ca.values.sum
+    val nt = ct.values.sum
+    val v = ca.size.toLong
+    val byId = rows.map(r => r.getLong(0) -> r).toMap
+    assert(rows.length === docs.length)
+    docs.foreach { case (id, _, w) =>
+      val r = byId(id)
+      assert(r.getLong(1) === w.size.toLong)
+      val exp = w.map { word =>
+        val lnr = math.log(
+          ((ct.getOrElse(word, 0L) + 1).toDouble * (na + v).toDouble) /
+            ((ca(word) + 1).toDouble * (nt + v).toDouble))
+        BigDecimal(lnr).setScale(10, BigDecimal.RoundingMode.HALF_UP)
+      }.sum
+      assert(math.abs(r.getDouble(2) - exp.toDouble) < 2e-4, s"doc $id")
+    }
+  }
+
   test("corpus report reconciles with cluster stats and the corpus") {
     import spark.implicits._
     val rep = SparkEntry.all("q_corpus_report").fn(spark, sf).collect()

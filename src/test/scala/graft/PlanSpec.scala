@@ -118,6 +118,33 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("q_dsir_weight broadcasts the unigram table; BNLJ only for the 1-row constants") {
+    val p = plan("q_dsir_weight")
+    // the |vocab|-row smoothed ratio table reaches the token stream as a
+    // broadcast equi join — the exploded corpus never shuffles raw text
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the only nested-loop join is the (N_t, N_a, |V|) singleton cross —
+    // a by-construction 1-row broadcast, same pattern as q_vec_quantize
+    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_token_entropy reuses the doc_id partitioning — no pair blowup, equi join-back") {
+    val p = plan("q_token_entropy")
+    // the per-doc total joins back on doc_id as a hash/merge equi join
+    assert(p.linesIterator.exists(l =>
+      (l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+        l.contains("BroadcastHashJoin")) && l.contains("doc_id")), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p)
+    // both (doc,word) aggregates group under the existing doc_id hash
+    // partitioning (HashPartitioning(doc_id) satisfies the clustered
+    // distribution of a (doc_id, word) groupBy), so the only exchanges
+    // are the two spread repartitions + the presentation sort — an
+    // extra shuffle here would mean the subset-key reuse broke
+    assert("\\bExchange\\b".r.findAllIn(p).size <= 3, p)
+  }
+
   test("q_late_reconcile prunes the recompute to affected-day partitions") {
     val p = plan("q_late_reconcile")
     // the affected-day set is broadcast into a semi join (the partition
