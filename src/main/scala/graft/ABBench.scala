@@ -61,6 +61,7 @@ object ABBench {
     // delta it shows is harness noise, the actionability floor.
     val spreadAB = Seq(
       "q_json_extract", "q_map_funcs", "q_text_tokens", "q_text_quality",
+      "q_blocklist_filter", "q_redact", "q_doc_chunks",
       "q_incremental_delta"
     ).flatMap { q =>
       val fn = SparkEntry.all(q).fn

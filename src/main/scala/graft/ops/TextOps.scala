@@ -838,7 +838,176 @@ object TextOps {
       |       CAST(ROUND(-SUM(term), 4) AS DOUBLE) AS entropy
       |FROM e GROUP BY 1, 2 ORDER BY doc_id""".stripMargin)
 
+  /** C4-style blocklist document filter (Raffel et al. 2020 §2.2 — the
+    * "bad words" page drop, term list adapted to this corpus's vocab):
+    * per doc, the total occurrence count of blocklisted terms, the
+    * distinct blocklisted terms present, and the keep flag (zero
+    * hits). The list rides as an array literal — the same
+    * array_intersect idiom as gopherFilter's stopword probe.
+    *
+    * Scale: narrow per-row array scan, no shuffle beyond the
+    * presentation sort; a production blocklist (thousands of terms)
+    * graduates from an array literal to a broadcast hash set inside
+    * a codegen'd Expression — the plan shape is unchanged. */
+  private val blocklistFilter = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val block = Seq("slow", "dup", "big")
+      val w = split($"text", " ")
+      val hits = size(filter(w, x => x.isin(block: _*))).cast("long")
+      Tables.spread(Tables.documents(s, dir), "doc_id")
+        .select(
+          $"doc_id",
+          hits.as("n_hits"),
+          size(array_intersect(array_distinct(w),
+            array(block.map(lit): _*))).cast("long").as("n_hit_terms"),
+          (hits === 0L).cast("long").as("keep"))
+        .orderBy($"doc_id")
+    },
+    """WITH b AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+      |SELECT doc_id,
+      |       CAST(len(list_filter(ws, x -> x IN ('slow','dup','big'))) AS BIGINT) AS n_hits,
+      |       CAST(len(list_intersect(list_distinct(ws), ['slow','dup','big'])) AS BIGINT) AS n_hit_terms,
+      |       CAST(len(list_filter(ws, x -> x IN ('slow','dup','big'))) = 0 AS BIGINT) AS keep
+      |FROM b ORDER BY doc_id""".stripMargin)
+
+  /** Token-level denylist redaction — the masking half of a PII /
+    * sensitive-term scrub (this corpus has no PII-shaped spans, so the
+    * denylist stands in for the matcher; the replace-and-count plumbing
+    * is the operator): every denylisted token becomes `[MASK]`, and
+    * the doc reports how many tokens were masked. Token-level replace
+    * (transform over the split array, not regexp_replace) keeps the
+    * semantics exact and engine-portable — no regex dialect drift.
+    *
+    * Scale: narrow per-row transform, no shuffle; the redacted text
+    * column is written straight back out (same size class as the
+    * input), and a real PII matcher swaps the `isin` predicate for a
+    * codegen'd span detector without touching the plan. */
+  private val redact = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val deny = Seq("customer", "value")
+      val w = split($"text", " ")
+      Tables.spread(Tables.documents(s, dir), "doc_id")
+        .select(
+          $"doc_id",
+          size(filter(w, x => x.isin(deny: _*))).cast("long").as("n_redacted"),
+          array_join(transform(w,
+            x => when(x.isin(deny: _*), lit("[MASK]")).otherwise(x)), " ")
+            .as("redacted"))
+        .orderBy($"doc_id")
+    },
+    """WITH b AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+      |SELECT doc_id,
+      |       CAST(len(list_filter(ws, x -> x IN ('customer','value'))) AS BIGINT) AS n_redacted,
+      |       array_to_string(list_transform(ws,
+      |         x -> CASE WHEN x IN ('customer','value') THEN '[MASK]' ELSE x END), ' ') AS redacted
+      |FROM b ORDER BY doc_id""".stripMargin)
+
+  /** Fixed-window token chunking with overlap — the training-prep
+    * step that cuts each document into model-context-sized pieces
+    * (window W=32 tokens, stride S=24, so consecutive chunks share
+    * W−S=8 tokens): chunk i covers tokens [i·S+1, i·S+W], every doc
+    * yields ceil(max(n−W,0)/S)+1 chunks (a short doc yields one
+    * partial chunk), and the last chunk may be shorter than W. The
+    * chunk count is pure integer arithmetic on both engines.
+    *
+    * Scale: per-doc explode with amplification factor ≈ n/S — narrow,
+    * no shuffle beyond the presentation sort. At 100 TB the chunk rows
+    * write partitioned by a hash of doc_id so downstream packing sees
+    * co-located chunks; W and S are the only knobs. */
+  private val docChunks = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      Tables.spread(Tables.documents(s, dir), "doc_id")
+        .select($"doc_id", split($"text", " ").as("ws"))
+        .withColumn("n", size($"ws").cast("long"))
+        .withColumn("n_chunks",
+          expr("1L + (greatest(n - 32L, 0L) + 23L) div 24L"))
+        .select($"doc_id", $"ws",
+          explode(sequence(lit(0L), $"n_chunks" - 1L)).as("chunk_id"))
+        .select($"doc_id", $"chunk_id",
+          expr("slice(ws, int(chunk_id * 24 + 1), 32)").as("chunk"))
+        .select($"doc_id", $"chunk_id",
+          size($"chunk").cast("long").as("n_tokens"),
+          array_join($"chunk", " ").as("chunk_text"))
+        .orderBy($"doc_id", $"chunk_id")
+    },
+    """WITH b AS (SELECT doc_id, string_split(text, ' ') AS ws,
+      |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+      |           FROM documents),
+      |m AS (SELECT doc_id, ws,
+      |             1 + CAST((GREATEST(n - 32, 0) + 23) // 24 AS BIGINT) AS n_chunks
+      |      FROM b),
+      |c AS (SELECT doc_id, ws, UNNEST(generate_series(0, n_chunks - 1)) AS ci
+      |      FROM m)
+      |SELECT doc_id, CAST(ci AS BIGINT) AS chunk_id,
+      |       CAST(len(list_slice(ws, ci*24 + 1, ci*24 + 32)) AS BIGINT) AS n_tokens,
+      |       array_to_string(list_slice(ws, ci*24 + 1, ci*24 + 32), ' ') AS chunk_text
+      |FROM c ORDER BY doc_id, chunk_id""".stripMargin)
+
+  /** Pairwise source-overlap matrix — the corpus-composition check
+    * that spots near-identical ingest feeds before mixing: for every
+    * source pair s1<s2, the shared distinct vocabulary, the vocab
+    * Jaccard, and the WEIGHTED Jaccard over unigram counts
+    * (Σ min(c1,c2) / Σ max over the union, with the union-side sum
+    * folded to t1+t2−Σmin so only the INNER join is needed). All
+    * ratios are exact integer basis points (`div` both engines).
+    *
+    * Scale: the per-(source, word) count table is |sources|·|vocab|
+    * rows — the corpus explodes once into a two-phase count, and the
+    * pair join runs on that tiny profile table, never on the corpus.
+    * 20 sources → 190 pairs here; at thousands of sources the pair
+    * space prunes by a min-hash sketch of each source's profile first
+    * (same two-stage candidate→verify shape as the dedup family). */
+  private val sourceOverlap = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val cw = memoized(s, dir, "source_unigrams") {
+        Tables.documents(s, dir)
+          .select($"source", explode(split($"text", " ")).as("word"))
+          .groupBy($"source", $"word").agg(count(lit(1)).as("c"))
+      }
+      val totals = cw.groupBy($"source")
+        .agg(sum($"c").cast("long").as("tot"), count(lit(1)).as("nv"))
+      val a = cw.select($"source".as("s1"), $"word", $"c".as("c1"))
+      val b = cw.select($"source".as("s2"), $"word", $"c".as("c2"))
+      a.join(b, "word").filter($"s1" < $"s2")
+        .groupBy($"s1", $"s2")
+        .agg(count(lit(1)).as("vocab_inter"),
+          sum(least($"c1", $"c2")).cast("long").as("smin"))
+        .join(broadcast(totals.select($"source".as("s1"),
+          $"tot".as("t1"), $"nv".as("v1"))), "s1")
+        .join(broadcast(totals.select($"source".as("s2"),
+          $"tot".as("t2"), $"nv".as("v2"))), "s2")
+        .select($"s1", $"s2", $"vocab_inter",
+          expr("vocab_inter * 10000L div (v1 + v2 - vocab_inter)")
+            .cast("long").as("vocab_jaccard_bp"),
+          expr("smin * 10000L div (t1 + t2 - smin)")
+            .cast("long").as("w_jaccard_bp"))
+        .orderBy($"s1", $"s2")
+    },
+    """WITH w AS (SELECT source, UNNEST(string_split(text, ' ')) AS word
+      |           FROM documents),
+      |cw AS (SELECT source, word, COUNT(*) AS c FROM w GROUP BY 1, 2),
+      |t AS (SELECT source, CAST(SUM(c) AS BIGINT) AS tot, COUNT(*) AS nv
+      |      FROM cw GROUP BY 1),
+      |p AS (SELECT a.source AS s1, b.source AS s2,
+      |             COUNT(*) AS vocab_inter,
+      |             CAST(SUM(LEAST(a.c, b.c)) AS BIGINT) AS smin
+      |      FROM cw a JOIN cw b USING (word) WHERE a.source < b.source
+      |      GROUP BY 1, 2)
+      |SELECT s1, s2, CAST(vocab_inter AS BIGINT) AS vocab_inter,
+      |       CAST(vocab_inter * 10000 // (ta.nv + tb.nv - vocab_inter) AS BIGINT) AS vocab_jaccard_bp,
+      |       CAST(smin * 10000 // (ta.tot + tb.tot - smin) AS BIGINT) AS w_jaccard_bp
+      |FROM p JOIN t ta ON ta.source = p.s1 JOIN t tb ON tb.source = p.s2
+      |ORDER BY s1, s2""".stripMargin)
+
   val defs: Seq[(String, QueryDef)] = Seq(
+    "q_blocklist_filter" -> blocklistFilter,
+    "q_redact" -> redact,
+    "q_doc_chunks" -> docChunks,
+    "q_source_overlap" -> sourceOverlap,
     "q_dsir_weight" -> dsirWeight,
     "q_token_entropy" -> tokenEntropy,
     "q_prefix_cluster" -> prefixCluster,

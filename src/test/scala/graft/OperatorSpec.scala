@@ -301,6 +301,102 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("blocklist filter: hits reconcile with a driver-side count and " +
+    "keep ⟺ zero hits") {
+    import spark.implicits._
+    val block = Set("slow", "dup", "big")
+    val docs = graft.util.Tables.documents(spark, sf)
+      .select($"doc_id", split($"text", " ").as("w")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val rows = SparkEntry.all("q_blocklist_filter").fn(spark, sf).collect()
+    assert(rows.length === docs.size)
+    rows.foreach { r =>
+      val w = docs(r.getLong(0))
+      assert(r.getLong(1) === w.count(block).toLong)
+      assert(r.getLong(2) === w.distinct.count(block).toLong)
+      assert((r.getLong(3) === 1L) === (r.getLong(1) === 0L))
+    }
+  }
+
+  test("redaction masks exactly the denylisted tokens and preserves " +
+    "token count") {
+    import spark.implicits._
+    val deny = Set("customer", "value")
+    val docs = graft.util.Tables.documents(spark, sf)
+      .select($"doc_id", split($"text", " ").as("w")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val rows = SparkEntry.all("q_redact").fn(spark, sf).collect()
+    rows.foreach { r =>
+      val w = docs(r.getLong(0))
+      val out = r.getString(2).split(" ", -1).toSeq
+      assert(out.size === w.size)
+      assert(r.getLong(1) === w.count(deny).toLong)
+      w.zip(out).foreach { case (orig, red) =>
+        if (deny(orig)) assert(red === "[MASK]") else assert(red === orig)
+      }
+    }
+  }
+
+  test("chunking covers every token: stride-aligned starts, overlap " +
+    "W-S, concatenation reconstructs the doc") {
+    import spark.implicits._
+    val (winW, strideS) = (32, 24)
+    val docs = graft.util.Tables.documents(spark, sf)
+      .select($"doc_id", split($"text", " ").as("w")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val byDoc = SparkEntry.all("q_doc_chunks").fn(spark, sf).collect()
+      .groupBy(_.getLong(0))
+    assert(byDoc.keySet === docs.keySet)
+    byDoc.foreach { case (id, chunks) =>
+      val w = docs(id)
+      val n = w.size
+      assert(chunks.length === 1 + (math.max(n - winW, 0) + strideS - 1) / strideS)
+      val sorted = chunks.sortBy(_.getLong(1))
+      sorted.foreach { c =>
+        val ci = c.getLong(1).toInt
+        val exp = w.slice(ci * strideS, ci * strideS + winW)
+        assert(c.getLong(2) === exp.size.toLong)
+        assert(c.getString(3) === exp.mkString(" "))
+      }
+      // stride-S starts cover all n tokens: last chunk reaches the end
+      val last = sorted.last
+      assert(last.getLong(1).toInt * strideS + last.getLong(2) >= n)
+    }
+  }
+
+  test("source overlap: symmetric-pair census, jaccard bounds, and a " +
+    "hand-joined pair matches") {
+    import spark.implicits._
+    val rows = SparkEntry.all("q_source_overlap").fn(spark, sf).collect()
+    val sources = graft.util.Tables.documents(spark, sf)
+      .select($"source").distinct().count().toInt
+    assert(rows.length === sources * (sources - 1) / 2)
+    rows.foreach { r =>
+      assert(r.getString(0) < r.getString(1))
+      assert(r.getLong(3) >= 0 && r.getLong(3) <= 10000)
+      assert(r.getLong(4) >= 0 && r.getLong(4) <= 10000)
+      // weighted jaccard cannot exceed vocab jaccard's unit bound but
+      // both are <= 10000; inter is positive when the pair shares words
+      assert(r.getLong(2) >= 0)
+    }
+    // hand-compute one pair driver-side
+    val docs = graft.util.Tables.documents(spark, sf)
+      .select($"source", split($"text", " ").as("w")).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1))
+    val bySource = docs.groupBy(_._1).view
+      .mapValues(_.flatMap(_._2).groupBy(identity).view.mapValues(_.size.toLong).toMap)
+      .toMap
+    val (s1, s2) = (rows.head.getString(0), rows.head.getString(1))
+    val (c1, c2) = (bySource(s1), bySource(s2))
+    val inter = c1.keySet.intersect(c2.keySet)
+    val smin = inter.toSeq.map(k => math.min(c1(k), c2(k))).sum
+    val t1 = c1.values.sum; val t2 = c2.values.sum
+    assert(rows.head.getLong(2) === inter.size.toLong)
+    assert(rows.head.getLong(3) ===
+      inter.size.toLong * 10000 / (c1.size + c2.size - inter.size))
+    assert(rows.head.getLong(4) === smin * 10000 / (t1 + t2 - smin))
+  }
+
   test("profile: per-column counts are consistent and bounds are ordered") {
     import spark.implicits._
     val nOrders = graft.util.Tables.orders(spark, sf).count()
