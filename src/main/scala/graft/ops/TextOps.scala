@@ -1003,7 +1003,53 @@ object TextOps {
       |FROM p JOIN t ta ON ta.source = p.s1 JOIN t tb ON tb.source = p.s2
       |ORDER BY s1, s2""".stripMargin)
 
+  /** BPE pair statistics — the core counting step of byte-pair-encoding
+    * tokenizer training (Sennrich et al. 2016): corpus-weighted counts
+    * of adjacent character pairs, computed the way fast BPE trainers
+    * do it — count each word ONCE over the corpus (two-phase), then
+    * explode pairs over the tiny distinct-word table with the corpus
+    * frequency as the weight. Top-50 by (pair_count desc, c1, c2);
+    * n_positions = how many distinct (word type, position) slots the
+    * pair occupies.
+    *
+    * Portability: Spark's `sequence(1, 0)` yields [1, 0] (descending
+    * auto-step) where DuckDB's generate_series yields empty, so
+    * single-char words are filtered out explicitly before the explode
+    * — they contribute no pairs on either engine.
+    *
+    * Scale: the corpus contributes one two-phase word count
+    * (|vocab| rows out); the pair explode and aggregate run on the
+    * word-TYPE table (|vocab|·avg_len rows), never on the corpus —
+    * each BPE merge iteration re-runs only this cheap second stage. */
+  private val bpePairs = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val wf = Tables.documents(s, dir)
+        .select(explode(split($"text", " ")).as("word"))
+        .groupBy($"word").agg(count(lit(1)).as("f"))
+      wf.filter(length($"word") >= 2)
+        .select($"word", $"f",
+          explode(sequence(lit(1), length($"word") - 1)).as("i"))
+        .select(expr("substr(word, i, 1)").as("c1"),
+          expr("substr(word, i + 1, 1)").as("c2"), $"f")
+        .groupBy($"c1", $"c2")
+        .agg(sum($"f").cast("long").as("pair_count"),
+          count(lit(1)).as("n_positions"))
+        .orderBy($"pair_count".desc, $"c1", $"c2")
+        .limit(50)
+    },
+    """WITH w AS (SELECT UNNEST(string_split(text, ' ')) AS word FROM documents),
+      |wf AS (SELECT word, COUNT(*) AS f FROM w GROUP BY 1),
+      |p AS (SELECT substr(word, i, 1) AS c1, substr(word, i + 1, 1) AS c2, f
+      |      FROM (SELECT word, f, UNNEST(generate_series(1, length(word) - 1)) AS i
+      |            FROM wf))
+      |SELECT c1, c2, CAST(SUM(f) AS BIGINT) AS pair_count,
+      |       CAST(COUNT(*) AS BIGINT) AS n_positions
+      |FROM p GROUP BY 1, 2
+      |ORDER BY pair_count DESC, c1, c2 LIMIT 50""".stripMargin)
+
   val defs: Seq[(String, QueryDef)] = Seq(
+    "q_bpe_pairs" -> bpePairs,
     "q_blocklist_filter" -> blocklistFilter,
     "q_redact" -> redact,
     "q_doc_chunks" -> docChunks,

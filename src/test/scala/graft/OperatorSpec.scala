@@ -301,6 +301,29 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("bpe pairs match a driver-side weighted fold over word types") {
+    import spark.implicits._
+    val words = graft.util.Tables.documents(spark, sf)
+      .select(split($"text", " ").as("w")).collect()
+      .flatMap(_.getSeq[String](0))
+    val wf = words.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val agg = scala.collection.mutable.Map.empty[(String, String), (Long, Long)]
+    wf.foreach { case (w, f) =>
+      if (w.length >= 2) w.sliding(2).foreach { p =>
+        val k = (p.substring(0, 1), p.substring(1, 2))
+        val (c, n) = agg.getOrElse(k, (0L, 0L))
+        agg(k) = (c + f, n + 1)
+      }
+    }
+    val exp = agg.toSeq
+      .map { case ((c1, c2), (pc, np)) => (c1, c2, pc, np) }
+      .sortBy { case (c1, c2, pc, _) => (-pc, c1, c2) }.take(50)
+    val got = SparkEntry.all("q_bpe_pairs").fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got === exp)
+  }
+
   test("blocklist filter: hits reconcile with a driver-side count and " +
     "keep ⟺ zero hits") {
     import spark.implicits._
