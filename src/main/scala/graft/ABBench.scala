@@ -59,9 +59,12 @@ object ABBench {
     // no-spread-call query (q_incremental_delta) as the bias
     // calibration control — its two slots have IDENTICAL plans, so any
     // delta it shows is harness noise, the actionability floor.
+    // q_blocklist_filter / q_redact / q_doc_chunks were toggled here in
+    // r5: nospread won all three (0.31/0.39/0.37 s vs 0.43/0.48/0.82 s
+    // medians), so their spread calls were removed and they left the
+    // list (the toggle would now compare identical plans).
     val spreadAB = Seq(
       "q_json_extract", "q_map_funcs", "q_text_tokens", "q_text_quality",
-      "q_blocklist_filter", "q_redact", "q_doc_chunks",
       "q_incremental_delta"
     ).flatMap { q =>
       val fn = SparkEntry.all(q).fn
@@ -94,6 +97,9 @@ object ABBench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = args.headOption.map(_.toInt).getOrElse(3)
+    // optional 2nd arg: substring filter over variant names, so a
+    // focused A/B doesn't pay (and isn't polluted by) the full list
+    val nameFilter = args.drop(1).headOption
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -103,7 +109,9 @@ object ABBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val vs = variants(spark, sfDir)
+    val vs = nameFilter.foldLeft(variants(spark, sfDir)) {
+      case (all, f) => all.filter(_._1.contains(f))
+    }
     // warm-up: one untimed pass over every variant (JIT + codegen).
     // spreadEnabled defaults true before each build; -nospread builders
     // flip it inside their closure

@@ -855,7 +855,9 @@ object TextOps {
       val block = Seq("slow", "dup", "big")
       val w = split($"text", " ")
       val hits = size(filter(w, x => x.isin(block: _*))).cast("long")
-      Tables.spread(Tables.documents(s, dir), "doc_id")
+      // no Tables.spread: ABBench r5 medians 0.31 s nospread vs 0.43 s
+      // spread — the per-row work is too light to amortize the exchange
+      Tables.documents(s, dir)
         .select(
           $"doc_id",
           hits.as("n_hits"),
@@ -888,7 +890,8 @@ object TextOps {
       import s.implicits._
       val deny = Seq("customer", "value")
       val w = split($"text", " ")
-      Tables.spread(Tables.documents(s, dir), "doc_id")
+      // no Tables.spread: ABBench r5 medians 0.39 s nospread vs 0.48 s
+      Tables.documents(s, dir)
         .select(
           $"doc_id",
           size(filter(w, x => x.isin(deny: _*))).cast("long").as("n_redacted"),
@@ -919,7 +922,8 @@ object TextOps {
   private val docChunks = QueryDef(
     (s, dir) => {
       import s.implicits._
-      Tables.spread(Tables.documents(s, dir), "doc_id")
+      // no Tables.spread: ABBench r5 medians 0.37 s nospread vs 0.82 s
+      Tables.documents(s, dir)
         .select($"doc_id", split($"text", " ").as("ws"))
         .withColumn("n", size($"ws").cast("long"))
         .withColumn("n_chunks",
