@@ -1052,7 +1052,72 @@ object TextOps {
       |FROM p GROUP BY 1, 2
       |ORDER BY pair_count DESC, c1, c2 LIMIT 50""".stripMargin)
 
+  /** Bigram LM document score — the CCNet-style language-model quality
+    * filter one order up from q_doc_logprob's unigram variant: per doc,
+    * Σ ln p̂(w_i | w_{i-1}) with add-1 smoothing, where the conditional
+    * denominator is the PREFIX count (Σ over continuations of the
+    * bigram table — self-consistent with the numerator, the standard
+    * MLE conditioning) plus |V|. Every term is one identically-written
+    * double ln on exact BIGINT counts, cast decimal(28,10), exact
+    * decimal sum, 4-decimal round (the q_doc_logprob discipline).
+    *
+    * Scale: the doc bigram stream is memoized (built once, consumed by
+    * the model build AND the scoring join); the bigram model is
+    * |V|² rows worst case and broadcasts with its folded prefix
+    * totals; |V| rides as a 1-row broadcast. The corpus never
+    * shuffles raw text — at web scale the model table graduates from
+    * broadcast to a hashed-bucketed equi join (CCNet shards its LM
+    * the same way), same plan shape. */
+  private val bigramLogprob = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val bg = memoized(s, dir, "doc_bigrams") {
+        Tables.documents(s, dir)
+          .select($"doc_id", split($"text", " ").as("ws"))
+          .withColumn("n", size($"ws").cast("long"))
+          .filter($"n" >= 2)
+          .select($"doc_id", $"ws",
+            explode(sequence(lit(1L), $"n" - 1L)).as("i"))
+          .select($"doc_id",
+            expr("element_at(ws, int(i))").as("w1"),
+            expr("element_at(ws, int(i) + 1)").as("w2"))
+      }
+      val cb = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("cb"))
+      val model = cb.join(
+        cb.groupBy($"w1").agg(sum($"cb").cast("long").as("cp")), "w1")
+      val vconst = Tables.documents(s, dir)
+        .select(explode(split($"text", " ")).as("word"))
+        .agg(count_distinct($"word").as("v"))
+      bg.join(broadcast(model), Seq("w1", "w2"))
+        .crossJoin(broadcast(vconst))
+        .select($"doc_id",
+          log(($"cb" + 1).cast("double") / ($"cp" + $"v").cast("double"))
+            .cast("decimal(28,10)").as("term"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          Incremental.r4s(sum($"term")).as("logprob"))
+        .orderBy($"doc_id")
+    },
+    """WITH b AS (SELECT doc_id, string_split(text, ' ') AS ws,
+      |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+      |           FROM documents),
+      |bg AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+      |       FROM (SELECT doc_id, ws, UNNEST(generate_series(1, n - 1)) AS i
+      |             FROM b WHERE n >= 2)),
+      |cb AS (SELECT w1, w2, COUNT(*) AS cb FROM bg GROUP BY 1, 2),
+      |cp AS (SELECT w1, CAST(SUM(cb) AS BIGINT) AS cp FROM cb GROUP BY 1),
+      |v AS (SELECT COUNT(DISTINCT word) AS v
+      |      FROM (SELECT UNNEST(string_split(text, ' ')) AS word FROM documents)),
+      |r AS (SELECT bg.doc_id,
+      |        CAST(LN(CAST(cb.cb + 1 AS DOUBLE) / CAST(cp.cp + v.v AS DOUBLE))
+      |             AS DECIMAL(28,10)) AS term
+      |      FROM bg JOIN cb USING (w1, w2) JOIN cp USING (w1) CROSS JOIN v)
+      |SELECT doc_id, COUNT(*) AS n_bigrams,
+      |       CAST(ROUND(SUM(term), 4) AS DOUBLE) AS logprob
+      |FROM r GROUP BY 1 ORDER BY doc_id""".stripMargin)
+
   val defs: Seq[(String, QueryDef)] = Seq(
+    "q_bigram_logprob" -> bigramLogprob,
     "q_bpe_pairs" -> bpePairs,
     "q_blocklist_filter" -> blocklistFilter,
     "q_redact" -> redact,

@@ -301,6 +301,31 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("bigram logprob matches a driver-side smoothed fold") {
+    import spark.implicits._
+    val docs = graft.util.Tables.documents(spark, sf)
+      .select($"doc_id", split($"text", " ").as("w")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val bigrams = docs.values.toSeq.filter(_.size >= 2)
+      .flatMap(w => w.sliding(2).map(p => (p(0), p(1))))
+    val cb = bigrams.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cp = bigrams.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val v = docs.values.flatten.toSet.size.toLong
+    val rows = SparkEntry.all("q_bigram_logprob").fn(spark, sf).collect()
+    assert(rows.length === docs.count(_._2.size >= 2))
+    rows.foreach { r =>
+      val w = docs(r.getLong(0))
+      assert(r.getLong(1) === (w.size - 1).toLong)
+      val exp = w.sliding(2).map { p =>
+        val t = math.log((cb((p(0), p(1))) + 1).toDouble / (cp(p(0)) + v))
+        BigDecimal(t).setScale(10, BigDecimal.RoundingMode.HALF_UP)
+      }.sum.toDouble
+      assert(r.getDouble(2) < 0.0)
+      assert(math.abs(r.getDouble(2) - exp) < 2e-4,
+        s"doc ${r.getLong(0)}: ${r.getDouble(2)} vs $exp")
+    }
+  }
+
   test("bpe pairs match a driver-side weighted fold over word types") {
     import spark.implicits._
     val words = graft.util.Tables.documents(spark, sf)
