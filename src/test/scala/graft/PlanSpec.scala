@@ -145,6 +145,50 @@ class PlanSpec extends SparkSpec {
     assert("\\bExchange\\b".r.findAllIn(p).size <= 3, p)
   }
 
+  test("q_bpe_pairs: top-50 plans TakeOrderedAndProject; pair agg is " +
+    "two-phase") {
+    val p = plan("q_bpe_pairs")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("partial_") || p.contains("Partial"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p)
+  }
+
+  test("q_bigram_logprob broadcasts the bigram model; BNLJ only for " +
+    "the 1-row |V| constant") {
+    val p = plan("q_bigram_logprob")
+    // scoring join on (w1, w2) is a broadcast hash join
+    assert(p.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("w1") &&
+        l.contains("w2")), p)
+    // the only nested-loop is the by-construction-singleton constant
+    val bnlj = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj <= 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_source_overlap: corpus explodes once; all pair work joins " +
+    "broadcast on the profile table") {
+    val p = plan("q_source_overlap")
+    // every join in the plan is a broadcast hash join (profile-table
+    // sized); the corpus-side Generate feeds only the cached profile
+    assert(!p.contains("SortMergeJoin") &&
+      !p.contains("ShuffledHashJoin") &&
+      !p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q_doc_chunks and q_redact stay narrow — no join, no mid-plan " +
+    "exchange beyond the presentation sort") {
+    Seq("q_doc_chunks", "q_redact", "q_blocklist_filter").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q: $p")
+      // one range exchange for the final ORDER BY, nothing else
+      assert("\\bExchange\\b".r.findAllIn(p).size <= 1, s"$q: $p")
+    }
+  }
+
   test("q_late_reconcile prunes the recompute to affected-day partitions") {
     val p = plan("q_late_reconcile")
     // the affected-day set is broadcast into a semi join (the partition
