@@ -467,7 +467,73 @@ object VectorOps {
       |       COUNT(*) AS n
       |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 
+  /** Product-quantization assignment (Jégou et al. 2011 — the ANN
+    * compression step between int8 quantization and IVF): the 64-dim
+    * vector splits into M=8 contiguous 8-dim subvectors; each
+    * subvector is assigned to its nearest of K=8 subcentroids
+    * (argmin L2², ties by centroid id — the same struct-min rule as
+    * q_kmeans_step), yielding an 8-byte code per vector plus the exact
+    * reconstruction error Σ_m min d2. Subcentroids are the first-K
+    * seed rule the kmeans step uses, sliced per subspace, so both
+    * engines derive the codebook identically. The error sum is a
+    * fixed-order chain of 8 exact decimal(28,10) adds (decimal
+    * addition is exact, so DuckDB's SUM over the same 8 terms cannot
+    * differ), rounded in decimal.
+    *
+    * Scale: the codebook is ONE broadcast row (K·dim doubles); the
+    * store never shuffles — assignment is a narrow projection behind
+    * the singleton cross join, the same zero-shuffle shape as
+    * q_vec_quantize/q_kmeans_step. PQ codes then feed an
+    * asymmetric-distance scan 8× smaller than the raw store. */
+  private val vecPq = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val M = 8; val sub = Dim / M
+      val emb = Tables.spread(Tables.embeddings(s, dir), "vec_id")
+        .select($"vec_id", vcol($"embedding").as("v"))
+      val seeds = Tables.embeddings(s, dir).filter($"vec_id" < KSeeds)
+        .agg(sort_array(collect_list(
+          struct($"vec_id".as("cid"), vcol($"embedding").as("cv")))).as("cents"))
+      val asg = transform(sequence(lit(1), lit(M)), m =>
+        array_min(transform($"cents", c => struct(
+          aggregate(
+            zip_with(
+              slice($"v", (m - 1) * sub + 1, lit(sub)),
+              slice(c.getField("cv"), (m - 1) * sub + 1, lit(sub)),
+              (x, y) => (x - y) * (x - y)),
+            lit(0.0), (acc, x) => acc + x).as("d2"),
+          c.getField("cid").as("cid")))))
+      val errDec = (0 until M)
+        .map(i => element_at($"asg", i + 1).getField("d2").cast("decimal(28,10)"))
+        .reduce(_ + _)
+      emb.crossJoin(broadcast(seeds))
+        .withColumn("asg", asg)
+        .select($"vec_id",
+          transform($"asg", a => a.getField("cid")).as("codes"),
+          Incremental.r4s(errDec).as("err"))
+        .orderBy($"vec_id")
+    },
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+      |           FROM embeddings),
+      |d AS (SELECT v.vec_id, m.m, c.vec_id AS cid,
+      |             list_sum(list_transform(range(1, 9), i ->
+      |               (v.ve[(m.m-1)*8 + i] - c.ve[(m.m-1)*8 + i]) *
+      |               (v.ve[(m.m-1)*8 + i] - c.ve[(m.m-1)*8 + i]))) AS d2
+      |      FROM v
+      |      CROSS JOIN (SELECT UNNEST(range(1, 9)) AS m) m
+      |      CROSS JOIN (SELECT * FROM v WHERE vec_id < $KSeeds) c),
+      |a AS (SELECT vec_id, m, cid, d2,
+      |             ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) AS rk
+      |      FROM d),
+      |g AS (SELECT vec_id,
+      |             list(cid ORDER BY m) AS codes,
+      |             SUM(CAST(d2 AS DECIMAL(28,10))) AS err_s
+      |      FROM a WHERE rk = 1 GROUP BY vec_id)
+      |SELECT vec_id, codes, CAST(ROUND(err_s, 4) AS DOUBLE) AS err
+      |FROM g ORDER BY vec_id""".stripMargin)
+
   val defs: Seq[(String, QueryDef)] = Seq(
+    "q_vec_pq" -> vecPq,
     "q_sim_topk" -> simTopk,
     "q_dedup_embed" -> dedupEmbed,
     "q_sim_ivf" -> simIvf,

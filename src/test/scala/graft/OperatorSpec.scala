@@ -301,6 +301,39 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("pq assignment: seeds code to themselves with zero error; a " +
+    "non-seed row matches the driver-side argmin") {
+    import spark.implicits._
+    val rows = SparkEntry.all("q_vec_pq").fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getDouble(2)))
+    val emb = graft.util.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    assert(rows.length === emb.size)
+    rows.foreach { case (id, codes, err) =>
+      assert(codes.length === 8)
+      assert(codes.forall(c => c >= 0 && c < 8))
+      assert(err >= 0.0)
+      if (id < 8) { assert(codes.forall(_ === id)); assert(err === 0.0) }
+    }
+    // recompute one non-seed row driver-side
+    val (id, codes, err) = rows.find(_._1 >= 8).get
+    val v = emb(id)
+    val expect = (0 until 8).map { m =>
+      val sub = v.slice(m * 8, m * 8 + 8)
+      (0 until 8).map { k =>
+        val c = emb(k.toLong).slice(m * 8, m * 8 + 8)
+        val d2 = sub.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum
+        (d2, k.toLong)
+      }.min
+    }
+    assert(codes === expect.map(_._2))
+    val expErr = expect.map(e =>
+      BigDecimal(e._1).setScale(10, BigDecimal.RoundingMode.HALF_UP)).sum
+    assert(math.abs(err - expErr.toDouble) < 2e-4, s"$err vs $expErr")
+  }
+
   test("bigram logprob matches a driver-side smoothed fold") {
     import spark.implicits._
     val docs = graft.util.Tables.documents(spark, sf)

@@ -189,6 +189,19 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_vec_pq: zero shuffle of the store — singleton codebook " +
+    "broadcast, narrow assignment") {
+    val p = plan("q_vec_pq")
+    // the only BNLJ is the 1-row collected codebook; no SMJ/shuffle join
+    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 1, p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin") &&
+      !p.contains("CartesianProduct"), p)
+    // exchanges: the spread fan-out, the 8-row seed-collect aggregate
+    // (single-partition, store-independent), and the presentation
+    // sort — a fourth would mean assignment started shuffling the store
+    assert("\\bExchange\\b".r.findAllIn(p).size <= 3, p)
+  }
+
   test("q_late_reconcile prunes the recompute to affected-day partitions") {
     val p = plan("q_late_reconcile")
     // the affected-day set is broadcast into a semi join (the partition
