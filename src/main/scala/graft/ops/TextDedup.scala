@@ -856,7 +856,60 @@ object TextDedup {
       |FROM pick p JOIN best b ON p.canonical = b.canonical
       |ORDER BY p.canonical""".stripMargin)
 
+  /** Asymmetric CONTAINMENT dedup — the Dolma-style rule symmetric
+    * Jaccard misses: a short doc fully embedded in a long one scores
+    * J = |A|/|B| (small) but containment c_A = |A∩B|/|A| = 1. Over the
+    * SAME LSH candidate pairs as q_dedup_near (no new pair space, no
+    * new shuffle of the shingle sets), emit both directional
+    * containments and the contained side (the more-covered doc, ties
+    * to the smaller id since da < db) for pairs with
+    * max(c_A, c_B) ≥ 0.5. Division is one double op on exact integer
+    * cardinalities, rounded to 4 on both engines before the filter
+    * and the side-pick, so no boundary can flip.
+    *
+    * Scale: identical shape to the near-dup verify — candidate
+    * equi-join + fixed-width hash-set intersection; containment adds
+    * only two divisions per candidate. */
+  private val dedupContainment = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val sets = hashedShingles(s, dir).select($"doc_id", $"hs".as("ss"))
+      val interCol =
+        if (s.catalog.functionExists("graft_intersect_card"))
+          call_function("graft_intersect_card", $"sa", $"sb")
+        else size(array_intersect($"sa", $"sb"))
+      lshCandidates(s, dir)
+        .join(sets.select($"doc_id".as("da"), $"ss".as("sa")), "da")
+        .join(sets.select($"doc_id".as("db"), $"ss".as("sb")), "db")
+        .withColumn("inter", interCol.cast("double"))
+        .withColumn("cont_a", round($"inter" / size($"sa").cast("double"), 4))
+        .withColumn("cont_b", round($"inter" / size($"sb").cast("double"), 4))
+        .filter(greatest($"cont_a", $"cont_b") >= 0.5)
+        .select($"da", $"db", $"cont_a", $"cont_b",
+          when($"cont_a" >= $"cont_b", $"da").otherwise($"db").as("contained"))
+        .orderBy($"da", $"db")
+    },
+    oracleLshCandidates + """,
+      |sets AS (
+      |  SELECT doc_id, list(h) AS ss
+      |  FROM hashed GROUP BY doc_id),
+      |sc AS (
+      |  SELECT c.da, c.db,
+      |         CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE) AS inter,
+      |         CAST(len(a.ss) AS DOUBLE) AS la,
+      |         CAST(len(b.ss) AS DOUBLE) AS lb
+      |  FROM cand c JOIN sets a ON c.da = a.doc_id
+      |              JOIN sets b ON c.db = b.doc_id)
+      |SELECT da, db, ROUND(inter / la, 4) AS cont_a,
+      |       ROUND(inter / lb, 4) AS cont_b,
+      |       CASE WHEN ROUND(inter / la, 4) >= ROUND(inter / lb, 4)
+      |            THEN da ELSE db END AS contained
+      |FROM sc
+      |WHERE GREATEST(ROUND(inter / la, 4), ROUND(inter / lb, 4)) >= 0.5
+      |ORDER BY da, db""".stripMargin)
+
   val defs: Seq[(String, QueryDef)] = Seq(
+    "q_dedup_containment" -> dedupContainment,
     "q_dedup_best" -> dedupBest,
     "q_hamming_hist" -> hammingHist,
     "q_dedup_substring" -> dedupSubstring,

@@ -103,6 +103,20 @@ class PlanSpec extends SparkSpec {
       !p.contains("CartesianProduct"), p)
   }
 
+  test("q_dedup_containment reuses the LSH candidate shape: equi joins only") {
+    // same pair space as q_dedup_near — candidates from the (band,
+    // bucket) equi self-join, shingle-hash sets joined back by doc id;
+    // the directional divisions add no join or shuffle of their own
+    val p = plan("q_dedup_containment")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p)
+    val equiOnBand = p.linesIterator.exists(l =>
+      (l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+        l.contains("BroadcastHashJoin")) &&
+        l.contains("band") && l.contains("bucket"))
+    assert(equiOnBand, p)
+  }
+
   test("q_dedup_substring runs the explode kernel once (keyed window, no join-back)") {
     // VERDICT r4 asked for an A/B of this query's count shape; the
     // interleaved triage (TriageBench, see the QueryDef scaladoc) kept

@@ -90,6 +90,22 @@ class SurfaceInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("q_dedup_containment: canonical pairs, bounded containments, " +
+    "contained side is the more-covered doc") {
+    import spark.implicits._
+    val r = SparkEntry.all("q_dedup_containment").fn(spark, sf)
+      .as[(Long, Long, Double, Double, Long)].collect()
+    assert(r.nonEmpty)
+    r.foreach { case (da, db, ca, cb, contained) =>
+      assert(da < db, s"pair ($da,$db) not canonical")
+      assert(ca > 0.0 && ca <= 1.0, s"cont_a $ca out of range")
+      assert(cb > 0.0 && cb <= 1.0, s"cont_b $cb out of range")
+      assert(math.max(ca, cb) >= 0.5, s"pair ($da,$db) below threshold")
+      assert(contained === (if (ca >= cb) da else db),
+        s"contained $contained inconsistent with ($ca,$cb)")
+    }
+  }
+
   test("identical texts have n-gram Jaccard exactly 1") {
     import spark.implicits._
     // formula check on literal data: duplicate text → gram sets equal
