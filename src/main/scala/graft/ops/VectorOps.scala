@@ -532,8 +532,108 @@ object VectorOps {
       |SELECT vec_id, codes, CAST(ROUND(err_s, 4) AS DOUBLE) AS err
       |FROM g ORDER BY vec_id""".stripMargin)
 
+  /** PQ asymmetric-distance top-k search (ADC — Jégou et al. 2011,
+    * §IV.A): the query side of q_vec_pq. Each query precomputes a
+    * lookup table lut[m][k] = L2²(q_m, c_k,m) against the SAME first-K
+    * seed codebook (M·K = 64 doubles per query); each stored vector is
+    * then scored from its 8-byte PQ code alone — approx d2 =
+    * Σ_m lut[m][code_m] — never touching the raw floats. Top-10
+    * neighbors per query (self excluded) by exact-decimal distance,
+    * vec_id tie-break.
+    *
+    * Determinism: each lut cell is an IEEE fold of 8 terms in index
+    * order (both engines produce bit-identical doubles, the q_vec_pq
+    * precedent); the 8-term distance is summed as exact decimal(28,10)
+    * so the rank order cannot drift by summation order.
+    *
+    * Scale: this is WHY PQ exists at 100 TB — the scan reads |N|×8
+    * bytes of codes instead of |N|×256 bytes of floats (32× less IO);
+    * the codebook is one broadcast row, the per-query LUTs a tiny
+    * broadcast fan-out, and rk ≤ 10 collapses to WindowGroupLimit
+    * (per-partition top-k before the qid shuffle — no global sort). */
+  private val pqAdc = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val M = 8; val sub = Dim / M; val NQ = 10; val TopK = 10
+      val emb = Tables.spread(Tables.embeddings(s, dir), "vec_id")
+        .select($"vec_id", vcol($"embedding").as("v"))
+      val seeds = Tables.embeddings(s, dir).filter($"vec_id" < KSeeds)
+        .agg(sort_array(collect_list(
+          struct($"vec_id".as("cid"), vcol($"embedding").as("cv")))).as("cents"))
+      // PQ codes — identical assignment rule to q_vec_pq (argmin L2²
+      // per contiguous 8-dim subspace, cid tie-break via struct-min)
+      val asg = transform(sequence(lit(1), lit(M)), m =>
+        array_min(transform($"cents", c => struct(
+          aggregate(
+            zip_with(
+              slice($"v", (m - 1) * sub + 1, lit(sub)),
+              slice(c.getField("cv"), (m - 1) * sub + 1, lit(sub)),
+              (x, y) => (x - y) * (x - y)),
+            lit(0.0), (acc, x) => acc + x).as("d2"),
+          c.getField("cid").as("cid")))))
+      val codes = emb.crossJoin(broadcast(seeds))
+        .withColumn("asg", asg)
+        .select($"vec_id".as("nid"),
+          transform($"asg", a => a.getField("cid")).as("codes"))
+      // per-query LUT: lut[m][k] = L2²(q subspace m, centroid k
+      // subspace m); cents is cid-sorted so index k+1 ↔ code k
+      val qlut = Tables.embeddings(s, dir).filter($"vec_id" < NQ)
+        .select($"vec_id".as("qid"), vcol($"embedding").as("qv"))
+        .crossJoin(broadcast(seeds))
+        .select($"qid", transform(sequence(lit(1), lit(M)), m =>
+          transform($"cents", c =>
+            aggregate(
+              zip_with(
+                slice($"qv", (m - 1) * sub + 1, lit(sub)),
+                slice(c.getField("cv"), (m - 1) * sub + 1, lit(sub)),
+                (x, y) => (x - y) * (x - y)),
+              lit(0.0), (acc, x) => acc + x))).as("lut"))
+      val d2Dec = (1 to M).map(m =>
+        element_at(element_at($"lut", m),
+          (element_at($"codes", m) + 1).cast("int")).cast("decimal(28,10)"))
+        .reduce(_ + _)
+      val w = Window.partitionBy($"qid").orderBy($"d2s", $"nid")
+      codes.join(broadcast(qlut), $"nid" =!= $"qid")
+        .withColumn("d2s", d2Dec)
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter($"rk" <= TopK)
+        .select($"qid", $"nid", Incremental.r4s($"d2s").as("d2"), $"rk")
+        .orderBy($"qid", $"rk")
+    },
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+      |           FROM embeddings),
+      |cb AS (SELECT * FROM v WHERE vec_id < $KSeeds),
+      |d AS (SELECT v.vec_id, m.m, c.vec_id AS cid,
+      |             list_sum(list_transform(range(1, 9), i ->
+      |               (v.ve[(m.m-1)*8 + i] - c.ve[(m.m-1)*8 + i]) *
+      |               (v.ve[(m.m-1)*8 + i] - c.ve[(m.m-1)*8 + i]))) AS d2
+      |      FROM v
+      |      CROSS JOIN (SELECT UNNEST(range(1, 9)) AS m) m
+      |      CROSS JOIN cb c),
+      |a AS (SELECT vec_id, m, cid,
+      |             ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) AS rk
+      |      FROM d),
+      |codes AS (SELECT vec_id AS nid, m, cid FROM a WHERE rk = 1),
+      |lut AS (SELECT q.vec_id AS qid, m.m, c.vec_id AS cid,
+      |               list_sum(list_transform(range(1, 9), i ->
+      |                 (q.ve[(m.m-1)*8 + i] - c.ve[(m.m-1)*8 + i]) *
+      |                 (q.ve[(m.m-1)*8 + i] - c.ve[(m.m-1)*8 + i]))) AS d2
+      |        FROM (SELECT * FROM v WHERE vec_id < 10) q
+      |        CROSS JOIN (SELECT UNNEST(range(1, 9)) AS m) m
+      |        CROSS JOIN cb c),
+      |sc AS (SELECT l.qid, c.nid, SUM(CAST(l.d2 AS DECIMAL(28,10))) AS d2s
+      |       FROM codes c JOIN lut l ON l.m = c.m AND l.cid = c.cid
+      |       WHERE c.nid <> l.qid
+      |       GROUP BY 1, 2),
+      |r AS (SELECT qid, nid, d2s,
+      |             CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2s, nid) AS BIGINT) AS rk
+      |      FROM sc)
+      |SELECT qid, nid, CAST(ROUND(d2s, 4) AS DOUBLE) AS d2, rk
+      |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin)
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q_vec_pq" -> vecPq,
+    "q_pq_adc" -> pqAdc,
     "q_sim_topk" -> simTopk,
     "q_dedup_embed" -> dedupEmbed,
     "q_sim_ivf" -> simIvf,

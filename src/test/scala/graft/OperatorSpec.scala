@@ -334,6 +334,39 @@ class OperatorSpec extends SparkSpec {
     assert(math.abs(err - expErr.toDouble) < 2e-4, s"$err vs $expErr")
   }
 
+  test("ADC top-k matches a driver-side replay from codes + LUT") {
+    import spark.implicits._
+    val got = SparkEntry.all("q_pq_adc").fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val emb = graft.util.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def subD2(a: Array[Double], b: Array[Double], m: Int): Double =
+      (0 until 8).map(i => { val d = a(m * 8 + i) - b(m * 8 + i); d * d }).sum
+    // codes per vector: argmin subspace L2², cid tie-break
+    val codes = emb.map { case (id, v) =>
+      id -> (0 until 8).map(m =>
+        (0 until 8).map(k => (subD2(v, emb(k.toLong), m), k)).min._2).toArray
+    }
+    val expect = (0L until 10L).flatMap { qid =>
+      val qv = emb(qid)
+      val lut = Array.tabulate(8, 8)((m, k) => subD2(qv, emb(k.toLong), m))
+      val scored = codes.toSeq.filter(_._1 != qid).map { case (nid, cs) =>
+        val d2 = (0 until 8)
+          .map(m => BigDecimal(lut(m)(cs(m)))
+            .setScale(10, BigDecimal.RoundingMode.HALF_UP)).sum
+        (nid, d2)
+      }.sortBy { case (nid, d2) => (d2, nid) }.take(10)
+      scored.zipWithIndex.map { case ((nid, d2), i) =>
+        (qid, nid,
+          d2.setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          (i + 1).toLong)
+      }
+    }
+    assert(got.toSeq === expect)
+  }
+
   test("bigram logprob matches a driver-side smoothed fold") {
     import spark.implicits._
     val docs = graft.util.Tables.documents(spark, sf)

@@ -216,6 +216,20 @@ class PlanSpec extends SparkSpec {
     assert("\\bExchange\\b".r.findAllIn(p).size <= 3, p)
   }
 
+  test("q_pq_adc scores from codes behind broadcasts — the store never " +
+    "shuffle-joins; top-k is WindowGroupLimit") {
+    val p = plan("q_pq_adc")
+    // three BNLJs only, every build side tiny by construction: the
+    // 1-row codebook under codes, the same 1-row codebook under the
+    // query LUTs, and the 10-row LUT fan-out onto the code scan
+    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 3, p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin") &&
+      !p.contains("CartesianProduct"), p)
+    // rk <= 10 must collapse to per-partition group limits before the
+    // qid exchange — a global sort of the scored fan-out dies at scale
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("q_late_reconcile prunes the recompute to affected-day partitions") {
     val p = plan("q_late_reconcile")
     // the affected-day set is broadcast into a semi join (the partition
