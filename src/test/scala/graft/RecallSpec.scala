@@ -91,6 +91,32 @@ class RecallSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall $recall (${staged.size}/${brute.size})")
   }
 
+  test("PQ-ADC top-10 recall vs exact L2 top-10 stays above floor") {
+    import spark.implicits._
+    // exact L2 ground truth driver-side (test-only brute force)
+    val emb = graft.util.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def d2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val truth = (0L until 10L).map { qid =>
+      qid -> emb.keys.filter(_ != qid).toSeq
+        .map(nid => (d2(emb(qid), emb(nid)), nid)).sorted.take(10)
+        .map(_._2).toSet
+    }.toMap
+    val adc = SparkEntry.all("q_pq_adc").fn(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = truth.map { case (q, t) =>
+      t.intersect(adc.getOrElse(q, Set.empty)).size.toDouble / t.size }
+    val mean = recalls.sum / recalls.size
+    // K=8 centroids/subspace is a coarse 3-bit code on isotropic noise
+    // — the floor pins regressions, not completeness (real embedding
+    // corpora train the codebook and use K=256)
+    assert(mean >= 0.25, s"mean ADC recall@10 $mean")
+  }
+
   test("IVF 2-probe top-3 recall vs brute force stays above the random-data floor") {
     val bf = SparkEntry.all("q_sim_topk").fn(spark, sf)
       .filter(col("qid") >= 10 && col("qid") < 30 && col("rk") <= 3)
