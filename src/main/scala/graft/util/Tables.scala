@@ -2,7 +2,7 @@ package graft.util
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated fixture tables (TESTDATA.md /
   * FIXTURES.md). One parquet file per table; the vectorized parquet
@@ -52,18 +52,35 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** events.ts is TIMESTAMP(NANOS) in the parquet footer, which Spark 4
-    * rejects outright ([PARQUET_TYPE_ILLEGAL]). Read it as a raw long
-    * (legacy conf) and truncate ns → µs with integer division — the same
-    * truncation DuckDB's µs comparisons see after date_trunc (SURVEY.md
-    * §7.4 forbids emitting raw ts anyway). */
+  /** events.ts is TIMESTAMP(NANOS) in the parquet footer. How that
+    * arrives depends on the Spark version, so normalize to a session-TZ
+    * `TimestampType` (µs precision) in ONE place and let every query
+    * downstream assume it:
+    *  - Spark ≤4.0 rejects nanos outright ([PARQUET_TYPE_ILLEGAL]) unless
+    *    `spark.sql.legacy.parquet.nanosAsLong` is set, which yields a raw
+    *    LongType of nanos → truncate ns→µs with integer division.
+    *  - Spark 4.1+ reads nanos natively as TIMESTAMP_NTZ (already
+    *    µs-truncated by the reader; the legacy conf is a no-op). The
+    *    session TZ is pinned to UTC (build.sbt / SparkEntry), so the
+    *    NTZ→TimestampType cast is value-preserving — same epoch µs the
+    *    DuckDB oracle sees.
+    * Both branches land on identical values; TablesSpec pins the schema
+    * so the next Spark upgrade fails fast with a clear message. */
   def events(s: SparkSession, d: String): DataFrame =
     memoized(s, s"$d/events+ts") {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true") // no-op on 4.1+
       val raw = s.read.parquet(s"$d/events.parquet")
-      if (raw.schema("ts").dataType == LongType)
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else raw
+      raw.schema("ts").dataType match {
+        case LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case TimestampNTZType =>
+          raw.withColumn("ts", col("ts").cast(TimestampType))
+        case TimestampType => raw
+        case other => throw new IllegalStateException(
+          s"events.ts arrived as $other — parquet/Spark behavior drifted; " +
+          "update Tables.events normalization (expected nanos-as-long, " +
+          "TIMESTAMP_NTZ, or TIMESTAMP)")
+      }
     }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
