@@ -77,6 +77,12 @@ object Bench {
     // (VERDICT r4) — record the budget each run actually had so a
     // future regression is diagnosable from the artifact alone
     val heapGb = Runtime.getRuntime.maxMemory / 1e9
+    // kernel-registration telemetry (VERDICT r5 item 4): q_lang_id &
+    // friends pick the fused codegen kernels only when GraftExtensions
+    // actually registered them — record the branch the driver session
+    // took so a slow reading is attributable from the artifact alone
+    val kernelsLive = spark.catalog.functionExists("graft_char3grams") &&
+      spark.catalog.functionExists("graft_dot")
     val (storUsed, storMax) = {
       val s = spark.sparkContext.getExecutorMemoryStatus.values
       (s.map { case (mx, rem) => mx - rem }.sum / 1e9,
@@ -86,6 +92,8 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""failed":$failedJson,"sf":"$sfDir","pipeline_warm_sec":$warmSec,""" +
         s""""warmed_intermediates":$warmed,"heap_gb":$heapGb,""" +
+        s""""kernels_registered":$kernelsLive,""" +
+        s""""spark_version":"${spark.version}",""" +
         s""""storage_used_gb":$storUsed,"storage_max_gb":$storMax}"""
     println(json)
     // stdout alone gets tail-truncated in the driver's artifact (r4 lost

@@ -50,8 +50,20 @@ object Verify {
     // phantom query. tools/check.py runs the probes and flags any delta
     // — a future driver-vs-local hash divergence is then explainable
     // from artifacts alone by running these statements on that build.
+    // Raw footer type of events.ts BEFORE Tables.events normalization —
+    // Spark ≤4.0 + nanosAsLong → bigint, 4.1+ → timestamp_ntz. Recorded
+    // so the next silent Spark upgrade (the r5 red) is diagnosable from
+    // round artifacts alone.
+    val eventsTsArrival =
+      try spark.read.parquet(s"$sfDir/events.parquet").schema("ts")
+        .dataType.simpleString
+      catch { case e: Throwable => s"unreadable: ${e.getClass.getSimpleName}" }
     val probes = Seq(
       ("duckdb_version", "SELECT version() AS v", "(build-specific)"),
+      ("spark_version", s"SELECT 'spark ${spark.version}' AS v",
+        "(build-specific)"),
+      ("events_ts_arrival", s"SELECT '$eventsTsArrival' AS v",
+        "(build-specific)"),
       ("grouping_multiarg_under_sets",
         "SELECT CAST(GROUPING(a, b) AS BIGINT) AS gid FROM (VALUES (1, 2)) t(a, b) " +
           "GROUP BY GROUPING SETS ((a, b), (a), (b), ()) ORDER BY 1",

@@ -506,10 +506,19 @@ object VectorOps {
       val errDec = (0 until M)
         .map(i => element_at($"asg", i + 1).getField("d2").cast("decimal(28,10)"))
         .reduce(_ + _)
+      // Pack the M=8 3-bit codes (cid < K=8) into ONE BIGINT, low
+      // subspace in the low bits: code = Σ_m cid_m · 8^m. A scalar
+      // column hash-compares cleanly in the driver's oracle harness
+      // (an array<bigint> column crashed its pandas sort in r5) and is
+      // also the production layout — an 8-byte packed code beats a
+      // 8-element array for scan width at 100 TB.
+      val packed = (0 until M)
+        .map(i => element_at($"asg", i + 1).getField("cid") * lit(1L << (3 * i)))
+        .reduce(_ + _)
       emb.crossJoin(broadcast(seeds))
         .withColumn("asg", asg)
         .select($"vec_id",
-          transform($"asg", a => a.getField("cid")).as("codes"),
+          packed.cast("long").as("code"),
           Incremental.r4s(errDec).as("err"))
         .orderBy($"vec_id")
     },
@@ -526,10 +535,10 @@ object VectorOps {
       |             ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) AS rk
       |      FROM d),
       |g AS (SELECT vec_id,
-      |             list(cid ORDER BY m) AS codes,
+      |             CAST(SUM(cid * CAST(POW(2, 3 * (m - 1)) AS BIGINT)) AS BIGINT) AS code,
       |             SUM(CAST(d2 AS DECIMAL(28,10))) AS err_s
       |      FROM a WHERE rk = 1 GROUP BY vec_id)
-      |SELECT vec_id, codes, CAST(ROUND(err_s, 4) AS DOUBLE) AS err
+      |SELECT vec_id, code, CAST(ROUND(err_s, 4) AS DOUBLE) AS err
       |FROM g ORDER BY vec_id""".stripMargin)
 
   /** PQ asymmetric-distance top-k search (ADC — Jégou et al. 2011,

@@ -304,8 +304,11 @@ class OperatorSpec extends SparkSpec {
   test("pq assignment: seeds code to themselves with zero error; a " +
     "non-seed row matches the driver-side argmin") {
     import spark.implicits._
+    // code is a packed BIGINT: Σ_m cid_m · 8^m (3 bits per subspace)
     val rows = SparkEntry.all("q_vec_pq").fn(spark, sf).collect()
-      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getDouble(2)))
+      .map(r => (r.getLong(0),
+        (0 until 8).map(m => (r.getLong(1) >> (3 * m)) & 7L),
+        r.getDouble(2)))
     val emb = graft.util.Tables.embeddings(spark, sf)
       .select($"vec_id", $"embedding").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
