@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.util.Tables
 
@@ -68,6 +68,39 @@ object TriageBench {
       .orderBy($"doc_id")
   }
 
+  /** lang-ID variant B: explode the corpus TWICE but give each branch
+    * its natural aggregation key — train collapses straight to
+    * (lang, tg) (tiny after map-side combine), test (20% of docs) to
+    * (doc, lang, tg). Trades one big (doc,lang,tg) shuffle of the full
+    * corpus (the current ReuseExchange shape) for two explodes with
+    * far smaller shuffles. */
+  private def langIdTwoExplode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    def cp3(i: Column): Column = ascii($"text".substr(i, lit(1))).cast("long")
+    val triCol =
+      if (s.catalog.functionExists("graft_char3grams"))
+        call_function("graft_char3grams", $"text")
+      else transform(
+        sequence(lit(1), greatest(length($"text") - 2, lit(1))),
+        i => (cp3(i) * 1021L + cp3(i + 1)) * 1021L + cp3(i + 2))
+    val docs = Tables.spread(Tables.documents(s, dir), "doc_id")
+    val prof = docs.filter($"doc_id" % 5 =!= 0)
+      .select($"lang".as("plang"), explode(triCol).as("tg"))
+      .groupBy($"plang", $"tg").agg(count(lit(1)).as("pc"))
+    val tf = docs.filter($"doc_id" % 5 === 0)
+      .select($"doc_id", $"lang", explode(triCol).as("tg"))
+      .groupBy($"doc_id", $"lang", $"tg").agg(count(lit(1)).as("tf"))
+    val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"plang")
+    tf.join(broadcast(prof), "tg")
+      .groupBy($"doc_id", $"lang", $"plang")
+      .agg(sum($"tf" * $"pc").as("score"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"doc_id", $"lang", $"plang".as("pred_lang"), $"score")
+      .orderBy($"doc_id")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -93,6 +126,11 @@ object TriageBench {
       // VERDICT r4 item 1's named unchanged-but-regressed set — the
       // formal interleaved-reps readout for the contention diagnosis
       "ctl_lang_id" -> (() => SparkEntry.all("q_lang_id").fn(spark, sfDir)),
+      // VERDICT r5 items 4-5: the two queries whose driver readings
+      // moved >2× without a code change — interleaved medians are the
+      // contention-robust readout
+      "ctl_lateral" -> (() => SparkEntry.all("q_lateral").fn(spark, sfDir)),
+      "langid_two_explode" -> (() => langIdTwoExplode(spark, sfDir)),
       "ctl_agg_approx" -> (() => SparkEntry.all("q_agg_approx").fn(spark, sfDir)),
       "ctl_window_dist" -> (() => SparkEntry.all("q_window_dist").fn(spark, sfDir)),
       "ctl_union_all" -> (() => SparkEntry.all("q_union_all").fn(spark, sfDir)),

@@ -156,19 +156,25 @@ object TextOps {
         else transform(
           sequence(lit(1), greatest(length($"text") - 2, lit(1))),
           i => (cp3(i) * 1021L + cp3(i + 1)) * 1021L + cp3(i + 2))
-      // ONE trigram explode over the corpus: per-(doc, trigram) counts
-      // first, then the train profile is a re-aggregation of those
-      // counts (Σ per-doc counts ≡ counting all train instances) and
-      // the test tf rows are a filter — instead of exploding the corpus
-      // once per branch. At 100 TB the (doc, trigram) count table is
-      // the thing you'd materialize anyway.
+      // Each branch gets its NATURAL aggregation key (r6 TriageBench
+      // A/B: 1.53 vs 1.97 s median interleaved at sf0.1): the train
+      // split (80% of docs) collapses straight to (lang, trigram) —
+      // the profile's key space is tiny, so map-side partial
+      // aggregation eliminates almost the whole shuffle — and only the
+      // 20% test split pays the fine-grained (doc, lang, trigram)
+      // shuffle. The previous single-explode/ReuseExchange shape
+      // pushed the FULL corpus through the (doc,lang,tg) exchange,
+      // which map-side combine barely compresses. Explode CPU runs
+      // twice, but it's a codegen kernel — shuffle bytes dominate, and
+      // the same holds harder at 100 TB (profile build is pure
+      // map-side reduction; only held-out docs shuffle fine-grained).
       val docs = Tables.spread(Tables.documents(s, dir), "doc_id")
-      val counts = docs.select($"doc_id", $"lang", explode(triCol).as("tg"))
-        .groupBy($"doc_id", $"lang", $"tg").agg(count(lit(1)).as("c"))
-      val prof = counts.filter($"doc_id" % 5 =!= 0)
-        .groupBy($"lang".as("plang"), $"tg").agg(sum($"c").as("pc"))
-      val tf = counts.filter($"doc_id" % 5 === 0)
-        .select($"doc_id", $"lang", $"tg", $"c".as("tf"))
+      val prof = docs.filter($"doc_id" % 5 =!= 0)
+        .select($"lang".as("plang"), explode(triCol).as("tg"))
+        .groupBy($"plang", $"tg").agg(count(lit(1)).as("pc"))
+      val tf = docs.filter($"doc_id" % 5 === 0)
+        .select($"doc_id", $"lang", explode(triCol).as("tg"))
+        .groupBy($"doc_id", $"lang", $"tg").agg(count(lit(1)).as("tf"))
       val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"plang")
       tf.join(broadcast(prof), "tg")
         .groupBy($"doc_id", $"lang", $"plang")
