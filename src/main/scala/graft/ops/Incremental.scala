@@ -430,7 +430,51 @@ object Incremental {
       |       CAST(MAX(c) * COUNT(*) * 10000 // SUM(c) AS BIGINT) AS max_over_mean_bp
       |FROM pk GROUP BY 1 ORDER BY 1""".stripMargin)
 
+  /** CDC merge (MERGE INTO / upsert-apply): treat the event stream as a
+    * per-user changelog — 'signup' and the activity types carry an
+    * upserted `value`, 'error' is a delete tombstone — and produce the
+    * CURRENT snapshot: latest op per key wins (ts, then event_id as the
+    * deterministic tiebreak), tombstoned keys drop out. This is the
+    * batch semantics of Delta/Iceberg MERGE and of compacting a Kafka
+    * changelog topic.
+    *
+    * Scale: ONE hash shuffle on the merge key + one per-partition sort
+    * serves both the latest-wins rank and the per-key op count; no
+    * driver state. At 100 TB this is exactly the incremental-snapshot
+    * compaction plan you'd run, with the changelog side date-partition-
+    * pruned to the delta. */
+  private val cdcMerge = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id")
+        .orderBy($"ts".desc, $"event_id".desc)
+      Tables.events(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n_ops", count(lit(1)).over(Window.partitionBy($"user_id")))
+        .filter($"rn" === 1 && $"event_type" =!= "error")
+        .select($"user_id",
+          $"event_type".as("last_op"),
+          // raw per-row double passthrough — no aggregation, so both
+          // engines emit the identical parquet bits (no ROUND gotcha)
+          $"value".as("last_value"),
+          $"ts".cast("long").as("last_ts"),
+          $"n_ops")
+        .orderBy($"user_id")
+    },
+    """WITH ranked AS (
+      |  SELECT user_id, event_type, value, ts, event_id,
+      |         ROW_NUMBER() OVER (PARTITION BY user_id
+      |                            ORDER BY ts DESC, event_id DESC) AS rn,
+      |         COUNT(*) OVER (PARTITION BY user_id) AS n_ops
+      |  FROM events)
+      |SELECT user_id, event_type AS last_op,
+      |       value AS last_value,
+      |       CAST(FLOOR(epoch(ts)) AS BIGINT) AS last_ts, n_ops
+      |FROM ranked WHERE rn = 1 AND event_type <> 'error'
+      |ORDER BY user_id""".stripMargin)
+
   val defs: Seq[(String, QueryDef)] = Seq(
+    "q_cdc_merge" -> cdcMerge,
     "q_skew_profile" -> skewProfile,
     "q_daily_avg" -> dailyAvg,
     "q_zorder" -> zorder,

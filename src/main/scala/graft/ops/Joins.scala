@@ -244,7 +244,86 @@ object Joins {
       | AND (valid_to IS NULL OR ts < valid_to)
       |ORDER BY event_id""".stripMargin)
 
+  /** TPC-H Q3 analog (shipping-priority): top-10 still-unshipped orders
+    * by discounted revenue for one market segment. The classic
+    * filter-early star query: both date predicates land in the parquet
+    * scans (PushedFilters), customer is pre-filtered to one segment
+    * then broadcast, and the top-10 is TakeOrderedAndProject over the
+    * aggregated rows — no global sort. At 100 TB only lineitem⋈orders
+    * shuffles (co-locatable via orderkey bucketing). */
+  private val tpchQ3 = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val cutoff = "2000-03-15"
+      val cust = Tables.customer(s, dir)
+        .filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
+      Tables.lineitem(s, dir).filter($"l_shipdate" > lit(cutoff))
+        .join(Tables.orders(s, dir).filter($"o_orderdate" < lit(cutoff)),
+          $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+        .groupBy($"l_orderkey", $"o_orderdate")
+        .agg(Incremental.r4s(sum(($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+          .cast("decimal(28,10)"))).as("rev"))
+        .select($"l_orderkey", to_date($"o_orderdate").as("o_orderdate"), $"rev")
+        .orderBy($"rev".desc, $"l_orderkey")
+        .limit(10)
+    },
+    """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+      |       CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))), 4) AS DOUBLE) AS rev
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '2000-03-15 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '2000-03-15 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate
+      |ORDER BY rev DESC, l_orderkey LIMIT 10""".stripMargin)
+
+  /** TPC-H Q5 analog (local-supplier volume): revenue per nation for one
+    * region and one order-date year, counting only lineitems whose
+    * supplier sits in the customer's own nation. Exercises the 6-table
+    * star with a non-key equality (c_nationkey = s_nationkey) applied
+    * as a post-join filter; nation/region/supplier broadcast, the two
+    * facts shuffle on their join keys. */
+  private val tpchQ5 = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val asiaNations = Tables.nation(s, dir)
+        .join(Tables.region(s, dir).filter($"r_name" === "ASIA"),
+          $"n_regionkey" === $"r_regionkey")
+        .select($"n_nationkey", $"n_name")
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir)
+          .filter($"o_orderdate" >= lit("1996-01-01") &&
+            $"o_orderdate" < lit("1997-01-01")),
+          $"l_orderkey" === $"o_orderkey")
+        .join(Tables.customer(s, dir), $"o_custkey" === $"c_custkey")
+        .join(broadcast(Tables.supplier(s, dir)), $"l_suppkey" === $"s_suppkey")
+        .filter($"c_nationkey" === $"s_nationkey")
+        .join(broadcast(asiaNations), $"s_nationkey" === $"n_nationkey")
+        .groupBy($"n_name")
+        .agg(Incremental.r4s(sum(($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+          .cast("decimal(28,10)"))).as("rev"),
+          count(lit(1)).as("n"))
+        .orderBy($"n_name")
+    },
+    """SELECT n_name,
+      |       CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))), 4) AS DOUBLE) AS rev,
+      |       COUNT(*) AS n
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation   ON s_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY n_name ORDER BY n_name""".stripMargin)
+
   val defs: Seq[(String, QueryDef)] = Seq(
+    "q_tpch_q3" -> tpchQ3,
+    "q_tpch_q5" -> tpchQ5,
     "q_scd_join" -> scdJoin,
     "q_join_inner" -> joinInner,
     "q_join_multiway" -> joinMultiway,

@@ -1122,7 +1122,48 @@ object TextOps {
       |       CAST(ROUND(SUM(term), 4) AS DOUBLE) AS logprob
       |FROM r GROUP BY 1 ORDER BY doc_id""".stripMargin)
 
+  /** Deterministic training-shard assignment + balance audit: route each
+    * document to one of 16 shards by Knuth multiplicative hashing
+    * (doc_id · 2654435761 mod 2³², take the low 4 bits of the high
+    * half), then audit shard balance — doc count, char volume, source
+    * diversity. The audit is what you actually run before a training
+    * job: a skewed shard is a straggler epoch.
+    *
+    * Determinism contract: the hash is plain BIGINT arithmetic both
+    * engines evaluate identically (no engine-native hash functions —
+    * Spark's xxhash64 and DuckDB's hash() disagree by construction).
+    * Products stay < 2⁶³ for doc_id < 2³¹; production ids beyond that
+    * use xxhash64 with no oracle (DuckDB overflow is strict, Java
+    * wraps). Scale: one map-side-combined 16-key aggregate — the
+    * assignment itself is a narrow projection, exactly how a
+    * partitionBy("shard") write would route rows. */
+  private val shardAssign = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      // high 4 bits of the 32-bit mix: (… mod 2³²) >> 28 ∈ [0, 16) —
+      // integer ops only (Column `/` on longs would go through double)
+      val shard = shiftright(($"doc_id" * lit(2654435761L)) % lit(4294967296L),
+        28).cast("long")
+      Tables.documents(s, dir)
+        .select(shard.as("shard"), $"doc_id", $"n_chars", $"source")
+        .groupBy($"shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_chars").cast("long").as("total_chars"),
+          countDistinct($"source").as("n_sources"),
+          min($"doc_id").as("min_doc"),
+          max($"doc_id").as("max_doc"))
+        .orderBy($"shard")
+    },
+    """SELECT (doc_id * 2654435761) % 4294967296 // 268435456 AS shard,
+      |       COUNT(*) AS n_docs,
+      |       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |       COUNT(DISTINCT source) AS n_sources,
+      |       MIN(doc_id) AS min_doc,
+      |       MAX(doc_id) AS max_doc
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)
+
   val defs: Seq[(String, QueryDef)] = Seq(
+    "q_shard_assign" -> shardAssign,
     "q_bigram_logprob" -> bigramLogprob,
     "q_bpe_pairs" -> bpePairs,
     "q_blocklist_filter" -> blocklistFilter,

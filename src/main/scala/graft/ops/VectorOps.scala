@@ -640,7 +640,140 @@ object VectorOps {
       |SELECT qid, nid, CAST(ROUND(d2s, 4) AS DOUBLE) AS d2, rk
       |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin)
 
+  /** IVF-PQ search (Jégou et al. 2011 §V — the composed production ANN
+    * index): coarse IVF routing THEN PQ-ADC scoring. The store is
+    * assigned to coarse cells (full-dim L2², first-10 seed centroids,
+    * cid tie-break); each query probes its 2 nearest cells; only
+    * vectors in probed cells are scored, and scored from their 8-byte
+    * PQ code via the per-query LUT — raw floats are never read at
+    * search time. Top-5 per query by exact-decimal ADC distance.
+    *
+    * Scale: this is the 100 TB serving shape — the index scan touches
+    * (cell, code) pairs only (cell is the partition key, 8-byte codes),
+    * probed cells cut the candidate set ~nprobe/|cells|, and the
+    * codebook + query LUTs + probe table are all broadcast. The two
+    * windows (cell assignment, final top-k) are both WindowGroupLimit
+    * rank-1/rank-k shapes. */
+  private val ivfPq = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val M = 8; val sub = Dim / M; val TopK = 5
+      def l2(a: Column, b: Column): Column =
+        aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, x) => acc + x)
+      val emb = Tables.spread(Tables.embeddings(s, dir), "vec_id")
+        .select($"vec_id", vcol($"embedding").as("v"))
+      val coarse = Tables.embeddings(s, dir).filter($"vec_id" < 10)
+        .select($"vec_id".as("ccid"), vcol($"embedding").as("ccv"))
+      val seeds = Tables.embeddings(s, dir).filter($"vec_id" < KSeeds)
+        .agg(sort_array(collect_list(
+          struct($"vec_id".as("cid"), vcol($"embedding").as("cv")))).as("cents"))
+      // coarse cell per stored vector (rank-1 over L2², ccid tie-break)
+      val wAssign = Window.partitionBy($"vec_id").orderBy($"cd2", $"ccid")
+      val store = emb.crossJoin(broadcast(coarse))
+        .withColumn("cd2", l2($"v", $"ccv"))
+        .withColumn("crk", row_number().over(wAssign))
+        .filter($"crk" === 1)
+        .select($"vec_id", $"v", $"ccid".as("cell"))
+      // PQ codes for the store — the q_vec_pq assignment rule verbatim
+      val asg = transform(sequence(lit(1), lit(M)), m =>
+        array_min(transform($"cents", c => struct(
+          aggregate(
+            zip_with(
+              slice($"v", (m - 1) * sub + 1, lit(sub)),
+              slice(c.getField("cv"), (m - 1) * sub + 1, lit(sub)),
+              (x, y) => (x - y) * (x - y)),
+            lit(0.0), (acc, x) => acc + x).as("d2"),
+          c.getField("cid").as("cid")))))
+      val codes = store.crossJoin(broadcast(seeds))
+        .withColumn("asg", asg)
+        .select($"vec_id".as("nid"), $"cell",
+          transform($"asg", a => a.getField("cid")).as("codes"))
+      // 2 probed cells per query (same metric/tie-break as assignment)
+      val queries = Tables.embeddings(s, dir)
+        .filter($"vec_id" >= 10 && $"vec_id" < 30)
+        .select($"vec_id".as("qid"), vcol($"embedding").as("qv"))
+      val wProbe = Window.partitionBy($"qid").orderBy($"qd2", $"ccid")
+      val probes = queries.crossJoin(broadcast(coarse))
+        .withColumn("qd2", l2($"qv", $"ccv"))
+        .withColumn("prk", row_number().over(wProbe))
+        .filter($"prk" <= 2)
+        .select($"qid", $"ccid".as("probe_cell"))
+      // per-query ADC lookup table (the q_pq_adc construction)
+      val qlut = queries.crossJoin(broadcast(seeds))
+        .select($"qid", transform(sequence(lit(1), lit(M)), m =>
+          transform($"cents", c =>
+            aggregate(
+              zip_with(
+                slice($"qv", (m - 1) * sub + 1, lit(sub)),
+                slice(c.getField("cv"), (m - 1) * sub + 1, lit(sub)),
+                (x, y) => (x - y) * (x - y)),
+              lit(0.0), (acc, x) => acc + x))).as("lut"))
+      val d2Dec = (1 to M).map(m =>
+        element_at(element_at($"lut", m),
+          (element_at($"codes", m) + 1).cast("int")).cast("decimal(28,10)"))
+        .reduce(_ + _)
+      val w = Window.partitionBy($"qid").orderBy($"d2s", $"nid")
+      codes.join(broadcast(probes),
+          $"cell" === $"probe_cell" && $"nid" =!= $"qid")
+        .join(broadcast(qlut), "qid")
+        .withColumn("d2s", d2Dec)
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter($"rk" <= TopK)
+        .select($"qid", $"nid", $"cell".cast("long").as("cell"),
+          Incremental.r4s($"d2s").as("d2"), $"rk")
+        .orderBy($"qid", $"rk")
+    },
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+      |           FROM embeddings),
+      |cb AS (SELECT * FROM v WHERE vec_id < $KSeeds),
+      |cc AS (SELECT * FROM v WHERE vec_id < 10),
+      |ca AS (SELECT v.vec_id, c.vec_id AS ccid,
+      |              list_sum(list_transform(range(1, ${Dim + 1}), i ->
+      |                (v.ve[i] - c.ve[i]) * (v.ve[i] - c.ve[i]))) AS cd2
+      |       FROM v CROSS JOIN cc c),
+      |cellof AS (SELECT vec_id, ccid AS cell FROM (
+      |    SELECT vec_id, ccid,
+      |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cd2, ccid) AS crk
+      |    FROM ca) WHERE crk = 1),
+      |d AS (SELECT v.vec_id, m.m, c.vec_id AS cid,
+      |             list_sum(list_transform(range(1, 9), i ->
+      |               (v.ve[(m.m-1)*8 + i] - c.ve[(m.m-1)*8 + i]) *
+      |               (v.ve[(m.m-1)*8 + i] - c.ve[(m.m-1)*8 + i]))) AS d2
+      |      FROM v
+      |      CROSS JOIN (SELECT UNNEST(range(1, 9)) AS m) m
+      |      CROSS JOIN cb c),
+      |a AS (SELECT vec_id, m, cid,
+      |             ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) AS rk
+      |      FROM d),
+      |codes AS (SELECT vec_id AS nid, m, cid FROM a WHERE rk = 1),
+      |probes AS (SELECT qid, ccid AS probe_cell FROM (
+      |    SELECT vec_id AS qid, ccid,
+      |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cd2, ccid) AS prk
+      |    FROM ca WHERE vec_id >= 10 AND vec_id < 30) WHERE prk <= 2),
+      |lut AS (SELECT q.vec_id AS qid, m.m, c.vec_id AS cid,
+      |               list_sum(list_transform(range(1, 9), i ->
+      |                 (q.ve[(m.m-1)*8 + i] - c.ve[(m.m-1)*8 + i]) *
+      |                 (q.ve[(m.m-1)*8 + i] - c.ve[(m.m-1)*8 + i]))) AS d2
+      |        FROM (SELECT * FROM v WHERE vec_id >= 10 AND vec_id < 30) q
+      |        CROSS JOIN (SELECT UNNEST(range(1, 9)) AS m) m
+      |        CROSS JOIN cb c),
+      |sc AS (SELECT p.qid, c.nid, cf.cell,
+      |              SUM(CAST(l.d2 AS DECIMAL(28,10))) AS d2s
+      |       FROM codes c
+      |       JOIN cellof cf ON cf.vec_id = c.nid
+      |       JOIN probes p ON cf.cell = p.probe_cell AND p.qid <> c.nid
+      |       JOIN lut l ON l.qid = p.qid AND l.m = c.m AND l.cid = c.cid
+      |       GROUP BY 1, 2, 3),
+      |r AS (SELECT qid, nid, cell, d2s,
+      |             CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2s, nid) AS BIGINT) AS rk
+      |      FROM sc)
+      |SELECT qid, nid, CAST(cell AS BIGINT) AS cell,
+      |       CAST(ROUND(d2s, 4) AS DOUBLE) AS d2, rk
+      |FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin)
+
   val defs: Seq[(String, QueryDef)] = Seq(
+    "q_ivfpq" -> ivfPq,
     "q_vec_pq" -> vecPq,
     "q_pq_adc" -> pqAdc,
     "q_sim_topk" -> simTopk,

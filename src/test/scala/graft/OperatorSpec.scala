@@ -529,4 +529,64 @@ class OperatorSpec extends SparkSpec {
     val status = prof.find(_.getString(0) == "o_orderstatus").get
     assert(status.getLong(3) <= 3) // O/F/P
   }
+
+  test("cdc merge: latest-wins snapshot matches a driver-side replay; " +
+    "tombstoned keys are absent") {
+    import spark.implicits._
+    val log = graft.util.Tables.events(spark, sf)
+      .select($"user_id", $"event_type", $"value",
+        $"ts".cast("long").as("tse"), $"event_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4)))
+    // replay: latest op per user by (ts, event_id); 'error' = delete
+    val expect = log.groupBy(_._1).flatMap { case (uid, ops) =>
+      val latest = ops.maxBy(o => (o._4, o._5))
+      if (latest._2 == "error") None
+      else Some(uid -> (latest._2, latest._3, latest._4, ops.length.toLong))
+    }
+    val got = SparkEntry.all("q_cdc_merge").fn(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), r.getDouble(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got.keySet === expect.keySet)
+    expect.foreach { case (uid, e) => assert(got(uid) === e, s"user $uid") }
+  }
+
+  test("shard assignment: 16 shards partition the corpus; the hash is " +
+    "reproducible driver-side") {
+    import spark.implicits._
+    val nDocs = graft.util.Tables.documents(spark, sf).count()
+    val rows = SparkEntry.all("q_shard_assign").fn(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSet.subsetOf((0L until 16L).toSet))
+    assert(rows.map(_.getLong(1)).sum === nDocs)
+    def shardOf(id: Long): Long = ((id * 2654435761L) % 4294967296L) >> 28
+    val sample = graft.util.Tables.documents(spark, sf)
+      .select($"doc_id").limit(50).as[Long].collect()
+    // every sampled doc's driver-side shard must be a declared shard
+    // whose [min_doc, max_doc] range contains it
+    val bounds = rows.map(r =>
+      r.getLong(0) -> (r.getLong(4), r.getLong(5))).toMap
+    sample.foreach { id =>
+      val (lo, hi) = bounds(shardOf(id))
+      assert(lo <= id && id <= hi, s"doc $id shard ${shardOf(id)}")
+    }
+  }
+
+  test("ivfpq: every neighbor comes from a probed cell and ranks are " +
+    "dense per query") {
+    import spark.implicits._
+    val rows = SparkEntry.all("q_ivfpq").fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (qid, rs) =>
+      assert(rs.length <= 5)
+      assert(rs.map(_._5).sorted.toSeq === (1L to rs.length).toSeq, s"q $qid")
+      // ≤2 probed cells contribute neighbors
+      assert(rs.map(_._3).distinct.length <= 2, s"q $qid cells")
+      // ADC distance non-decreasing in rank, non-negative
+      val byRk = rs.sortBy(_._5).map(_._4)
+      assert(byRk.head >= 0.0)
+      assert(byRk.zip(byRk.tail).forall { case (a, b) => a <= b }, s"q $qid")
+    }
+  }
 }

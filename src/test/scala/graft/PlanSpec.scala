@@ -278,4 +278,38 @@ class PlanSpec extends SparkSpec {
       assert(p.toLowerCase.contains("bloom"), p.take(4000))
     } finally restore.foreach { case (k, v) => spark.conf.set(k, v) }
   }
+
+  test("q_tpch_q3: date predicates reach the scans, customer broadcasts, " +
+    "top-10 is TakeOrderedAndProject") {
+    val p = plan("q_tpch_q3")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate") ||
+      p.contains("GreaterThan(l_shipdate"), p.take(4000))
+    assert(p.contains("LessThan(o_orderdate"), p.take(4000))
+    assert(p.contains("BroadcastHashJoin"), p.take(4000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(4000))
+  }
+
+  test("q_tpch_q5: dims broadcast; only the fact tables shuffle") {
+    val p = plan("q_tpch_q5")
+    assert(p.contains("BroadcastHashJoin"), p.take(4000))
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+    // orders' date range is pushed to its scan
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), p.take(4000))
+  }
+
+  test("q_cdc_merge: ONE keyed shuffle serves both window passes") {
+    val p = plan("q_cdc_merge")
+    assert(p.contains("Window"), p.take(4000))
+    // both rank and count ride the same user_id hash partitioning: no
+    // second exchange between the two Window operators
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 1, s"$exchanges keyed exchanges\n${p.take(4000)}")
+  }
+
+  test("q_ivfpq: no cartesian product — codebook/probes/LUTs broadcast") {
+    val p = plan("q_ivfpq")
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      p.take(4000))
+  }
 }

@@ -117,6 +117,30 @@ class RecallSpec extends SparkSpec {
     assert(mean >= 0.25, s"mean ADC recall@10 $mean")
   }
 
+  test("IVF-PQ top-5 recall vs exact L2 top-5 stays above the composed floor") {
+    import spark.implicits._
+    val emb = graft.util.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def d2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val truth = (10L until 30L).map { qid =>
+      qid -> emb.keys.filter(_ != qid).toSeq
+        .map(nid => (d2(emb(qid), emb(nid)), nid)).sorted.take(5)
+        .map(_._2).toSet
+    }.toMap
+    val got = SparkEntry.all("q_ivfpq").fn(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = truth.map { case (q, t) =>
+      t.intersect(got.getOrElse(q, Set.empty)).size.toDouble / t.size }
+    val mean = recalls.sum / recalls.size
+    // composed loss: 2-of-10 probed cells × 3-bit ADC code on isotropic
+    // noise — the floor pins regressions, not absolute quality
+    assert(mean >= 0.1, s"mean IVF-PQ recall@5 $mean")
+  }
+
   test("IVF 2-probe top-3 recall vs brute force stays above the random-data floor") {
     val bf = SparkEntry.all("q_sim_topk").fn(spark, sf)
       .filter(col("qid") >= 10 && col("qid") < 30 && col("rk") <= 3)
