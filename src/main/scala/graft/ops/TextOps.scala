@@ -1162,7 +1162,51 @@ object TextOps {
       |       MAX(doc_id) AS max_doc
       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)
 
+  /** Decile bucketing by document size — the curation step that picks
+    * quality/length thresholds from a decile table before filtering.
+    * NTILE(10) is the textbook formulation, but a global ntile is a
+    * single-partition window sort — the q_percentile scale argument —
+    * so the Spark side computes the 9 boundary keys with ONE
+    * range-sorted rank-pick ([[Scale.rankPickBy]], ntile's cumulative
+    * bucket-size ranks b·⌊n/10⌋ + min(b, n mod 10)), broadcasts them,
+    * and assigns bucket = 1 + #boundaries below the row's key — a
+    * narrow projection. Oracle uses NTILE directly; the rank totalizer
+    * (n_chars ⊕ doc_id packed into a <2⁵³ exactly-double long) makes
+    * the order unambiguous so both formulations provably agree.
+    * Production keys that overflow the pack rank on a decimal instead. */
+  private val decileBucket = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+        .select($"doc_id", $"n_chars".cast("long").as("nc"),
+          ($"n_chars".cast("long") * lit(1000000000L) + $"doc_id").as("v"))
+      val melted = docs.select(lit("all").as("gk"), $"v".cast("double").as("vv"))
+      val bounds = Scale.rankPickBy(s, melted, "gk", "vv",
+        (_, n) => (1L to 9L).map(b => (n / 10) * b + math.min(b, n % 10)).distinct)
+      val bArr = bounds.agg(sort_array(collect_list($"vv")).as("bs"))
+      docs.crossJoin(broadcast(bArr))
+        .withColumn("bucket",
+          (lit(1) + size(filter($"bs", x => x < $"v".cast("double")))).cast("long"))
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          min($"nc").as("min_chars"),
+          max($"nc").as("max_chars"),
+          sum($"nc").as("total_chars"))
+        .orderBy($"bucket")
+    },
+    """WITH d AS (SELECT doc_id, n_chars,
+      |                 n_chars * 1000000000 + doc_id AS v FROM documents),
+      |r AS (SELECT n_chars,
+      |             CAST(NTILE(10) OVER (ORDER BY v) AS BIGINT) AS bucket
+      |      FROM d)
+      |SELECT bucket, COUNT(*) AS n_docs,
+      |       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+      |       CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+      |       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      |FROM r GROUP BY 1 ORDER BY 1""".stripMargin)
+
   val defs: Seq[(String, QueryDef)] = Seq(
+    "q_decile_bucket" -> decileBucket,
     "q_shard_assign" -> shardAssign,
     "q_bigram_logprob" -> bigramLogprob,
     "q_bpe_pairs" -> bpePairs,

@@ -571,6 +571,21 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("decile bucketing: 10 balanced buckets, ordered ranges, full cover") {
+    val nDocs = graft.util.Tables.documents(spark, sf).count()
+    val rows = SparkEntry.all("q_decile_bucket").fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq === (1L to 10L))
+    assert(rows.map(_._2).sum === nDocs)
+    // ntile balance: bucket sizes differ by at most one
+    assert(rows.map(_._2).max - rows.map(_._2).min <= 1)
+    // ranges ascend: bucket b's max key ≤ bucket b+1's min key
+    rows.sortBy(_._1).sliding(2).foreach {
+      case Array(a, b) => assert(a._4 <= b._3, s"buckets ${a._1}/${b._1}")
+      case _ =>
+    }
+  }
+
   test("ivfpq: every neighbor comes from a probed cell and ranks are " +
     "dense per query") {
     import spark.implicits._
