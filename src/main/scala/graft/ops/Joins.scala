@@ -321,7 +321,53 @@ object Joins {
       |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
       |GROUP BY n_name ORDER BY n_name""".stripMargin)
 
+  /** TPC-H Q1 full form (pricing summary report): the 8-aggregate
+    * single-pass scan — exact-decimal sums (r4s) and exact-numerator
+    * means (r4a) over the double measure columns, all computed in ONE
+    * two-phase hash aggregate behind the pushed shipdate predicate.
+    * q_agg_basic covers the COUNT/SUM/MIN surface; this is the
+    * composite report users actually run, and the multi-measure
+    * decimal-discipline stress test (8 aggregates must stay partial-
+    * aggregation-order-independent simultaneously). */
+  private val tpchQ1 = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val disc = ($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+      Tables.lineitem(s, dir)
+        .filter($"l_shipdate" <= lit("2000-12-01"))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          Incremental.r4s(sum($"l_quantity".cast("decimal(28,10)"))).as("sum_qty"),
+          Incremental.r4s(sum($"l_extendedprice".cast("decimal(28,10)")))
+            .as("sum_base_price"),
+          Incremental.r4s(sum(disc.cast("decimal(28,10)"))).as("sum_disc_price"),
+          Incremental.r4s(sum((disc * (lit(1.0) + $"l_tax"))
+            .cast("decimal(28,10)"))).as("sum_charge"),
+          Incremental.r4a(sum($"l_quantity".cast("decimal(28,10)")),
+            count(lit(1))).as("avg_qty"),
+          Incremental.r4a(sum($"l_extendedprice".cast("decimal(28,10)")),
+            count(lit(1))).as("avg_price"),
+          Incremental.r4a(sum($"l_discount".cast("decimal(28,10)")),
+            count(lit(1))).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    },
+    """SELECT l_returnflag, l_linestatus,
+      |       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(28,10))), 4) AS DOUBLE) AS sum_qty,
+      |       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(28,10))), 4) AS DOUBLE) AS sum_base_price,
+      |       CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))), 4) AS DOUBLE) AS sum_disc_price,
+      |       CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(28,10))), 4) AS DOUBLE) AS sum_charge,
+      |       FLOOR(CAST(CAST(CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(28,10))), 6) AS DECIMAL(24,6)) * 1000000 AS BIGINT) AS DOUBLE) / (COUNT(*) * 100.0) + 0.5) / 10000.0 AS avg_qty,
+      |       FLOOR(CAST(CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(28,10))), 6) AS DECIMAL(24,6)) * 1000000 AS BIGINT) AS DOUBLE) / (COUNT(*) * 100.0) + 0.5) / 10000.0 AS avg_price,
+      |       FLOOR(CAST(CAST(CAST(ROUND(SUM(CAST(l_discount AS DECIMAL(28,10))), 6) AS DECIMAL(24,6)) * 1000000 AS BIGINT) AS DOUBLE) / (COUNT(*) * 100.0) + 0.5) / 10000.0 AS avg_disc,
+      |       COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+
   val defs: Seq[(String, QueryDef)] = Seq(
+    "q_tpch_q1" -> tpchQ1,
     "q_tpch_q3" -> tpchQ3,
     "q_tpch_q5" -> tpchQ5,
     "q_scd_join" -> scdJoin,

@@ -139,8 +139,10 @@ object TextOps {
     * is chance; the oracle checks the classifier's determinism, not its
     * skill. Scale: profile is |langs × trigrams| — tiny — and broadcast;
     * docs never shuffle raw text, only (doc, trigram) counts. */
-  private val langId = QueryDef(
-    (s, dir) => {
+  /** Held-out prediction frame (doc_id, lang, pred_lang, score) shared
+    * by q_lang_id (row dump) and q_lang_confusion (evaluation). */
+  private def langPredictions(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
       import s.implicits._
       // trigrams packed into int64 (base-1021 codepoint arithmetic —
       // injective below codepoint 1021, ASCII corpus; the dedup_ngram
@@ -182,8 +184,10 @@ object TextOps {
         .withColumn("rn", row_number().over(w))
         .filter($"rn" === 1)
         .select($"doc_id", $"lang", $"plang".as("pred_lang"), $"score")
-        .orderBy($"doc_id")
-    },
+  }
+
+  /** Shared oracle CTE chain ending in `picked` (rn=1 rows). */
+  private val langSqlCtes =
     """WITH tri AS (
       |  SELECT doc_id, lang,
       |         (CAST(ascii(substring(text, i.i, 1)) AS BIGINT) * 1021
@@ -197,12 +201,49 @@ object TextOps {
       |       FROM tri WHERE doc_id % 5 = 0 GROUP BY 1, 2, 3),
       |scored AS (
       |  SELECT t.doc_id, t.lang, p.plang, CAST(SUM(t.tf * p.pc) AS BIGINT) AS score
-      |  FROM tf t JOIN prof p USING (tg) GROUP BY 1, 2, 3)
-      |SELECT doc_id, lang, plang AS pred_lang, score FROM (
-      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
-      |                               ORDER BY score DESC, plang) AS rn
-      |  FROM scored)
-      |WHERE rn = 1 ORDER BY doc_id""".stripMargin)
+      |  FROM tf t JOIN prof p USING (tg) GROUP BY 1, 2, 3),
+      |picked AS (
+      |  SELECT doc_id, lang, plang AS pred_lang, score FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+      |                                 ORDER BY score DESC, plang) AS rn
+      |    FROM scored)
+      |  WHERE rn = 1)""".stripMargin
+
+  private val langId = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      langPredictions(s, dir).orderBy($"doc_id")
+    },
+    langSqlCtes +
+      "\nSELECT doc_id, lang, pred_lang, score FROM picked ORDER BY doc_id")
+
+  /** Classifier-evaluation census over the held-out split: the
+    * (true lang × predicted lang) confusion matrix with exact
+    * basis-point recall per true-lang row — the eval table a curation
+    * pipeline reads before trusting a filter model's routing. Shares
+    * the prediction lineage with q_lang_id; the matrix is a tiny
+    * |langs|² two-phase aggregate on top, and the per-row total
+    * re-aggregates the same counts (no second pass over text). */
+  private val langConfusion = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val preds = langPredictions(s, dir)
+      val wRow = Window.partitionBy($"lang")
+      preds.groupBy($"lang", $"pred_lang")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("row_total", sum($"n").over(wRow))
+        .select($"lang", $"pred_lang", $"n",
+          // integer basis points: Column `/` on longs is double division,
+          // so floor+cast — exact for n·10⁴ < 2⁵³
+          floor($"n" * 10000L / $"row_total").cast("long").as("recall_bp"))
+        .orderBy($"lang", $"pred_lang")
+    },
+    langSqlCtes +
+      """
+      |, cm AS (SELECT lang, pred_lang, COUNT(*) AS n FROM picked GROUP BY 1, 2)
+      |SELECT lang, pred_lang, n,
+      |       CAST(n * 10000 // SUM(n) OVER (PARTITION BY lang) AS BIGINT) AS recall_bp
+      |FROM cm ORDER BY lang, pred_lang""".stripMargin)
 
   /** Edit-distance near-dup scoring (SURVEY.md §2.9 dedup family):
     * exact Levenshtein over 40-char prefixes of a bounded doc subset —
@@ -1207,6 +1248,7 @@ object TextOps {
 
   val defs: Seq[(String, QueryDef)] = Seq(
     "q_decile_bucket" -> decileBucket,
+    "q_lang_confusion" -> langConfusion,
     "q_shard_assign" -> shardAssign,
     "q_bigram_logprob" -> bigramLogprob,
     "q_bpe_pairs" -> bpePairs,

@@ -571,6 +571,21 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("lang confusion: cells partition q_lang_id's predictions; " +
+    "recall_bp rows are consistent") {
+    val preds = SparkEntry.all("q_lang_id").fn(spark, sf).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val expect = preds.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val cm = SparkEntry.all("q_lang_confusion").fn(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3))))
+    assert(cm.map(_._1).toSet === expect.keySet)
+    val rowTotals = expect.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    cm.foreach { case ((lang, pred), (n, bp)) =>
+      assert(n === expect((lang, pred)), s"($lang,$pred)")
+      assert(bp === n * 10000L / rowTotals(lang), s"($lang,$pred) bp")
+    }
+  }
+
   test("decile bucketing: 10 balanced buckets, ordered ranges, full cover") {
     val nDocs = graft.util.Tables.documents(spark, sf).count()
     val rows = SparkEntry.all("q_decile_bucket").fn(spark, sf).collect()
