@@ -189,6 +189,47 @@ object Joins {
       |FROM m LEFT JOIN orders o ON m.asof_orderkey = o.o_orderkey
       |ORDER BY m.event_id""".stripMargin)
 
+  /** FORWARD as-of join — "next order at-or-after the event" (the
+    * lead-time / time-to-conversion direction; backward as-of above is
+    * the lookup direction). Same linear union+window plan, scanned in
+    * REVERSE time: running `last(ignoreNulls)` over t-descending order
+    * is the nearest following order. Tie rules mirror the oracle's
+    * `ORDER BY o_orderdate, o_orderkey LIMIT 1`: orders sort before
+    * events at equal t (>= is inclusive) and same-date orders sort by
+    * key DESC so the running last lands on the smallest key. */
+  private val joinAsofFwd = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val e = Tables.events(s, dir)
+        .select($"user_id".as("u"), $"ts".as("t"), lit(1).as("is_event"),
+          $"event_id", lit(null).cast("struct<d:timestamp,k:bigint>").as("ord"))
+      val o = Tables.orders(s, dir)
+        .filter($"o_custkey".isNotNull && $"o_orderdate".isNotNull)
+        .select($"o_custkey".as("u"), $"o_orderdate".as("t"),
+          lit(0).as("is_event"), lit(null).cast("long").as("event_id"),
+          struct($"o_orderdate".as("d"), $"o_orderkey".as("k")).as("ord"))
+      val w = Window.partitionBy($"u")
+        .orderBy($"t".desc, $"is_event", $"ord.k".desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      e.unionByName(o)
+        .withColumn("next_ord", last($"ord", ignoreNulls = true).over(w))
+        .filter($"is_event" === 1)
+        .select($"event_id", $"u".as("user_id"),
+          $"next_ord.k".as("next_orderkey"),
+          to_date($"next_ord.d").as("next_date"))
+        .orderBy($"event_id")
+    },
+    """WITH m AS (
+      |  SELECT e.event_id, e.user_id,
+      |         (SELECT o.o_orderkey FROM orders o
+      |          WHERE o.o_custkey = e.user_id AND o.o_orderdate >= e.ts
+      |          ORDER BY o.o_orderdate, o.o_orderkey LIMIT 1) AS next_orderkey
+      |  FROM events e)
+      |SELECT m.event_id, m.user_id, m.next_orderkey,
+      |       CAST(o.o_orderdate AS DATE) AS next_date
+      |FROM m LEFT JOIN orders o ON m.next_orderkey = o.o_orderkey
+      |ORDER BY m.event_id""".stripMargin)
+
   /** SCD2-style temporal dimension join: build validity intervals from
     * the orders history per customer (valid_from = order date, valid_to
     * = next order's date via lead — half-open, so same-date orders
@@ -377,5 +418,6 @@ object Joins {
     "q_join_semi" -> joinSemi,
     "q_join_anti" -> joinAnti,
     "q_join_range" -> joinRange,
-    "q_join_asof" -> joinAsof)
+    "q_join_asof" -> joinAsof,
+    "q_join_asof_fwd" -> joinAsofFwd)
 }

@@ -57,6 +57,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Union"), p)
   }
 
+  test("q_join_asof_fwd keeps the same linear no-join shape in reverse time") {
+    val p = plan("q_join_asof_fwd")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("Window"), p)
+    assert(p.contains("Union"), p)
+  }
+
   test("q_sim_topk broadcasts the query side (small) not the corpus") {
     val p = plan("q_sim_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
