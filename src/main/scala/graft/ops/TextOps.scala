@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.QueryDef
+import graft.functions.Sketches
 import graft.util.Tables
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
@@ -1246,7 +1247,40 @@ object TextOps {
       |       CAST(SUM(n_chars) AS BIGINT) AS total_chars
       |FROM r GROUP BY 1 ORDER BY 1""".stripMargin)
 
+  /** Heavy-hitter census via Count-Min sketch ([[graft.functions.
+    * Sketches]]): top-20 corpus words by exact count, each annotated
+    * with its CMS estimate. Rows-only by design: the sketch layout is
+    * engine-internal (no DuckDB analog) — the CMS guarantee
+    * (never under-counts; over-counts ≤ εN, ε = e/W) is pinned in
+    * SketchSpec over ALL words, plus partial-merge invariance.
+    *
+    * Scale: the POINT of the sketch — the aggregation shuffle carries
+    * one D×W counter matrix per partition (4 KB), never the keys; the
+    * exact side here exists only to exhibit the envelope (production
+    * uses the sketch precisely when that exact groupBy is too big).
+    * The estimate lookup is a 20-row driver-bounded UDF over the
+    * broadcast 1-row sketch — not a hot path. */
+  private val heavyHitters = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val words = Tables.spread(Tables.documents(s, dir), "doc_id")
+        .select(explode(split($"text", " ")).as("word"))
+        .filter(length($"word") > 0)
+        .select($"word", xxhash64($"word").as("h"))
+      val cms = udaf(Sketches.countMin, org.apache.spark.sql.Encoders.scalaLong)
+      val sketch = words.agg(cms($"h").as("sk"))
+      val top = words.groupBy($"word")
+        .agg(count(lit(1)).as("n_exact"), first($"h").as("h"))
+        .orderBy($"n_exact".desc, $"word").limit(20)
+      val est = udf((sk: Seq[Long], h: Long) => Sketches.estimate(sk.toArray, h))
+      top.crossJoin(broadcast(sketch))
+        .select($"word", $"n_exact", est($"sk", $"h").as("n_est"))
+        .orderBy($"n_exact".desc, $"word")
+    },
+    None)
+
   val defs: Seq[(String, QueryDef)] = Seq(
+    "q_heavy_hitters" -> heavyHitters,
     "q_decile_bucket" -> decileBucket,
     "q_lang_confusion" -> langConfusion,
     "q_shard_assign" -> shardAssign,
