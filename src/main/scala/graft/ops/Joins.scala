@@ -407,8 +407,43 @@ object Joins {
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin)
 
+  /** TPC-H Q18 analog (large-volume customers): orders whose total
+    * lineitem quantity exceeds a high threshold, with customer names,
+    * top-100 by order value. The agg→filter→join composition: the
+    * HAVING aggregate runs FIRST (two-phase, exact decimal so the
+    * threshold comparison can't ulp-flip between engines) and its
+    * highly selective survivor set is broadcast into the star —
+    * at 100 TB the order of operations (reduce, then join) IS the
+    * optimization. */
+  private val tpchQ18 = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val big = Tables.lineitem(s, dir)
+        .groupBy($"l_orderkey")
+        .agg(sum($"l_quantity".cast("decimal(28,10)")).as("sq"))
+        .filter($"sq" > 250)
+      Tables.orders(s, dir)
+        .join(broadcast(big), $"o_orderkey" === $"l_orderkey")
+        .join(Tables.customer(s, dir), $"o_custkey" === $"c_custkey")
+        .select($"c_name", $"c_custkey", $"o_orderkey",
+          to_date($"o_orderdate").as("o_orderdate"), $"o_totalprice",
+          Incremental.r4s($"sq").as("sum_qty"))
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+        .limit(100)
+    },
+    """SELECT c_name, c_custkey, o_orderkey,
+      |       CAST(o_orderdate AS DATE) AS o_orderdate, o_totalprice,
+      |       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(28,10))), 4) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |JOIN orders   ON o_orderkey = l_orderkey
+      |JOIN customer ON c_custkey = o_custkey
+      |GROUP BY 1, 2, 3, 4, 5
+      |HAVING SUM(CAST(l_quantity AS DECIMAL(28,10))) > 250
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin)
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q_tpch_q1" -> tpchQ1,
+    "q_tpch_q18" -> tpchQ18,
     "q_tpch_q3" -> tpchQ3,
     "q_tpch_q5" -> tpchQ5,
     "q_scd_join" -> scdJoin,
