@@ -155,6 +155,34 @@ object Streams {
       .transformWithState(new RunningUserStatsProcessor,
         TimeMode.None(), OutputMode.Append())
   }
+
+  /** Streaming CDC compaction — the continuous twin of the batch
+    * q_cdc_merge operator: per-key latest-wins state ((ts, event_id)
+    * max) with per-key op count, emitting the CURRENT snapshot row for
+    * each key touched in a micro-batch (Update semantics; a tombstoned
+    * key still emits so the sink can delete it — `last_op == 'error'`
+    * marks deletion). StreamingSpec pins the final state equal to the
+    * batch operator over the same rows regardless of batch slicing. */
+  def cdcSnapshot(events: Dataset[Event]): Dataset[CdcRow] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[CdcState, CdcRow](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Event], state: GroupState[CdcState]) =>
+          var st = state.getOption.orNull
+          rows.foreach { e =>
+            val newer = st == null ||
+              e.ts.getTime > st.ts.getTime ||
+              (e.ts.getTime == st.ts.getTime && e.event_id > st.eventId)
+            val n = (if (st == null) 0L else st.nOps) + 1
+            st = if (newer) CdcState(e.ts, e.event_id, e.event_type, e.value, n)
+                 else st.copy(nOps = n)
+          }
+          state.update(st)
+          Iterator(CdcRow(uid, st.op, st.value, st.ts, st.nOps))
+      }
+  }
 }
 
 /** StatefulProcessor for [[Streams.runningUserStatsTws]]: one ValueState
@@ -216,5 +244,9 @@ case class TopKSnapshot(qid: Long, neighbor_ids: Array[Long],
 case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
     event_type: String, value: Double)
 case class UserState(n: Long, sum: Double)
+case class CdcState(ts: java.sql.Timestamp, eventId: Long, op: String,
+    value: Double, nOps: Long)
+case class CdcRow(user_id: Long, last_op: String, last_value: Double,
+    last_ts: java.sql.Timestamp, n_ops: Long)
 case class UserStat(user_id: Long, event_id: Long, running_n: Long,
     running_avg: Double)

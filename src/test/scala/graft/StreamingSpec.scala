@@ -117,6 +117,33 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming CDC compaction == batch q_cdc_merge over the same " +
+    "rows, regardless of micro-batch slicing") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the real fixture changelog, sliced into 3 micro-batches
+    val events = graft.util.Tables.events(spark, sf)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[graft.streaming.Event].collect().toSeq
+    val batches = Seq(
+      events.filter(_.event_id % 3 == 0),
+      events.filter(_.event_id % 3 == 1),
+      events.filter(_.event_id % 3 == 2))
+    val in = MemoryStream[graft.streaming.Event]
+    val out = Streams.cdcSnapshot(in.toDS()).toDF()
+    val rows = runBatches(in, out, OutputMode.Update, batches)
+    // final snapshot = each user's emit with the max (monotonic) n_ops
+    val fin = rows.map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getTimestamp(3).getTime / 1000, r.getLong(4)))
+      .groupBy(_._1).map { case (_, rs) => rs.maxBy(_._5) }
+      .filter(_._2 != "error") // tombstoned keys deleted downstream
+      .map(t => t._1 -> (t._2, t._3, t._4, t._5)).toMap
+    val batch = SparkEntry.all("q_cdc_merge").fn(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), r.getDouble(2), r.getLong(3), r.getLong(4))).toMap
+    assert(fin === batch)
+  }
+
   test("complete vs update output modes (the §2.10 sink-mode row)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
