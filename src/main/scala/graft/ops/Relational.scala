@@ -1000,7 +1000,61 @@ object Relational {
       |       CAST(MAX(LENGTH(v)) AS BIGINT) AS max_len
       |FROM m GROUP BY 1 ORDER BY 1""".stripMargin)
 
+  /** MAD-based robust outlier census per event type (median absolute
+    * deviation — the robust alternative to q_volume_anomaly's
+    * mean/stddev z-score, immune to the outliers it hunts): med =
+    * exact lower median, mad = lower median of |v − med|, outlier ⇔
+    * |v − med| > 3·mad. Both medians are exact ELEMENTS picked by the
+    * distributed rank-pick at rank ⌈n/2⌉ (the quantile_disc rule the
+    * q_percentile oracle pinned) — never an interpolated or buffered
+    * percentile. Residuals are one IEEE sub+abs on both engines, the
+    * outlier cut one multiply+compare on identical doubles. Scale: two
+    * range-sorted rank-pick jobs (groups bounded = event types) + one
+    * broadcast-join count; no per-group window, no value buffering. */
+  private val madOutliers = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+        .select($"event_type", $"value".cast("double").as("v"))
+      val counted = ev.groupBy($"event_type").agg(count(lit(1)).as("n"))
+        .orderBy($"event_type")
+        .collect().toSeq.map(r => r.getString(0) -> r.getLong(1))
+      val disc = (n: Long) => Seq((n + 1) / 2) // rank ⌈n/2⌉ = quantile_disc(0.5)
+      val meds = Scale.rankPickBy(s,
+          ev.select($"event_type".as("gk"), $"v"), "gk", "v",
+          (_, n) => disc(n), precounted = Some(counted))
+        .select($"gk".as("event_type"), $"v".as("med"))
+      val res = ev.join(broadcast(meds), "event_type")
+        .select($"event_type".as("gk"), abs($"v" - $"med").as("r"),
+          $"v", $"med")
+      val mads = Scale.rankPickBy(s,
+          res.select($"gk", $"r".as("v")), "gk", "v",
+          (_, n) => disc(n), precounted = Some(counted))
+        .select($"gk".as("event_type"), $"v".as("mad"))
+      res.select($"gk".as("event_type"), $"r")
+        .join(broadcast(mads), "event_type")
+        .join(broadcast(meds), "event_type")
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), first($"med").as("med"),
+          first($"mad").as("mad"),
+          sum(($"r" > lit(3.0) * $"mad").cast("long")).as("n_outliers"))
+        .orderBy($"event_type")
+    },
+    """WITH m AS (SELECT event_type, quantile_disc(value, 0.5) AS med,
+      |                  COUNT(*) AS n
+      |           FROM events GROUP BY 1),
+      |r AS (SELECT e.event_type, ABS(e.value - m.med) AS res
+      |      FROM events e JOIN m USING (event_type)),
+      |d AS (SELECT event_type, quantile_disc(res, 0.5) AS mad
+      |      FROM r GROUP BY 1)
+      |SELECT m.event_type, m.n, m.med, d.mad,
+      |       CAST(SUM(CASE WHEN r.res > 3 * d.mad THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_outliers
+      |FROM r JOIN m USING (event_type) JOIN d USING (event_type)
+      |GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin)
+
   val defs: Seq[(String, QueryDef)] = Seq(
+    "q_mad_outliers" -> madOutliers,
     "q_profile" -> profile,
     "q_grouping_sets" -> groupingSets,
     "q_map_funcs" -> mapFuncs,

@@ -192,6 +192,42 @@ object TextDedup {
     },
     oracleLshCandidates + "\nSELECT da, db FROM cand ORDER BY da, db")
 
+  /** One damped PageRank iteration over the near-dup candidate graph
+    * (Page et al. 1999; uniform start, d = 0.85): pr(v) = 0.15 +
+    * 0.85 · Σ_{u~v} 1/deg(u) over the symmetric LSH pair edges — the
+    * graph-centrality reading of the dedup structure (a high-pr doc is
+    * a template hub). Determinism: each 1/deg term is ONE IEEE
+    * division, cast per-term to decimal(28,10) so the per-target sum
+    * is order-independent; the final 0.15 + 0.85·S is two IEEE ops on
+    * the identical rounded double. Scale: rides the memoized candidate
+    * lineage; one |edges| shuffle per iteration (degree join is a
+    * broadcastable |nodes| table), exactly the BSP step a full
+    * PageRank loops — no adjacency collection anywhere. */
+  private val pagerankStep = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val pairs = lshCandidates(s, dir)
+      val edges = pairs.select($"da".as("u"), $"db".as("v"))
+        .unionByName(pairs.select($"db".as("u"), $"da".as("v")))
+      val deg = edges.groupBy($"u").agg(count(lit(1)).as("deg"))
+      val contrib = edges.join(deg, "u")
+        .select($"v", (lit(1.0) / $"deg".cast("double"))
+          .cast("decimal(28,10)").as("c"))
+      contrib.groupBy($"v".as("doc_id"))
+        .agg(count(lit(1)).as("deg"),
+          (lit(0.15) + lit(0.85) * Incremental.r4s(sum($"c"))).as("pr"))
+        .orderBy($"doc_id")
+    },
+    oracleLshCandidates + """,
+      |e AS (SELECT da AS u, db AS v FROM cand
+      |      UNION ALL SELECT db AS u, da AS v FROM cand),
+      |dg AS (SELECT u, COUNT(*) AS deg FROM e GROUP BY 1),
+      |ct AS (SELECT e.v, CAST(CAST(1.0 AS DOUBLE) / dg.deg AS DECIMAL(28,10)) AS c
+      |       FROM e JOIN dg USING (u))
+      |SELECT v AS doc_id, COUNT(*) AS deg,
+      |       0.15 + 0.85 * CAST(ROUND(SUM(c), 4) AS DOUBLE) AS pr
+      |FROM ct GROUP BY 1 ORDER BY 1""".stripMargin)
+
   /** Verified near-dup pairs: exact Jaccard over the distinct
     * shingle-HASH sets, computed ONLY on LSH candidate pairs, J ≥ 0.2.
     * Shared by q_dedup_near (which emits the pairs), q_dedup_canonical
@@ -915,6 +951,7 @@ object TextDedup {
     "q_dedup_substring" -> dedupSubstring,
     "q_dedup_minhash" -> dedupMinhash,
     "q_dedup_lsh" -> dedupLsh,
+    "q_pagerank_step" -> pagerankStep,
     "q_dedup_near" -> dedupNear,
     "q_dedup_canonical" -> dedupCanonical,
     "q_cluster_stats" -> clusterStats,
