@@ -473,7 +473,61 @@ object Incremental {
       |FROM ranked WHERE rn = 1 AND event_type <> 'error'
       |ORDER BY user_id""".stripMargin)
 
+  /** Exponentially weighted moving average over the per-type daily
+    * volume series — the smoothing step a monitoring/forecast pipeline
+    * runs downstream of q_daily_avg (Holt's level component, α = 1/2).
+    *
+    * Determinism is the whole design: a recursive EWMA of doubles is
+    * order-sensitive and engine-divergent, so this uses a TRUNCATED
+    * dyadic kernel in exact integer arithmetic end-to-end —
+    * s4 = daily total in 1e-4 units (exact decimal → BIGINT), then
+    *   S_t = Σ_{j=0..9} s4_{t-j} · 2^(9-j)   (all int64, max ≈ 4e16)
+    *   ewma_t = S_t / (1023 · 1e4 · ... )    (int64→double conversion
+    * is correctly-rounded and unique; the divisor 1023e4 is exact) —
+    * i.e. weights (1/2)^(j+1) normalized by (1 − 2^-10), the first 10
+    * terms of the α=1/2 EWMA. Rows need a full 10-day history (row-lag
+    * kernel; q_gap_fill owns calendar densification).
+    *
+    * Scale: one two-phase daily rollup (map-side combine crushes the
+    * fact table to |types|·|days| rows), then lag windows over tiny
+    * per-type series — the window input is already aggregate-sized. */
+  private val ewma = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val K = 10
+      val daily = Tables.events(s, dir)
+        .groupBy($"event_type", to_date($"ts").as("date"))
+        .agg((round(sum($"value".cast("decimal(28,10)")), 4) * lit(10000))
+          .cast("long").as("s4"))
+      val w = Window.partitionBy($"event_type").orderBy($"date")
+      val terms = (0 until K).map(j => lag($"s4", j).over(w) * lit(1L << (K - 1 - j)))
+      daily
+        .withColumn("s_w", terms.reduce(_ + _))
+        .filter($"s_w".isNotNull) // needs the full K-day history
+        .select($"event_type", $"date",
+          ($"s4".cast("double") / lit(1e4)).as("daily"),
+          ($"s_w".cast("double") / lit(((1L << K) - 1) * 1e4)).as("ewma"))
+        .orderBy($"event_type", $"date")
+    },
+    ("""WITH d AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS date,
+      |         CAST(ROUND(SUM(CAST(value AS DECIMAL(28,10))), 4) * 10000 AS BIGINT) AS s4
+      |  FROM events GROUP BY 1, 2),
+      |w AS (
+      |  SELECT event_type, date, s4,
+      |         """ +
+      (0 until 10).map(j =>
+        s"LAG(s4, $j) OVER (PARTITION BY event_type ORDER BY date) * ${1L << (9 - j)}")
+        .mkString(" +\n      |         ") + """ AS s_w
+      |  FROM d)
+      |SELECT event_type, date,
+      |       CAST(s4 AS DOUBLE) / 1e4 AS daily,
+      |       CAST(s_w AS DOUBLE) / (1023 * 1e4) AS ewma
+      |FROM w WHERE s_w IS NOT NULL
+      |ORDER BY event_type, date""").stripMargin)
+
   val defs: Seq[(String, QueryDef)] = Seq(
+    "q_ewma" -> ewma,
     "q_cdc_merge" -> cdcMerge,
     "q_skew_profile" -> skewProfile,
     "q_daily_avg" -> dailyAvg,

@@ -441,8 +441,48 @@ object Joins {
       |HAVING SUM(CAST(l_quantity AS DECIMAL(28,10))) > 250
       |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin)
 
+  /** TPC-H Q10 analog (returned-item reporting): revenue lost to
+    * returned lineitems per customer over one quarter, top 20. The
+    * classic "who returns the most" fact⋈fact⋈dim rollup.
+    *
+    * Scale: the o_orderdate quarter predicate and l_returnflag = 'R'
+    * both push to the parquet scans (PushedFilters), shrinking both
+    * fact sides BEFORE the orderkey shuffle; nation broadcasts; the
+    * custkey rollup is two-phase hash agg; top-20 collapses to
+    * TakeOrderedAndProject (no global sort materialization). */
+  private val tpchQ10 = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir).filter($"l_returnflag" === "R")
+        .join(Tables.orders(s, dir)
+          .filter($"o_orderdate" >= lit("1996-01-01") &&
+            $"o_orderdate" < lit("1996-04-01")),
+          $"l_orderkey" === $"o_orderkey")
+        .join(Tables.customer(s, dir), $"o_custkey" === $"c_custkey")
+        .join(broadcast(Tables.nation(s, dir)), $"c_nationkey" === $"n_nationkey")
+        .groupBy($"c_custkey", $"c_name", $"c_acctbal", $"n_name")
+        .agg(Incremental.r4s(sum(($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+          .cast("decimal(28,10)"))).as("rev"),
+          count(lit(1)).as("n"))
+        .orderBy($"rev".desc, $"c_custkey")
+        .limit(20)
+    },
+    """SELECT c_custkey, c_name, c_acctbal, n_name,
+      |       CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))), 4) AS DOUBLE) AS rev,
+      |       COUNT(*) AS n
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |WHERE l_returnflag = 'R'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+      |GROUP BY 1, 2, 3, 4
+      |ORDER BY rev DESC, c_custkey LIMIT 20""".stripMargin)
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q_tpch_q1" -> tpchQ1,
+    "q_tpch_q10" -> tpchQ10,
     "q_tpch_q18" -> tpchQ18,
     "q_tpch_q3" -> tpchQ3,
     "q_tpch_q5" -> tpchQ5,

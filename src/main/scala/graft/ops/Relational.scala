@@ -1053,7 +1053,51 @@ object Relational {
       |FROM r JOIN m USING (event_type) JOIN d USING (event_type)
       |GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin)
 
+  /** Skyline / Pareto frontier (Börzsönyi et al. 2001): the orders that
+    * are not dominated on (o_totalprice, o_orderdate) — no other order
+    * is both at least as expensive AND at least as recent, with one
+    * strict. The standard multi-criteria "best tradeoff" operator.
+    *
+    * Algorithm: collapse to one point per distinct price (max date —
+    * ties on price are dominated by the latest), then a price-descending
+    * running max of date: a point survives iff its date strictly exceeds
+    * every higher-priced point's date.
+    *
+    * Scale: the skyline-of-union property (skyline(A ∪ B) =
+    * skyline(skyline(A) ∪ skyline(B))) makes this two-phase: a LOCAL
+    * skyline per hash bucket (window partitioned by bucket — parallel,
+    * no global sort of the input) prunes all but a sliver, then the
+    * tiny survivor union takes the one global window. The global pass
+    * sorts |local survivors| rows, not |orders| — the same
+    * partial-then-final shape as a two-phase aggregate. Result is
+    * path-independent, so the oracle states the single-pass form. */
+  private val skyline = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val pts = Tables.orders(s, dir)
+        .groupBy($"o_totalprice".as("price"))
+        .agg(max(to_date($"o_orderdate")).as("d"))
+      def survivors(df: org.apache.spark.sql.DataFrame, w: org.apache.spark.sql.expressions.WindowSpec) =
+        df.withColumn("rm", max($"d").over(
+            w.orderBy($"price".desc).rowsBetween(Window.unboundedPreceding, -1)))
+          .filter($"rm".isNull || $"d" > $"rm")
+          .drop("rm")
+      val local = survivors(pts.withColumn("b", pmod(hash($"price"), lit(32))),
+        Window.partitionBy($"b")).drop("b")
+      survivors(local, Window.partitionBy())
+        .orderBy($"price".desc)
+    },
+    """WITH p AS (SELECT o_totalprice AS price, MAX(CAST(o_orderdate AS DATE)) AS d
+      |           FROM orders GROUP BY 1),
+      |w AS (SELECT price, d,
+      |             MAX(d) OVER (ORDER BY price DESC
+      |                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS rm
+      |      FROM p)
+      |SELECT price, d FROM w WHERE rm IS NULL OR d > rm
+      |ORDER BY price DESC""".stripMargin)
+
   val defs: Seq[(String, QueryDef)] = Seq(
+    "q_skyline" -> skyline,
     "q_mad_outliers" -> madOutliers,
     "q_profile" -> profile,
     "q_grouping_sets" -> groupingSets,

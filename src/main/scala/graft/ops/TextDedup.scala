@@ -944,7 +944,78 @@ object TextDedup {
       |WHERE GREATEST(ROUND(inter / la, 4), ROUND(inter / lb, 4)) >= 0.5
       |ORDER BY da, db""".stripMargin)
 
+  /** Per-document triangle count over the near-dup candidate graph —
+    * the local clustering signal (a doc in many triangles sits inside a
+    * dense template cluster; a bridge doc touches triangles rarely).
+    * Complements q_pagerank_step (global centrality) and
+    * q_cluster_stats (component sizes) on the same edge set.
+    *
+    * Algorithm: degree-ordered orientation (Cohen 2009 / the MapReduce
+    * node-iterator++): orient every undirected edge from its
+    * lexicographically smaller (degree, id) endpoint, enumerate each
+    * wedge at its lowest vertex, and close it against the oriented edge
+    * set. Every triangle is counted EXACTLY once, at its minimum-degree
+    * vertex.
+    *
+    * Scale: this orientation is the skew armor — a celebrity node of
+    * degree d contributes O(d) oriented out-edges only if it is the
+    * SMALLEST-degree endpoint, bounding per-node wedge fan-out by
+    * O(√|E|) instead of O(d²); all three joins are equi-joins (no
+    * pair-enumeration beyond actual wedges), riding the memoized LSH
+    * candidate lineage. */
+  private val triangleCount = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val pairs = lshCandidates(s, dir)
+      val edges = pairs.select($"da".as("u"), $"db".as("v"))
+        .unionByName(pairs.select($"db".as("u"), $"da".as("v")))
+      val deg = edges.groupBy($"u").agg(count(lit(1)).as("dg"))
+      val withDeg = pairs
+        .join(deg.select($"u".as("ka"), $"dg".as("dga")), $"da" === $"ka")
+        .join(deg.select($"u".as("kb"), $"dg".as("dgb")), $"db" === $"kb")
+      // da < db already, so a degree tie orients low-id → high-id
+      val aFirst = $"dga" < $"dgb" || ($"dga" === $"dgb" && $"da" < $"db")
+      val oe = withDeg.select(
+        when(aFirst, $"da").otherwise($"db").as("u"),
+        when(aFirst, $"db").otherwise($"da").as("v"),
+        when(aFirst, $"dgb").otherwise($"dga").as("dv"))
+      val e1 = oe.select($"u", $"v".as("a"), $"dv".as("da1"))
+      val e2 = oe.select($"u".as("u2"), $"v".as("b"), $"dv".as("db1"))
+      val tri = e1.join(e2, $"u" === $"u2" &&
+          ($"da1" < $"db1" || ($"da1" === $"db1" && $"a" < $"b")))
+        .join(oe.select($"u".as("u3"), $"v".as("v3")),
+          $"a" === $"u3" && $"b" === $"v3")
+        .select($"u", $"a", $"b")
+      tri.select(explode(array($"u", $"a", $"b")).as("doc_id"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("triangles"))
+        .orderBy($"doc_id")
+    },
+    oracleLshCandidates + """,
+      |e AS (SELECT da AS u, db AS v FROM cand
+      |      UNION ALL SELECT db AS u, da AS v FROM cand),
+      |dg AS (SELECT u, COUNT(*) AS dg FROM e GROUP BY 1),
+      |oe AS (SELECT CASE WHEN a.dg < b.dg OR (a.dg = b.dg AND c.da < c.db)
+      |                   THEN c.da ELSE c.db END AS u,
+      |              CASE WHEN a.dg < b.dg OR (a.dg = b.dg AND c.da < c.db)
+      |                   THEN c.db ELSE c.da END AS v,
+      |              CASE WHEN a.dg < b.dg OR (a.dg = b.dg AND c.da < c.db)
+      |                   THEN b.dg ELSE a.dg END AS dv
+      |       FROM cand c
+      |       JOIN dg a ON a.u = c.da
+      |       JOIN dg b ON b.u = c.db),
+      |tri AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
+      |        FROM oe e1
+      |        JOIN oe e2 ON e1.u = e2.u
+      |             AND (e1.dv < e2.dv OR (e1.dv = e2.dv AND e1.v < e2.v))
+      |        JOIN oe e3 ON e3.u = e1.v AND e3.v = e2.v),
+      |n AS (SELECT x AS doc_id FROM tri
+      |      UNION ALL SELECT y FROM tri
+      |      UNION ALL SELECT z FROM tri)
+      |SELECT doc_id, COUNT(*) AS triangles FROM n GROUP BY 1 ORDER BY 1""".stripMargin)
+
   val defs: Seq[(String, QueryDef)] = Seq(
+    "q_triangle_count" -> triangleCount,
     "q_dedup_containment" -> dedupContainment,
     "q_dedup_best" -> dedupBest,
     "q_hamming_hist" -> hammingHist,

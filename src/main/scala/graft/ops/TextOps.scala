@@ -1279,7 +1279,76 @@ object TextOps {
     },
     None)
 
+  /** Filter-funnel census: how many documents per source survive each
+    * successive quality gate, cumulatively — the ops dashboard every
+    * corpus-cleaning pipeline reports ("stage 3 kills 40% of source X").
+    * Gates (each implies all previous): g1 length floor, g2 mean-token-
+    * length band, g3 lexical-diversity floor, g4 stopword evidence —
+    * miniature versions of the Gopher rules q_gopher_filter applies
+    * per-doc; here the output is the per-source SURVIVAL CURVE.
+    *
+    * Determinism: gate predicates compare exact integer token counts
+    * (len·20 ≥ n etc. cross-multiplied to avoid division), so no float
+    * enters the cumulative flags; rates are one IEEE division of exact
+    * longs at the end.
+    *
+    * Scale: single pass — per-doc flags are narrow projections fused in
+    * codegen, the rollup is a |sources|-row two-phase conditional agg;
+    * no joins, no second scan of text. */
+  private val filterFunnel = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val words = split($"text", " ")
+      val stop = Seq("the", "a", "of", "and", "to", "in", "is")
+      val d = Tables.spread(Tables.documents(s, dir), "doc_id")
+        .select($"source",
+          size(words).cast("long").as("n_tok"),
+          length($"text").cast("long").as("n_chr"),
+          size(array_distinct(words)).cast("long").as("n_dst"),
+          size(filter(words, w => w.isInCollection(stop))).cast("long").as("n_stp"))
+      // cross-multiplied integer gates — no float in the flags
+      val g1 = $"n_tok" >= 20
+      val g2 = g1 && $"n_chr" * 10 >= $"n_tok" * 30 && $"n_chr" * 10 <= $"n_tok" * 120
+      val g3 = g2 && $"n_dst" * 10 >= $"n_tok" * 3
+      val g4 = g3 && $"n_stp" > 0
+      d.groupBy($"source")
+        .agg(
+          count(lit(1)).as("total"),
+          count_if(g1).as("pass_len"),
+          count_if(g2).as("pass_tok_len"),
+          count_if(g3).as("pass_diversity"),
+          count_if(g4).as("pass_stopword"))
+        .withColumn("accept_rate",
+          $"pass_stopword".cast("double") / $"total".cast("double"))
+        .orderBy($"source")
+    },
+    """WITH f AS (
+      |  SELECT source,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+      |         CAST(length(text) AS BIGINT) AS n_chr,
+      |         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_dst,
+      |         CAST(len(list_filter(string_split(text, ' '),
+      |           w -> w IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS n_stp
+      |  FROM documents),
+      |h AS (
+      |  SELECT f.source,
+      |         f.n_tok >= 20 AS g1,
+      |         f.n_tok >= 20 AND f.n_chr * 10 >= f.n_tok * 30
+      |           AND f.n_chr * 10 <= f.n_tok * 120 AS g2,
+      |         f.n_dst * 10 >= f.n_tok * 3 AS d3,
+      |         f.n_stp > 0 AS s4
+      |  FROM f)
+      |SELECT source,
+      |       COUNT(*) AS total,
+      |       CAST(COUNT(*) FILTER (g1) AS BIGINT) AS pass_len,
+      |       CAST(COUNT(*) FILTER (g2) AS BIGINT) AS pass_tok_len,
+      |       CAST(COUNT(*) FILTER (g2 AND d3) AS BIGINT) AS pass_diversity,
+      |       CAST(COUNT(*) FILTER (g2 AND d3 AND s4) AS BIGINT) AS pass_stopword,
+      |       CAST(COUNT(*) FILTER (g2 AND d3 AND s4) AS DOUBLE) / COUNT(*) AS accept_rate
+      |FROM h GROUP BY source ORDER BY source""".stripMargin)
+
   val defs: Seq[(String, QueryDef)] = Seq(
+    "q_filter_funnel" -> filterFunnel,
     "q_heavy_hitters" -> heavyHitters,
     "q_decile_bucket" -> decileBucket,
     "q_lang_confusion" -> langConfusion,

@@ -309,7 +309,52 @@ object Windows {
       |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
       |ORDER BY event_id""".stripMargin)
 
+  /** First-order Markov transition matrix over per-user event streams:
+    * count each (prev_type → next_type) adjacency in event_id order and
+    * normalize per source state. The behavioral-model building block
+    * (what follows a click?) and the Markov-chain analog of q_funnel.
+    *
+    * Ordering: event_id, the §7.4 unique-key tie rule — event times can
+    * collide at µs precision across engines, ids cannot.
+    *
+    * Determinism: prob = cnt / total is ONE IEEE division of two exact
+    * longs — bit-identical on both engines, no rounding needed.
+    *
+    * Scale: lag over (user_id, event_id) is one shuffle + per-user sort;
+    * the (prev, next) rollup is a ≤|types|² two-phase hash agg; the
+    * per-source total rides a tiny broadcastable self-aggregate, not a
+    * second full-data pass. */
+  private val markovTransition = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"event_id")
+      val pairs = Tables.events(s, dir)
+        .select($"user_id", $"event_id", $"event_type")
+        .withColumn("prev", lag($"event_type", 1).over(w))
+        .filter($"prev".isNotNull)
+        .groupBy($"prev", $"event_type".as("next"))
+        .agg(count(lit(1)).as("cnt"))
+      val totals = pairs.groupBy($"prev".as("p2"))
+        .agg(sum($"cnt").as("total"))
+      pairs.join(broadcast(totals), $"prev" === $"p2")
+        .select($"prev", $"next", $"cnt", $"total",
+          ($"cnt".cast("double") / $"total".cast("double")).as("prob"))
+        .orderBy($"prev", $"next")
+    },
+    """WITH seq AS (
+      |  SELECT event_type AS next,
+      |         LAG(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS prev
+      |  FROM events),
+      |c AS (SELECT prev, next, COUNT(*) AS cnt FROM seq
+      |      WHERE prev IS NOT NULL GROUP BY 1, 2),
+      |t AS (SELECT prev, CAST(SUM(cnt) AS BIGINT) AS total FROM c GROUP BY 1)
+      |SELECT c.prev, c.next, c.cnt, t.total,
+      |       CAST(c.cnt AS DOUBLE) / CAST(t.total AS DOUBLE) AS prob
+      |FROM c JOIN t USING (prev)
+      |ORDER BY c.prev, c.next""".stripMargin)
+
   val defs: Seq[(String, QueryDef)] = Seq(
+    "q_markov_transition" -> markovTransition,
     "q_window_range" -> windowRange,
     "q_window_dist" -> windowDist,
     "q_window_rank" -> windowRank,

@@ -319,4 +319,53 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
       p.take(4000))
   }
+
+  test("q_tpch_q10: returnflag + quarter predicates reach both fact scans; " +
+    "nation broadcasts; top-20 is TakeOrderedAndProject") {
+    val p = plan("q_tpch_q10")
+    assert(p.contains("EqualTo(l_returnflag,R)"), p.take(4000))
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), p.take(4000))
+    assert(p.contains("BroadcastHashJoin"), p.take(4000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(4000))
+  }
+
+  test("q_skyline: local pass is bucket-partitioned (parallel windows); " +
+    "only the pruned survivor union hits the single-partition window") {
+    val p = plan("q_skyline")
+    // the bucketed local skyline shows a hash-partitioned window spec
+    assert(p.contains("Window"), p.take(4000))
+    assert("Exchange hashpartitioning".r.findAllIn(p).nonEmpty, p.take(4000))
+    // the global pass exists (SinglePartition exchange) but AFTER pruning
+    assert(p.contains("Exchange SinglePartition") ||
+      p.contains("singlepartitioning"), p.take(4000))
+  }
+
+  test("q_markov_transition: per-prev totals broadcast back onto the " +
+    "pair counts — no second full-data shuffle") {
+    val p = plan("q_markov_transition")
+    assert(p.contains("BroadcastHashJoin"), p.take(4000))
+    assert(p.contains("Window") || p.contains("lag"), p.take(4000))
+  }
+
+  test("q_ewma: daily rollup is two-phase hash agg; the lag window rides " +
+    "the aggregate, not the raw events") {
+    val p = plan("q_ewma")
+    assert(p.contains("HashAggregate"), p.take(4000))
+    assert(p.contains("partial_") || p.contains("Partial"), p.take(4000))
+    assert(p.contains("Window"), p.take(4000))
+  }
+
+  test("q_triangle_count: wedge and closure joins are all equi (SortMerge/" +
+    "ShuffledHash) — no cartesian pair enumeration") {
+    val p = plan("q_triangle_count")
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(4000))
+  }
+
+  test("q_filter_funnel is one pass: no join, single two-phase aggregate " +
+    "over narrow per-doc flags") {
+    val p = plan("q_filter_funnel")
+    assert(!p.contains("Join"), p.take(4000))
+    assert(p.contains("HashAggregate"), p.take(4000))
+  }
 }
