@@ -1096,7 +1096,63 @@ object Relational {
       |SELECT price, d FROM w WHERE rm IS NULL OR d > rm
       |ORDER BY price DESC""".stripMargin)
 
+  /** Winsorized (clipped-tail) mean per event type — the robust-mean
+    * companion to q_mad_outliers: clamp every value into its group's
+    * exact [p05, p95] band, then take the deterministic r4a mean. The
+    * standard tail-taming step before a mean is trusted on skewed data.
+    *
+    * Quantile rule (pinned empirically, the q_mad_outliers discipline
+    * generalized): DuckDB's `quantile_disc(p)` picks 1-based rank
+    * ⌈p·n⌉ in EXACT DECIMAL arithmetic — p = 1/20 and 19/20 make that
+    * pure integer math: rank05 = (n+19)/20, rank95 = (19n+19)/20. The
+    * engine side picks the same ranks via the range-sorted rank-pick
+    * (no buffering percentile, no per-group window), bounds broadcast
+    * back, and the clip is LEAST/GREATEST on bit-identical doubles.
+    *
+    * Scale: two rank-pick jobs (global range sort each, the q_percentile
+    * machinery), one broadcast join, one two-phase agg — no collect of
+    * row data, no single-partition window. */
+  private val winsorizedMean = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+        .select($"event_type", $"value".cast("double").as("v"))
+      val counted = ev.groupBy($"event_type").agg(count(lit(1)).as("n"))
+        .orderBy($"event_type")
+        .collect().toSeq.map(r => r.getString(0) -> r.getLong(1))
+      val r05 = (n: Long) => (n + 19) / 20
+      val r95 = (n: Long) => (19 * n + 19) / 20
+      val picks = Scale.rankPickBy(s,
+          ev.select($"event_type".as("gk"), $"v"), "gk", "v",
+          (_, n) => Seq(r05(n), r95(n)).distinct, precounted = Some(counted))
+      val countsDf = s.createDataFrame(counted).toDF("gk", "n")
+      val bounds = picks.join(broadcast(countsDf), "gk")
+        .groupBy($"gk")
+        .agg(
+          // Column./ on longs is DOUBLE division — `div` keeps the rank
+          // arithmetic integral, matching rankPickBy's Scala ranks
+          max(when($"rn" === expr("(n + 19) div 20"), $"v")).as("lo"),
+          max(when($"rn" === expr("(19 * n + 19) div 20"), $"v")).as("hi"))
+      ev.join(broadcast(bounds), $"event_type" === $"gk")
+        .select($"event_type", $"lo", $"hi",
+          least(greatest($"v", $"lo"), $"hi").as("cv"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), first($"lo").as("lo"), first($"hi").as("hi"),
+          Incremental.r4a(sum($"cv".cast("decimal(28,10)")), count(lit(1)))
+            .as("wmean"))
+        .orderBy($"event_type")
+    },
+    """WITH b AS (SELECT event_type, COUNT(*) AS n,
+      |                  quantile_disc(value, 0.05) AS lo,
+      |                  quantile_disc(value, 0.95) AS hi
+      |           FROM events GROUP BY 1)
+      |SELECT e.event_type, b.n, b.lo, b.hi,
+      |       FLOOR(CAST(CAST(CAST(ROUND(SUM(CAST(LEAST(GREATEST(e.value, b.lo), b.hi) AS DECIMAL(28,10))), 6) AS DECIMAL(24,6)) * 1000000 AS BIGINT) AS DOUBLE) / (COUNT(*) * 100.0) + 0.5) / 10000.0 AS wmean
+      |FROM events e JOIN b USING (event_type)
+      |GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin)
+
   val defs: Seq[(String, QueryDef)] = Seq(
+    "q_winsorized_mean" -> winsorizedMean,
     "q_skyline" -> skyline,
     "q_mad_outliers" -> madOutliers,
     "q_profile" -> profile,

@@ -3,6 +3,7 @@ package graft.ops
 import graft.QueryDef
 import graft.util.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Near-duplicate detection over `documents` (SURVEY.md §2.9):
@@ -156,8 +157,14 @@ object TextDedup {
     oracleSignatures + "\nSELECT * FROM sig ORDER BY doc_id")
 
   /** LSH candidate pairs: docs sharing at least one band (band hash =
-    * concatenated row minhashes). DISTINCT pairs, da < db. */
-  private def lshCandidates(s: SparkSession, dir: String): DataFrame = {
+    * concatenated row minhashes). DISTINCT pairs, da < db. Persisted
+    * (like [[hashedShingles]]/[[signatures]]): seven query families
+    * consume the pair set (near-dup verify, ngram, containment,
+    * consensus, hamming, PageRank, triangles) and the band self-join +
+    * distinct is the priciest step after shingling — one materialization
+    * per session; a bucketed table write at 100 TB. */
+  private def lshCandidates(s: SparkSession, dir: String): DataFrame =
+    memoized(s, dir, "lshCandidates") {
     import s.implicits._
     val sig = signatures(s, dir)
     val bands = (0 until NumHashes / BandRows).map { bnd =>
@@ -1014,8 +1021,59 @@ object TextDedup {
       |      UNION ALL SELECT z FROM tri)
       |SELECT doc_id, COUNT(*) AS triangles FROM n GROUP BY 1 ORDER BY 1""".stripMargin)
 
+  /** Degree distribution of the near-dup candidate graph — the sanity
+    * histogram read before any graph pass (a fat tail here predicts
+    * LSH bucket skew; q_skew_profile's graph twin). One grouped count
+    * over the persisted pair set, then a ≤|distinct degrees|-row
+    * histogram — two tiny aggregates. */
+  private val degreeHist = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val pairs = lshCandidates(s, dir)
+      val edges = pairs.select($"da".as("u"))
+        .unionByName(pairs.select($"db".as("u")))
+      edges.groupBy($"u").agg(count(lit(1)).as("degree"))
+        .groupBy($"degree").agg(count(lit(1)).as("n_nodes"))
+        .orderBy($"degree")
+    },
+    oracleLshCandidates + """,
+      |e AS (SELECT da AS u FROM cand UNION ALL SELECT db FROM cand),
+      |dg AS (SELECT u, COUNT(*) AS degree FROM e GROUP BY 1)
+      |SELECT degree, COUNT(*) AS n_nodes FROM dg
+      |GROUP BY 1 ORDER BY 1""".stripMargin)
+
+  /** Per-document nearest-duplicate report: top-3 verified near-dup
+    * partners by Jaccard (ties: partner id) — the "show me what this
+    * doc duplicates" review surface a curation UI serves. Symmetrized
+    * verified pairs (J ≥ 0.2, the memoized two-stage lineage), per-doc
+    * top-3 via row_number ≤ 3 → WindowGroupLimit: per-partition top-k
+    * before the doc_id shuffle, no global sort, no new pair space. */
+  private val simReport = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val vp = verifiedPairs(s, dir)
+      val sym = vp.select($"da".as("doc_id"), $"db".as("partner"), $"jac")
+        .unionByName(vp.select($"db".as("doc_id"), $"da".as("partner"), $"jac"))
+      val w = Window.partitionBy($"doc_id").orderBy($"jac".desc, $"partner")
+      sym.withColumn("rk", row_number().over(w).cast("long"))
+        .filter($"rk" <= 3)
+        .orderBy($"doc_id", $"rk")
+    },
+    oracleScored + """,
+      |vp AS (SELECT da, db, ROUND(inter / uni, 4) AS jac FROM scored
+      |       WHERE ROUND(inter / uni, 4) >= 0.2),
+      |sym AS (SELECT da AS doc_id, db AS partner, jac FROM vp
+      |        UNION ALL SELECT db AS doc_id, da AS partner, jac FROM vp),
+      |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+      |                    ORDER BY jac DESC, partner) AS BIGINT) AS rk
+      |      FROM sym)
+      |SELECT doc_id, partner, jac, rk FROM r WHERE rk <= 3
+      |ORDER BY doc_id, rk""".stripMargin)
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q_triangle_count" -> triangleCount,
+    "q_degree_hist" -> degreeHist,
+    "q_sim_report" -> simReport,
     "q_dedup_containment" -> dedupContainment,
     "q_dedup_best" -> dedupBest,
     "q_hamming_hist" -> hammingHist,

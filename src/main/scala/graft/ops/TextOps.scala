@@ -1347,7 +1347,44 @@ object TextOps {
       |       CAST(COUNT(*) FILTER (g2 AND d3 AND s4) AS DOUBLE) / COUNT(*) AS accept_rate
       |FROM h GROUP BY source ORDER BY source""".stripMargin)
 
+  /** Size-weighted deterministic sample: top-5 documents per source by
+    * rational hash priority u(doc) / n_chars — bigger docs draw
+    * proportionally smaller priorities, so the sample tilts toward the
+    * bytes that dominate training, while staying exactly reproducible
+    * across engines and runs (the property `rand()` sampling can never
+    * give an oracle). u is the q_shard_assign Knuth mix — pure BIGINT
+    * arithmetic both engines evaluate identically; the priority is ONE
+    * IEEE division of exact int64 operands; doc_id breaks ties.
+    *
+    * Scale: narrow projection → per-source top-5 collapses to
+    * WindowGroupLimit (per-partition top-k before the source shuffle);
+    * nothing global, no sort of the corpus. */
+  private val sampleWeighted = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val u = ($"doc_id" * lit(2654435761L)) % lit(4294967296L)
+      val w = Window.partitionBy($"source")
+        .orderBy($"priority", $"doc_id")
+      Tables.documents(s, dir)
+        .select($"source", $"doc_id", $"n_chars",
+          (u.cast("double") / $"n_chars".cast("double")).as("priority"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter($"rk" <= 5)
+        .orderBy($"source", $"rk")
+    },
+    """WITH p AS (
+      |  SELECT source, doc_id, n_chars,
+      |         CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE)
+      |           / CAST(n_chars AS DOUBLE) AS priority
+      |  FROM documents),
+      |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY source
+      |                     ORDER BY priority, doc_id) AS BIGINT) AS rk
+      |      FROM p)
+      |SELECT source, doc_id, n_chars, priority, rk
+      |FROM r WHERE rk <= 5 ORDER BY source, rk""".stripMargin)
+
   val defs: Seq[(String, QueryDef)] = Seq(
+    "q_sample_weighted" -> sampleWeighted,
     "q_filter_funnel" -> filterFunnel,
     "q_heavy_hitters" -> heavyHitters,
     "q_decile_bucket" -> decileBucket,

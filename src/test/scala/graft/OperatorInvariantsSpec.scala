@@ -66,6 +66,54 @@ class OperatorInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("q_winsorized_mean: lo ≤ p50-ish wmean ≤ hi and bounds are real values") {
+    import spark.implicits._
+    val rows = run("q_winsorized_mean")
+      .select($"event_type", $"lo", $"hi", $"wmean")
+      .as[(String, Double, Double, Double)].collect()
+    val values = spark.read.parquet(s"$sf/events.parquet")
+      .select($"event_type", $"value").as[(String, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    rows.foreach { case (t, lo, hi, wm) =>
+      assert(lo <= hi && wm >= lo - 1e-4 && wm <= hi + 1e-4, s"$t: $lo $wm $hi")
+      // the disc quantile picks ACTUAL sample values, never interpolates
+      assert(values(t).contains(lo) && values(t).contains(hi), t)
+    }
+  }
+
+  test("q_degree_hist masses sum to the symmetric edge count; " +
+    "q_sample_weighted takes exactly min(5, |source|) docs per source") {
+    import spark.implicits._
+    val hist = run("q_degree_hist").as[(Long, Long)].collect()
+    val edges = run("q_dedup_lsh").count()
+    assert(hist.map(h => h._1 * h._2).sum === 2 * edges)
+    val per = run("q_sample_weighted").groupBy($"source").count()
+      .as[(String, Long)].collect().toMap
+    val sizes = spark.read.parquet(s"$sf/documents.parquet")
+      .groupBy($"source").count().as[(String, Long)].collect().toMap
+    sizes.foreach { case (src, n) =>
+      assert(per.getOrElse(src, 0L) === math.min(5L, n), src)
+    }
+  }
+
+  test("q_sim_report partners carry the exact verified-pair Jaccard, top-3") {
+    import spark.implicits._
+    val vp = run("q_dedup_near").as[(Long, Long, Double)].collect()
+      .flatMap { case (a, b, j) => Seq((a, b) -> j, (b, a) -> j) }.toMap
+    val rep = run("q_sim_report")
+      .as[(Long, Long, Double, Long)].collect()
+    rep.foreach { case (d, p, j, rk) =>
+      assert(vp((d, p)) === j, s"$d->$p")
+      assert(rk >= 1 && rk <= 3)
+    }
+    // ranks are the TOP of each doc's partner list, not an arbitrary 3
+    rep.groupBy(_._1).foreach { case (d, rs) =>
+      val best = vp.collect { case ((a, _), j) if a == d => j }.toSeq
+        .sorted(Ordering[Double].reverse).take(rs.size)
+      assert(rs.map(_._3).sorted === best.sorted, s"doc $d")
+    }
+  }
+
   test("q_triangle_count matches a brute-force triangle enumeration") {
     import spark.implicits._
     val edges = run("q_dedup_lsh").as[(Long, Long)].collect().toSet

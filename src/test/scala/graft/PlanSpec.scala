@@ -368,4 +368,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), p.take(4000))
     assert(p.contains("HashAggregate"), p.take(4000))
   }
+
+  test("q_winsorized_mean: bounds broadcast back; no buffering percentile " +
+    "aggregate anywhere") {
+    val p = plan("q_winsorized_mean")
+    assert(p.contains("BroadcastHashJoin"), p.take(4000))
+    assert(!p.contains("percentile"), p.take(4000))
+  }
+
+  test("q_sample_weighted and q_sim_report: per-group top-k collapses to " +
+    "WindowGroupLimit") {
+    assert(plan("q_sample_weighted").contains("WindowGroupLimit"))
+    assert(plan("q_sim_report").contains("WindowGroupLimit"))
+  }
 }
