@@ -526,7 +526,53 @@ object Incremental {
       |FROM w WHERE s_w IS NOT NULL
       |ORDER BY event_type, date""").stripMargin)
 
+  /** Period-over-period growth: weekly volume per event type with the
+    * previous week's total and the percent change — the BI trend tile
+    * behind every "up 12% WoW" readout.
+    *
+    * Determinism: weekly totals are exact 1e-4-unit BIGINTs (the q_ewma
+    * discipline); the delta is exact integer subtraction; the percent is
+    * ONE IEEE division of two correctly-rounded int64→double conversions
+    * (then one multiply by 100.0) — no engine-divergent rounding
+    * anywhere. First week per type emits NULL growth, pinning LAG's
+    * null frame semantics.
+    *
+    * Scale: two-phase weekly rollup, then a lag window over
+    * |types|·|weeks| aggregate rows — same shape as q_ewma. */
+  private val popGrowth = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val weekly = Tables.events(s, dir)
+        .groupBy($"event_type",
+          date_trunc("week", $"ts").cast("date").as("week"))
+        .agg((round(sum($"value".cast("decimal(28,10)")), 4) * lit(10000))
+          .cast("long").as("s4"))
+      val w = Window.partitionBy($"event_type").orderBy($"week")
+      weekly
+        .withColumn("p4", lag($"s4", 1).over(w))
+        .select($"event_type", $"week",
+          ($"s4".cast("double") / lit(1e4)).as("total"),
+          ($"p4".cast("double") / lit(1e4)).as("prev_total"),
+          (lit(100.0) * ($"s4" - $"p4").cast("double") / $"p4".cast("double"))
+            .as("growth_pct"))
+        .orderBy($"event_type", $"week")
+    },
+    """WITH wk AS (
+      |  SELECT event_type, CAST(date_trunc('week', ts) AS DATE) AS week,
+      |         CAST(ROUND(SUM(CAST(value AS DECIMAL(28,10))), 4) * 10000 AS BIGINT) AS s4
+      |  FROM events GROUP BY 1, 2),
+      |lagged AS (
+      |  SELECT event_type, week, s4,
+      |         LAG(s4) OVER (PARTITION BY event_type ORDER BY week) AS p4
+      |  FROM wk)
+      |SELECT event_type, week,
+      |       CAST(s4 AS DOUBLE) / 1e4 AS total,
+      |       CAST(p4 AS DOUBLE) / 1e4 AS prev_total,
+      |       100.0 * CAST(s4 - p4 AS DOUBLE) / CAST(p4 AS DOUBLE) AS growth_pct
+      |FROM lagged ORDER BY event_type, week""".stripMargin)
+
   val defs: Seq[(String, QueryDef)] = Seq(
+    "q_pop_growth" -> popGrowth,
     "q_ewma" -> ewma,
     "q_cdc_merge" -> cdcMerge,
     "q_skew_profile" -> skewProfile,

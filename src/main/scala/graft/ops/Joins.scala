@@ -480,9 +480,172 @@ object Joins {
       |GROUP BY 1, 2, 3, 4
       |ORDER BY rev DESC, c_custkey LIMIT 20""".stripMargin)
 
+  /** TPC-H Q4 analog (order-priority checking): orders per priority in
+    * one quarter having at least one LATE lineitem (shipped >90 days
+    * after order — the fixture's commit/receipt-date stand-in). The
+    * canonical EXISTS-correlated-subquery → LEFT SEMI decorrelation.
+    *
+    * Scale: quarter predicate pushed to the orders scan; the semi join
+    * shuffles on orderkey only (no row multiplication — semi stops at
+    * first match); priority rollup is a 5-row two-phase agg. */
+  private val tpchQ4 = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      Tables.orders(s, dir)
+        .filter($"o_orderdate" >= lit("1996-01-01") &&
+          $"o_orderdate" < lit("1996-04-01"))
+        .join(Tables.lineitem(s, dir),
+          $"l_orderkey" === $"o_orderkey" &&
+            $"l_shipdate" > $"o_orderdate" + expr("INTERVAL 90 DAYS"),
+          "left_semi")
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"o_orderpriority")
+    },
+    """SELECT o_orderpriority, COUNT(*) AS n
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey
+      |                AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+      |GROUP BY 1 ORDER BY 1""".stripMargin)
+
+  /** TPC-H Q12 analog (shipping-priority split): per return-flag class
+    * (the fixture's shipmode stand-in), how many 1996-shipped lineitems
+    * belong to urgent vs non-urgent orders — the canonical conditional
+    * aggregation over a fact⋈fact join. Ship-year predicate pushed to
+    * the lineitem scan; counts are exact integer CASE sums. */
+  private val tpchQ12 = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val urgent = $"o_orderpriority".isin("1-URGENT", "2-HIGH")
+      Tables.lineitem(s, dir)
+        .filter($"l_shipdate" >= lit("1996-01-01") &&
+          $"l_shipdate" < lit("1997-01-01"))
+        .join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey")
+        .groupBy($"l_returnflag")
+        .agg(
+          sum(urgent.cast("long")).as("high_count"),
+          sum((!urgent).cast("long")).as("low_count"),
+          count(lit(1)).as("n"))
+        .orderBy($"l_returnflag")
+    },
+    """SELECT l_returnflag,
+      |       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+      |       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+      |                     THEN 0 ELSE 1 END) AS BIGINT) AS low_count,
+      |       COUNT(*) AS n
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY 1 ORDER BY 1""".stripMargin)
+
+  /** TPC-H Q14 analog (promotion effect): share of one month's revenue
+    * from PROMO parts — the ratio-of-conditional-sums shape. Both sums
+    * accumulate in exact decimal and round via r4s; the percentage is
+    * then ONE IEEE division of bit-identical doubles, so the ratio
+    * cannot ulp-drift between engines. part broadcasts; month predicate
+    * pushed to the lineitem scan. */
+  private val tpchQ14 = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val rev = ($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+        .cast("decimal(28,10)")
+      Tables.lineitem(s, dir)
+        .filter($"l_shipdate" >= lit("1996-03-01") &&
+          $"l_shipdate" < lit("1996-04-01"))
+        .join(broadcast(Tables.part(s, dir)), $"l_partkey" === $"p_partkey")
+        .agg(
+          Incremental.r4s(sum(when($"p_type" === "PROMO", rev)
+            .otherwise(lit(0).cast("decimal(28,10)")))).as("promo_rev"),
+          Incremental.r4s(sum(rev)).as("total_rev"))
+        .select($"promo_rev", $"total_rev",
+          (lit(100.0) * $"promo_rev" / $"total_rev").as("promo_pct"))
+    },
+    """WITH s AS (
+      |  SELECT CAST(ROUND(SUM(CASE WHEN p_type = 'PROMO'
+      |                  THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))
+      |                  ELSE CAST(0 AS DECIMAL(28,10)) END), 4) AS DOUBLE) AS promo_rev,
+      |         CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))), 4) AS DOUBLE) AS total_rev
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00')
+      |SELECT promo_rev, total_rev,
+      |       100.0 * promo_rev / total_rev AS promo_pct
+      |FROM s""".stripMargin)
+
+  /** TPC-H Q6 analog (forecast-revenue change): potential revenue from
+    * small-quantity discounted lineitems in one ship-year — the
+    * canonical full-scan conditional aggregate. All three predicates
+    * push to the parquet scan (date range + discount band + quantity
+    * cap), so the aggregate sees only qualifying rows; one-row result
+    * via r4s exact-decimal sum. */
+  private val tpchQ6 = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .filter($"l_shipdate" >= lit("1996-01-01") &&
+          $"l_shipdate" < lit("1997-01-01") &&
+          $"l_discount" >= 0.05 && $"l_discount" <= 0.07 &&
+          $"l_quantity" < 24)
+        .agg(
+          Incremental.r4s(sum(($"l_extendedprice" * $"l_discount")
+            .cast("decimal(28,10)"))).as("revenue"),
+          count(lit(1)).as("n"))
+    },
+    """SELECT CAST(ROUND(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28,10))), 4) AS DOUBLE) AS revenue,
+      |       COUNT(*) AS n
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_discount >= 0.05 AND l_discount <= 0.07
+      |  AND l_quantity < 24""".stripMargin)
+
+  /** TPC-H Q19 analog (discounted revenue, disjunctive predicates):
+    * revenue from three OR-ed (brand × size-band × quantity-band)
+    * part/lineitem conjunct classes — the disjunct-pushdown stress
+    * shape. part broadcasts; each disjunct mixes columns from both
+    * sides so the OR evaluates post-join, while the single common
+    * pre-filter (quantity ceiling) still pushes to the fact scan. */
+  private val tpchQ19 = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val d1 = $"p_brand" === "Brand#1" && $"p_size".between(1, 15) &&
+        $"l_quantity".between(1, 11)
+      val d2 = $"p_brand" === "Brand#2" && $"p_size".between(1, 25) &&
+        $"l_quantity".between(10, 20)
+      val d3 = $"p_brand" === "Brand#3" && $"p_size".between(1, 35) &&
+        $"l_quantity".between(20, 30)
+      Tables.lineitem(s, dir)
+        .filter($"l_quantity" <= 30)
+        .join(broadcast(Tables.part(s, dir)), $"l_partkey" === $"p_partkey")
+        .filter(d1 || d2 || d3)
+        .agg(
+          Incremental.r4s(sum(($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+            .cast("decimal(28,10)"))).as("revenue"),
+          count(lit(1)).as("n"))
+    },
+    """SELECT CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))), 4) AS DOUBLE) AS revenue,
+      |       COUNT(*) AS n
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE l_quantity <= 30
+      |  AND ((p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+      |        AND l_quantity BETWEEN 1 AND 11)
+      |    OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+      |        AND l_quantity BETWEEN 10 AND 20)
+      |    OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+      |        AND l_quantity BETWEEN 20 AND 30))""".stripMargin)
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q_tpch_q1" -> tpchQ1,
+    "q_tpch_q4" -> tpchQ4,
+    "q_tpch_q6" -> tpchQ6,
+    "q_tpch_q19" -> tpchQ19,
     "q_tpch_q10" -> tpchQ10,
+    "q_tpch_q12" -> tpchQ12,
+    "q_tpch_q14" -> tpchQ14,
     "q_tpch_q18" -> tpchQ18,
     "q_tpch_q3" -> tpchQ3,
     "q_tpch_q5" -> tpchQ5,

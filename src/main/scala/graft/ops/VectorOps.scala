@@ -92,6 +92,127 @@ object VectorOps {
       |SELECT qid, nid, ROUND(cos, 4) AS cos, rk FROM ranked
       |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin)
 
+  /** k-NN majority-vote label classifier (k = 5, cosine): predict each
+    * held-out vector's label (vec_id < 50) from the labeled remainder —
+    * the eval loop every embedding-quality pipeline runs (is the space
+    * good enough that neighbors share labels?). Vote: count labels among
+    * the 5 nearest (cos desc, nid tiebreak) neighbors; argmax with
+    * smaller-label tiebreak — both steps exact integer comparisons, so
+    * the prediction is deterministic end-to-end.
+    *
+    * Scale: identical to q_sim_topk — the bounded query side broadcasts,
+    * the store streams; the vote is a ≤|q|·|labels| two-phase agg, the
+    * argmax a WindowGroupLimit. Never an all-pairs join. */
+  private val knnClassify = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val (b0, dotf) = base(s, dir)
+      val lab = Tables.embeddings(s, dir).select($"vec_id", $"label")
+      val q = b0.filter($"vec_id" < 50)
+        .select($"vec_id".as("qid"), $"v".as("qv"), $"nm".as("qn"))
+      val cand = b0.filter($"vec_id" >= 50)
+        .select($"vec_id".as("nid"), $"v".as("nv"), $"nm".as("nn"))
+      val wk = Window.partitionBy($"qid").orderBy($"cos".desc, $"nid")
+      val knn = cand.join(broadcast(q), lit(true))
+        .withColumn("cos", dotf($"qv", $"nv") / ($"qn" * $"nn"))
+        .withColumn("rk", row_number().over(wk).cast("long"))
+        .filter($"rk" <= 5)
+        .join(lab.select($"vec_id".as("nid"), $"label".as("nlabel")), "nid")
+      val wv = Window.partitionBy($"qid").orderBy($"votes".desc, $"nlabel")
+      knn.groupBy($"qid", $"nlabel")
+        .agg(count(lit(1)).as("votes"))
+        .withColumn("vr", row_number().over(wv))
+        .filter($"vr" === 1)
+        .join(lab.select($"vec_id".as("qid"), $"label".as("true_label")), "qid")
+        .select($"qid", $"true_label",
+          $"nlabel".as("pred_label"), $"votes",
+          ($"nlabel" === $"true_label").cast("long").as("correct"))
+        .orderBy($"qid")
+    },
+    oracleBase +
+    """,
+      |pairs AS (
+      |  SELECT a.vec_id AS qid, b.vec_id AS nid,
+      |         list_sum(list_transform(list_zip(a.ve, b.ve), p -> p[1]*p[2]))
+      |           / (a.nm * b.nm) AS cos
+      |  FROM n a JOIN n b ON a.vec_id < 50 AND b.vec_id >= 50),
+      |ranked AS (
+      |  SELECT qid, nid, cos,
+      |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
+      |  FROM pairs),
+      |votes AS (
+      |  SELECT r.qid, l.label AS nlabel, COUNT(*) AS votes
+      |  FROM ranked r JOIN embeddings l ON l.vec_id = r.nid
+      |  WHERE r.rk <= 5 GROUP BY 1, 2),
+      |best AS (
+      |  SELECT qid, nlabel, votes,
+      |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY votes DESC, nlabel) AS vr
+      |  FROM votes)
+      |SELECT b.qid, ql.label AS true_label, b.nlabel AS pred_label,
+      |       b.votes, CAST(b.nlabel = ql.label AS BIGINT) AS correct
+      |FROM best b JOIN embeddings ql ON ql.vec_id = b.qid
+      |WHERE b.vr = 1 ORDER BY b.qid""".stripMargin)
+
+  /** Nearest-centroid (Rocchio) label classifier — the cheap linear
+    * baseline next to q_knn_classify on the same held-out split
+    * (vec_id < 50 scored against per-label mean vectors of the labeled
+    * remainder). Centroid components go through r4a (exact decimal sum,
+    * one IEEE division) so both engines hold bit-identical model
+    * weights; the query-to-centroid L2² is the q_kmeans_step index-order
+    * fold on those identical doubles, argmin ties by label.
+    *
+    * Scale: the model is |labels|·dim doubles — ONE broadcast row; the
+    * store is never shuffled (narrow projection behind a singleton cross
+    * join, the q_vec_quantize shape). Training is one two-phase
+    * (label, pos) aggregate. */
+  private val centroidClassify = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val cents = Tables.embeddings(s, dir).filter($"vec_id" >= 50)
+        .select($"label".cast("long").as("label"), posexplode(vcol($"embedding")))
+        .groupBy($"label", $"pos")
+        .agg(Incremental.r4a(sum($"col".cast("decimal(28,10)")),
+          count(lit(1))).as("c"))
+        .groupBy($"label")
+        .agg(sort_array(collect_list(struct($"pos", $"c"))).as("pc"))
+        .select($"label", transform($"pc", p => p.getField("c")).as("cent"))
+        .agg(sort_array(collect_list(struct($"label", $"cent"))).as("cents"))
+      Tables.spread(Tables.embeddings(s, dir), "vec_id")
+        .filter($"vec_id" < 50)
+        .select($"vec_id", vcol($"embedding").as("v"),
+          $"label".cast("long").as("true_label"))
+        .crossJoin(broadcast(cents))
+        .withColumn("best", array_min(transform($"cents", c => struct(
+          aggregate(zip_with($"v", c.getField("cent"),
+            (x, y) => (x - y) * (x - y)), lit(0.0), (a, x) => a + x).as("d2"),
+          c.getField("label").as("label")))))
+        .select($"vec_id", $"true_label",
+          $"best.label".as("pred_label"),
+          ($"best.label" === $"true_label").cast("long").as("correct"))
+        .orderBy($"vec_id")
+    },
+    s"""WITH v AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+      |                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+      |           FROM embeddings),
+      |e AS (SELECT label, CAST(i.i AS BIGINT) AS pos, ve[i.i] AS x
+      |      FROM (SELECT * FROM v WHERE vec_id >= 50) t
+      |      CROSS JOIN (SELECT UNNEST(range(1, 100)) AS i) i
+      |      WHERE i.i <= len(ve)),
+      |c AS (SELECT label, pos,
+      |             FLOOR(CAST(CAST(CAST(ROUND(SUM(CAST(x AS DECIMAL(28,10))), 6) AS DECIMAL(24,6)) * 1000000 AS BIGINT) AS DOUBLE) / (COUNT(*) * 100.0) + 0.5) / 10000.0 AS c
+      |      FROM e GROUP BY 1, 2),
+      |c2 AS (SELECT label, list(c ORDER BY pos) AS cent FROM c GROUP BY label),
+      |d AS (SELECT q.vec_id, q.label AS true_label, c2.label AS clabel,
+      |             list_sum(list_transform(range(1, 65), i ->
+      |               (q.ve[i] - c2.cent[i]) * (q.ve[i] - c2.cent[i]))) AS d2
+      |      FROM (SELECT * FROM v WHERE vec_id < 50) q CROSS JOIN c2),
+      |r AS (SELECT vec_id, true_label, clabel,
+      |             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, clabel) AS rk
+      |      FROM d)
+      |SELECT vec_id, true_label, clabel AS pred_label,
+      |       CAST(clabel = true_label AS BIGINT) AS correct
+      |FROM r WHERE rk = 1 ORDER BY vec_id""".stripMargin)
+
   /** Embedding-cosine near-duplicate pairs — TWO-STAGE (the scalable
     * contract, same shape as TextDedup's MinHash→LSH→verify): stage 1
     * assigns every vector to its 2 nearest IVF seed cells (centroids =
@@ -777,6 +898,8 @@ object VectorOps {
     "q_vec_pq" -> vecPq,
     "q_pq_adc" -> pqAdc,
     "q_sim_topk" -> simTopk,
+    "q_knn_classify" -> knnClassify,
+    "q_centroid_classify" -> centroidClassify,
     "q_dedup_embed" -> dedupEmbed,
     "q_sim_ivf" -> simIvf,
     "q_sim_lsh" -> simLsh,

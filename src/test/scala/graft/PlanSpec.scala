@@ -381,4 +381,55 @@ class PlanSpec extends SparkSpec {
     assert(plan("q_sample_weighted").contains("WindowGroupLimit"))
     assert(plan("q_sim_report").contains("WindowGroupLimit"))
   }
+
+  test("q_tpch_q4: EXISTS decorrelates to a left-semi join (no row " +
+    "multiplication); quarter predicate pushed to the orders scan") {
+    val p = plan("q_tpch_q4")
+    assert(p.contains("LeftSemi"), p.take(4000))
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), p.take(4000))
+  }
+
+  test("q_tpch_q12/q14: ship-date predicates pushed; part broadcasts in q14") {
+    val p12 = plan("q_tpch_q12")
+    assert(p12.contains("GreaterThanOrEqual(l_shipdate"), p12.take(4000))
+    val p14 = plan("q_tpch_q14")
+    assert(p14.contains("GreaterThanOrEqual(l_shipdate"), p14.take(4000))
+    assert(p14.contains("BroadcastHashJoin"), p14.take(4000))
+  }
+
+  test("q_knn_classify: query side broadcasts; both top-k and vote-argmax " +
+    "collapse to WindowGroupLimit; no cartesian product") {
+    val p = plan("q_knn_classify")
+    assert(p.contains("WindowGroupLimit"), p.take(4000))
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      p.take(4000))
+  }
+
+  test("q_tpch_q6: all three predicate families sit on the scan " +
+    "(toString elides the full PushedFilters list, so assert the Filter " +
+    "node and the pushed prefix)") {
+    val p = plan("q_tpch_q6")
+    assert(p.contains(
+      "PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount), " +
+        "IsNotNull(l_quantity)"), p.take(4000))
+    assert(p.contains(">= 0.05)") && p.contains("<= 0.07)"), p.take(4000))
+    assert(p.contains("< 24.0)"), p.take(4000))
+  }
+
+  test("q_tpch_q19: common quantity ceiling pushed to the fact scan; " +
+    "part broadcasts; disjuncts evaluate post-join without a cartesian") {
+    val p = plan("q_tpch_q19")
+    assert(p.contains("LessThanOrEqual(l_quantity"), p.take(4000))
+    assert(p.contains("BroadcastHashJoin"), p.take(4000))
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+  }
+
+  test("q_centroid_classify: model is one broadcast row; the store side " +
+    "never shuffle-joins") {
+    val p = plan("q_centroid_classify")
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      p.take(4000))
+  }
 }
