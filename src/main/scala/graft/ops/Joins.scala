@@ -638,6 +638,278 @@ object Joins {
       |    OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
       |        AND l_quantity BETWEEN 20 AND 30))""".stripMargin)
 
+  /** TPC-H Q13 analog (customer order-count distribution): how many
+    * customers placed exactly k qualifying orders, including k = 0 —
+    * the canonical LEFT OUTER + double aggregation. The priority
+    * predicate is pushed into the orders side BEFORE the outer join
+    * (equivalent to the textbook join-condition form for LEFT OUTER,
+    * and lets the scan prune); `count(o_orderkey)` ignores the nulls
+    * the unmatched customers carry. Both rollups are two-phase hash
+    * aggs; the second one's input is |customers| rows, already tiny. */
+  private val tpchQ13 = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir).filter($"o_orderpriority" =!= "1-URGENT"),
+          $"c_custkey" === $"o_custkey", "left_outer")
+        .groupBy($"c_custkey")
+        .agg(count($"o_orderkey").as("c_count"))
+        .groupBy($"c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy($"custdist".desc, $"c_count".desc)
+    },
+    """SELECT c_count, COUNT(*) AS custdist FROM (
+      |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      |  FROM customer LEFT JOIN orders
+      |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      |  GROUP BY c_custkey)
+      |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin)
+
+  /** TPC-H Q15 analog (top supplier): supplier(s) whose quarter revenue
+    * equals the maximum — the classic view + scalar-subquery-max shape.
+    * The max is a 1-row aggregate broadcast back onto the per-supplier
+    * rollup (no second scan of the fact table, no driver round-trip);
+    * the equality compare runs on EXACT decimal sums so "ties with the
+    * max" is well-defined on both engines, rounding only on output. */
+  private val tpchQ15 = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val rev = Tables.lineitem(s, dir)
+        .filter($"l_shipdate" >= lit("1996-01-01") &&
+          $"l_shipdate" < lit("1996-04-01"))
+        .groupBy($"l_suppkey")
+        .agg(sum(($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+          .cast("decimal(28,10)")).as("total_rev"))
+      rev.join(broadcast(rev.agg(max($"total_rev").as("mx"))),
+          $"total_rev" === $"mx")
+        .join(broadcast(Tables.supplier(s, dir)), $"l_suppkey" === $"s_suppkey")
+        .select($"s_suppkey", $"s_name",
+          Incremental.r4s($"total_rev").as("total_rev"))
+        .orderBy($"s_suppkey")
+    },
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |         SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))) AS total_rev
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      |  GROUP BY 1)
+      |SELECT s_suppkey, s_name, CAST(ROUND(total_rev, 4) AS DOUBLE) AS total_rev
+      |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+      |WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+      |ORDER BY s_suppkey""".stripMargin)
+
+  /** TPC-H Q17 analog (small-quantity-order revenue): revenue from
+    * lineitems of one brand whose quantity is below 20% of that part's
+    * average quantity — the canonical correlated-scalar-AVG subquery,
+    * decorrelated into a per-part aggregate joined back on partkey.
+    * The fixture's quantities are exact integers, so the 20%-of-avg
+    * test is done in pure BIGINT (q·5·cnt < Σq) — no IEEE averaging,
+    * bit-identical across engines. Brand filter broadcasts; the
+    * per-part agg and the fact side shuffle on the same key. */
+  private val tpchQ17 = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val qint = $"l_quantity".cast("long")
+      val perPart = Tables.lineitem(s, dir)
+        .groupBy($"l_partkey".as("pp_partkey"))
+        .agg(sum($"l_quantity".cast("long")).as("sum_q"),
+          count(lit(1)).as("cnt_q"))
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir).filter($"p_brand" === "Brand#2")),
+          $"l_partkey" === $"p_partkey")
+        .join(perPart, $"l_partkey" === $"pp_partkey")
+        .filter(qint * lit(5L) * $"cnt_q" < $"sum_q")
+        .agg(
+          Incremental.r4s(sum($"l_extendedprice".cast("decimal(28,10)")))
+            .as("sum_price"),
+          count(lit(1)).as("n"))
+    },
+    """WITH pa AS (
+      |  SELECT l_partkey AS pp_partkey, SUM(CAST(l_quantity AS BIGINT)) AS sum_q,
+      |         COUNT(*) AS cnt_q
+      |  FROM lineitem GROUP BY 1)
+      |SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(28,10))), 4) AS DOUBLE) AS sum_price,
+      |       COUNT(*) AS n
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN pa   ON l_partkey = pp_partkey
+      |WHERE p_brand = 'Brand#2'
+      |  AND CAST(l_quantity AS BIGINT) * 5 * cnt_q < sum_q""".stripMargin)
+
+  /** TPC-H Q21 analog (suppliers who kept orders waiting): for finished
+    * orders served by ≥2 suppliers where EXACTLY ONE supplier shipped
+    * late (>60 days after order), count blamed orders per supplier.
+    * The textbook double-EXISTS/NOT-EXISTS is decorrelated into one
+    * per-(order, supplier) aggregate + one per-order aggregate — two
+    * shuffles on orderkey, no correlated re-scans, no row blowup. The
+    * DuckDB oracle keeps the EXISTS form to pin the semantics match. */
+  private val tpchQ21 = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val late = ($"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAYS"))
+        .cast("int")
+      val perOrderSupp = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir).filter($"o_orderstatus" === "F"),
+          $"l_orderkey" === $"o_orderkey")
+        .groupBy($"l_orderkey", $"l_suppkey")
+        .agg(max(late).as("is_late"))
+      val perOrder = perOrderSupp
+        .groupBy($"l_orderkey".as("po_orderkey"))
+        .agg(count(lit(1)).as("n_supp"), sum($"is_late").as("n_late"))
+      perOrderSupp
+        .join(perOrder, $"l_orderkey" === $"po_orderkey")
+        .filter($"is_late" === 1 && $"n_supp" >= 2 && $"n_late" === 1)
+        .join(broadcast(Tables.supplier(s, dir)), $"l_suppkey" === $"s_suppkey")
+        .groupBy($"s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy($"numwait".desc, $"s_name")
+        .limit(25)
+    },
+    """SELECT s_name, COUNT(DISTINCT l1.l_orderkey) AS numwait
+      |FROM lineitem l1
+      |JOIN orders   ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+      |JOIN supplier ON s_suppkey = l1.l_suppkey
+      |WHERE l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 25""".stripMargin)
+
+  /** TPC-H Q22 analog (global sales opportunity): well-funded customers
+    * (balance above the average POSITIVE balance) with no URGENT order,
+    * counted per nation. (Textbook Q22 uses "no orders at all"; every
+    * fixture customer has orders, so the NOT-EXISTS correlate is scoped
+    * to the urgent class to keep the result set non-degenerate.) The
+    * scalar-AVG threshold is evaluated in exact cents (bal·cnt > Σbal
+    * over BIGINTs — the fixture's balances are cent-precise), the
+    * no-urgent-orders test is a LEFT ANTI join (shuffles keys only),
+    * and the 1-row positive-balance aggregate broadcasts. */
+  private val tpchQ22 = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val cents = round($"c_acctbal" * 100).cast("long")
+      val pos = Tables.customer(s, dir).filter($"c_acctbal" > 0.0)
+        .agg(sum(round($"c_acctbal" * 100).cast("long")).as("sum_bal"),
+          count(lit(1)).as("cnt_bal"))
+      Tables.customer(s, dir)
+        .join(broadcast(pos))
+        .filter(cents * $"cnt_bal" > $"sum_bal")
+        .join(Tables.orders(s, dir).filter($"o_orderpriority" === "1-URGENT"),
+          $"c_custkey" === $"o_custkey", "left_anti")
+        .groupBy($"c_nationkey")
+        .agg(count(lit(1)).as("numcust"),
+          round(sum(round($"c_acctbal" * 100).cast("long")) / 100.0, 2)
+            .as("totacctbal"))
+        .orderBy($"c_nationkey")
+    },
+    """WITH pos AS (
+      |  SELECT SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS sum_bal,
+      |         COUNT(*) AS cnt_bal
+      |  FROM customer WHERE c_acctbal > 0.0)
+      |SELECT c_nationkey, COUNT(*) AS numcust,
+      |       ROUND(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) / 100.0, 2) AS totacctbal
+      |FROM customer, pos
+      |WHERE CAST(ROUND(c_acctbal * 100) AS BIGINT) * cnt_bal > sum_bal
+      |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      |                  AND o_orderpriority = '1-URGENT')
+      |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)
+
+  /** TPC-H Q7 analog (volume shipping): bilateral trade — revenue
+    * between two chosen nations (supplier side vs customer side) per
+    * ship-year. Nation broadcasts twice under distinct aliases; the
+    * two fact joins shuffle on their natural keys; the pair predicate
+    * keeps only the two (supp, cust) directions. Exact-decimal sums. */
+  private val tpchQ7 = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val n1 = Tables.nation(s, dir)
+        .select($"n_nationkey".as("sn_key"), $"n_name".as("supp_nation"))
+      val n2 = Tables.nation(s, dir)
+        .select($"n_nationkey".as("cn_key"), $"n_name".as("cust_nation"))
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.supplier(s, dir)), $"l_suppkey" === $"s_suppkey")
+        .join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey")
+        .join(Tables.customer(s, dir), $"o_custkey" === $"c_custkey")
+        .join(broadcast(n1), $"s_nationkey" === $"sn_key")
+        .join(broadcast(n2), $"c_nationkey" === $"cn_key")
+        .filter(($"supp_nation" === "NATION_18" && $"cust_nation" === "NATION_19") ||
+          ($"supp_nation" === "NATION_19" && $"cust_nation" === "NATION_18"))
+        .groupBy($"supp_nation", $"cust_nation",
+          year($"l_shipdate").cast("long").as("l_year"))
+        .agg(Incremental.r4s(sum(($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+          .cast("decimal(28,10)"))).as("revenue"))
+        .orderBy($"supp_nation", $"cust_nation", $"l_year")
+    },
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |       CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+      |       CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))), 4) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN supplier    ON l_suppkey = s_suppkey
+      |JOIN orders      ON l_orderkey = o_orderkey
+      |JOIN customer    ON o_custkey = c_custkey
+      |JOIN nation n1   ON s_nationkey = n1.n_nationkey
+      |JOIN nation n2   ON c_nationkey = n2.n_nationkey
+      |WHERE (n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+      |   OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18')
+      |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)
+
+  /** TPC-H Q8 analog (national market share): of the revenue from ASIA
+    * customers, the share supplied by one nation, per order-year. The
+    * numerator and denominator are BOTH exact decimal sums; the single
+    * IEEE division happens once per year-row on already-rounded
+    * doubles, identically on both engines. Dims broadcast; facts
+    * shuffle on orderkey/custkey. */
+  private val tpchQ8 = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val suppN = Tables.nation(s, dir)
+        .select($"n_nationkey".as("sn_key"), $"n_name".as("supp_nation"))
+      val custSide = Tables.customer(s, dir)
+        .join(broadcast(Tables.nation(s, dir)), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(Tables.region(s, dir).filter($"r_name" === "ASIA")),
+          $"n_regionkey" === $"r_regionkey")
+        .select($"c_custkey")
+      val rev = ($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+        .cast("decimal(28,10)")
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey")
+        .join(custSide, $"o_custkey" === $"c_custkey", "left_semi")
+        .join(broadcast(Tables.supplier(s, dir)), $"l_suppkey" === $"s_suppkey")
+        .join(broadcast(suppN), $"s_nationkey" === $"sn_key")
+        .groupBy(year($"o_orderdate").cast("long").as("o_year"))
+        .agg(
+          Incremental.r4s(sum(when($"supp_nation" === "NATION_2", rev)
+            .otherwise(lit(0).cast("decimal(28,10)")))).as("nation_rev"),
+          Incremental.r4s(sum(rev)).as("total_rev"))
+        .select($"o_year", $"nation_rev", $"total_rev",
+          round($"nation_rev" / $"total_rev", 4).as("mkt_share"))
+        .orderBy($"o_year")
+    },
+    """WITH yr AS (
+      |  SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+      |         CAST(ROUND(SUM(CASE WHEN n1.n_name = 'NATION_2'
+      |             THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))
+      |             ELSE CAST(0 AS DECIMAL(28,10)) END), 4) AS DOUBLE) AS nation_rev,
+      |         CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))), 4) AS DOUBLE) AS total_rev
+      |  FROM lineitem
+      |  JOIN orders    ON l_orderkey = o_orderkey
+      |  JOIN supplier  ON l_suppkey = s_suppkey
+      |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |  WHERE o_custkey IN (
+      |    SELECT c_custkey FROM customer
+      |    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |    JOIN region    ON n2.n_regionkey = r_regionkey
+      |    WHERE r_name = 'ASIA')
+      |  GROUP BY 1)
+      |SELECT o_year, nation_rev, total_rev,
+      |       ROUND(nation_rev / total_rev, 4) AS mkt_share
+      |FROM yr ORDER BY o_year""".stripMargin)
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q_tpch_q1" -> tpchQ1,
     "q_tpch_q4" -> tpchQ4,
@@ -647,6 +919,13 @@ object Joins {
     "q_tpch_q12" -> tpchQ12,
     "q_tpch_q14" -> tpchQ14,
     "q_tpch_q18" -> tpchQ18,
+    "q_tpch_q13" -> tpchQ13,
+    "q_tpch_q15" -> tpchQ15,
+    "q_tpch_q17" -> tpchQ17,
+    "q_tpch_q21" -> tpchQ21,
+    "q_tpch_q22" -> tpchQ22,
+    "q_tpch_q7" -> tpchQ7,
+    "q_tpch_q8" -> tpchQ8,
     "q_tpch_q3" -> tpchQ3,
     "q_tpch_q5" -> tpchQ5,
     "q_scd_join" -> scdJoin,
