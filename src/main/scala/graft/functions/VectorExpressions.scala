@@ -177,6 +177,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_char3grams"),
       new ExpressionInfo(classOf[CharTrigrams].getName, "graft_char3grams"),
       (children: Seq[Expression]) => CharTrigrams(children.head)))
+    // Spark's OWN runtime-filter bloom pair (BloomFilterAggregate /
+    // BloomFilterMightContain, the machinery behind InjectRuntimeFilter)
+    // is registered only in the internal function registry — surface it
+    // so queries can build an EXPLICIT bloom semi-join reduction (build
+    // a bloom over the small side's keys in a scalar subquery, prune the
+    // probe scan with might_contain, then exact-join the survivors).
+    // Both expressions are codegen'd; the aggregate is a TypedImperative
+    // sketch merge — exactly what a 100 TB pre-shuffle reduction wants.
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "graft_bloom_agg"),
+      (children: Seq[Expression]) => children.size match {
+        case 1 => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(children(0))
+        case 2 => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(children(0), children(1))
+        case _ => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(children(0), children(1), children(2))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "graft_might_contain"),
+      (children: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(children(0), children(1))))
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

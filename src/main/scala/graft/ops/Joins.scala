@@ -910,7 +910,46 @@ object Joins {
       |       ROUND(nation_rev / total_rev, 4) AS mkt_share
       |FROM yr ORDER BY o_year""".stripMargin)
 
+  /** Explicit bloom semi-join reduction — the runtime-filter pattern
+    * spelled out as an operator: build a bloom over the SMALL side's
+    * join keys (urgent orders) in a scalar subquery (one 1-row sketch
+    * aggregate, broadcast implicitly as a subquery result), prune the
+    * fact scan with `graft_might_contain` BEFORE the shuffle, then
+    * exact LEFT SEMI join the survivors to kill the bloom's false
+    * positives. Result ≡ the plain semi join (the oracle), but at
+    * 100 TB the probe side's shuffle carries only ~|matches| + ε rows
+    * instead of the full fact table — the same reduction Spark's
+    * InjectRuntimeFilter derives implicitly, here pinned explicitly so
+    * the plan never silently loses it. Both bloom expressions are
+    * Spark's own (codegen'd; sketch merge is a TypedImperativeAggregate). */
+  private val bloomJoin = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      Tables.orders(s, dir).filter($"o_orderpriority" === "1-URGENT")
+        .createOrReplaceTempView("bloom_build_orders")
+      Tables.lineitem(s, dir)
+        .filter(expr(
+          """graft_might_contain(
+            |  (SELECT graft_bloom_agg(xxhash64(o_orderkey)) FROM bloom_build_orders),
+            |  xxhash64(l_orderkey))""".stripMargin))
+        .join(s.table("bloom_build_orders"),
+          $"l_orderkey" === $"o_orderkey", "left_semi")
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          Incremental.r4s(sum($"l_extendedprice".cast("decimal(28,10)")))
+            .as("sum_price"))
+        .orderBy($"l_returnflag")
+    },
+    """SELECT l_returnflag, COUNT(*) AS n,
+      |       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(28,10))), 4) AS DOUBLE) AS sum_price
+      |FROM lineitem
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_orderkey = l_orderkey
+      |                AND o_orderpriority = '1-URGENT')
+      |GROUP BY 1 ORDER BY 1""".stripMargin)
+
   val defs: Seq[(String, QueryDef)] = Seq(
+    "q_bloom_join" -> bloomJoin,
     "q_tpch_q1" -> tpchQ1,
     "q_tpch_q4" -> tpchQ4,
     "q_tpch_q6" -> tpchQ6,

@@ -1151,7 +1151,171 @@ object Relational {
       |FROM events e JOIN b USING (event_type)
       |GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin)
 
+  /** Lag-1 autocorrelation of the daily mean per event_type — the
+    * "is yesterday predictive of today" time-series probe. Determinism
+    * discipline (q_regression's): daily means are exact 4-decimal
+    * doubles (r4a), quantized to exact centi-unit BIGINTs; the five
+    * cross moments are decimal/HUGEINT sums (order-independent); num/
+    * den magnitudes stay ≤ ~1e13 so their decimal→double casts are
+    * exactly representable (< 2^53 — avoids the r3 big-unscaled-cast
+    * hazard by construction), and the final sqrt/divide are single
+    * correctly-rounded IEEE ops on bit-identical operands.
+    * Scale: one events rollup + one tiny per-type window + one 5-row
+    * aggregate — same shuffle profile as the flagship daily_avg. */
+  private val autocorr = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val daily = Tables.events(s, dir)
+        .groupBy($"event_type", to_date($"ts").as("date"))
+        .agg(Incremental.r4a(sum($"value".cast("decimal(28,10)")),
+          count(lit(1))).as("m"))
+      val w = Window.partitionBy($"event_type").orderBy($"date")
+      val q = round($"m" * 100).cast("long")
+      val pairs = daily
+        .select($"event_type", $"date", q.as("y"))
+        .withColumn("x", lag($"y", 1).over(w))
+        .filter($"x".isNotNull)
+      pairs.groupBy($"event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          sum($"x".cast("decimal(38,0)")).as("sx"),
+          sum($"y".cast("decimal(38,0)")).as("sy"),
+          sum(($"x" * $"x").cast("decimal(38,0)")).as("sxx"),
+          sum(($"x" * $"y").cast("decimal(38,0)")).as("sxy"),
+          sum(($"y" * $"y").cast("decimal(38,0)")).as("syy"))
+        .withColumn("num", expr("CAST(n AS DECIMAL(38,0)) * sxy - sx * sy"))
+        .withColumn("denx", expr("CAST(n AS DECIMAL(38,0)) * sxx - sx * sx"))
+        .withColumn("deny", expr("CAST(n AS DECIMAL(38,0)) * syy - sy * sy"))
+        .select($"event_type", $"n",
+          round(when($"denx" === 0 || $"deny" === 0, lit(0.0))
+            .otherwise($"num".cast("double") /
+              (sqrt($"denx".cast("double")) * sqrt($"deny".cast("double")))),
+            4).as("r1"))
+        .orderBy($"event_type")
+    },
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS date,
+      |         FLOOR(CAST(CAST(CAST(ROUND(SUM(CAST(value AS DECIMAL(28,10))), 6) AS DECIMAL(24,6)) * 1000000 AS BIGINT) AS DOUBLE) / (COUNT(*) * 100.0) + 0.5) / 10000.0 AS m
+      |  FROM events GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT event_type,
+      |         LAG(CAST(ROUND(m * 100) AS BIGINT))
+      |           OVER (PARTITION BY event_type ORDER BY date) AS x,
+      |         CAST(ROUND(m * 100) AS BIGINT) AS y
+      |  FROM daily),
+      |mo AS (
+      |  SELECT event_type, COUNT(*) AS n,
+      |         SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+      |         SUM(CAST(x AS HUGEINT) * x) AS sxx,
+      |         SUM(CAST(x AS HUGEINT) * y) AS sxy,
+      |         SUM(CAST(y AS HUGEINT) * y) AS syy
+      |  FROM pairs WHERE x IS NOT NULL GROUP BY 1)
+      |SELECT event_type, n,
+      |       ROUND(CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
+      |             THEN 0.0
+      |             ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+      |                  / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+      |                     * SQRT(CAST(n * syy - sy * sy AS DOUBLE))) END,
+      |             4) AS r1
+      |FROM mo ORDER BY event_type""".stripMargin)
+
+  /** Gini coefficient of order value per market segment — inequality
+    * census in EXACT integer basis points: values become cents, the
+    * rank-weighted sum Σi·xᵢ and total Σx are decimal/HUGEINT, and
+    * G = (2Σi·x − (n+1)Σx) / (nΣx) is emitted via one integer division
+    * scaled to 1e4 — no doubles anywhere, bit-identical at any SF.
+    * Ranks come from row_number over (segment, cents, orderkey): the
+    * orderkey tiebreak fixes each engine's permutation, and Σi·x is
+    * invariant across tie orders anyway (equal x within a tie block).
+    * Scale: one shuffle to rank per segment (Spark sorts within
+    * partitions — no global sort), one two-phase aggregate. */
+  private val gini = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val cents = round($"o_totalprice" * 100).cast("long")
+      val w = Window.partitionBy($"c_mktsegment")
+        .orderBy($"cents", $"o_orderkey")
+      Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), $"o_custkey" === $"c_custkey")
+        .select($"c_mktsegment", $"o_orderkey", cents.as("cents"))
+        .withColumn("i", row_number().over(w).cast("long"))
+        .groupBy($"c_mktsegment")
+        .agg(
+          count(lit(1)).as("n"),
+          sum($"cents".cast("decimal(38,0)")).as("s0"),
+          sum(($"i" * $"cents").cast("decimal(38,0)")).as("s1"))
+        .withColumn("gini_bp", expr(
+          """CAST(CASE WHEN CAST(n AS DECIMAL(38,0)) * s0 = 0 THEN 0
+            |ELSE ((2 * s1 - (CAST(n AS DECIMAL(38,0)) + 1) * s0) * 10000)
+            |     div (CAST(n AS DECIMAL(38,0)) * s0) END AS BIGINT)""".stripMargin))
+        .select($"c_mktsegment", $"n", $"gini_bp")
+        .orderBy($"c_mktsegment")
+    },
+    """WITH r AS (
+      |  SELECT c_mktsegment,
+      |         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+      |         ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+      |           ORDER BY CAST(ROUND(o_totalprice * 100) AS BIGINT), o_orderkey)
+      |           AS i
+      |  FROM orders JOIN customer ON o_custkey = c_custkey)
+      |SELECT c_mktsegment, COUNT(*) AS n,
+      |       CAST(CASE WHEN COUNT(*) * SUM(CAST(cents AS HUGEINT)) = 0 THEN 0
+      |            ELSE ((2 * SUM(CAST(i AS HUGEINT) * cents)
+      |                   - (COUNT(*) + 1) * SUM(CAST(cents AS HUGEINT))) * 10000)
+      |                 // (COUNT(*) * SUM(CAST(cents AS HUGEINT))) END AS BIGINT)
+      |         AS gini_bp
+      |FROM r GROUP BY 1 ORDER BY 1""".stripMargin)
+
+  /** Chi-square independence census: event_type × (user_id mod 4)
+    * contingency table with per-cell observed count, expected count in
+    * basis points, and the cell's χ² term in basis points — all
+    * integer-exact ((O·N − R·C)²·10⁴ div (N·R·C), decimal/HUGEINT, no
+    * doubles). The marginals ride a partition-less window over the ≤20
+    * aggregated cells (constant-size input — not a scale concern).
+    * Scale: ONE two-phase hash aggregate over the fact table; the rest
+    * touches ≤20 rows. */
+  private val chiSquare = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val cells = Tables.events(s, dir)
+        .groupBy($"event_type", ($"user_id" % 4).as("bucket"))
+        .agg(count(lit(1)).as("o"))
+      val all = Window.partitionBy()
+      cells
+        .withColumn("r", sum($"o").over(Window.partitionBy($"event_type")))
+        .withColumn("c", sum($"o").over(Window.partitionBy($"bucket")))
+        .withColumn("t", sum($"o").over(all))
+        .withColumn("e_bp", expr(
+          "CAST((CAST(r AS DECIMAL(38,0)) * c * 10000) div CAST(t AS DECIMAL(38,0)) AS BIGINT)"))
+        .withColumn("term_bp", expr(
+          """CAST(((CAST(o AS DECIMAL(38,0)) * t - CAST(r AS DECIMAL(38,0)) * c)
+            |      * (CAST(o AS DECIMAL(38,0)) * t - CAST(r AS DECIMAL(38,0)) * c)
+            |      * 10000)
+            |     div (CAST(t AS DECIMAL(38,0)) * r * c) AS BIGINT)""".stripMargin))
+        .select($"event_type", $"bucket", $"o", $"e_bp", $"term_bp")
+        .orderBy($"event_type", $"bucket")
+    },
+    """WITH cells AS (
+      |  SELECT event_type, user_id % 4 AS bucket, COUNT(*) AS o
+      |  FROM events GROUP BY 1, 2),
+      |m AS (
+      |  SELECT event_type, bucket, o,
+      |         SUM(o) OVER (PARTITION BY event_type) AS r,
+      |         SUM(o) OVER (PARTITION BY bucket) AS c,
+      |         SUM(o) OVER () AS t
+      |  FROM cells)
+      |SELECT event_type, bucket, o,
+      |       CAST((CAST(r AS HUGEINT) * c * 10000) // CAST(t AS HUGEINT) AS BIGINT) AS e_bp,
+      |       CAST(((CAST(o AS HUGEINT) * t - CAST(r AS HUGEINT) * c)
+      |             * (CAST(o AS HUGEINT) * t - CAST(r AS HUGEINT) * c)
+      |             * 10000)
+      |            // (CAST(t AS HUGEINT) * r * c) AS BIGINT) AS term_bp
+      |FROM m ORDER BY event_type, bucket""".stripMargin)
+
   val defs: Seq[(String, QueryDef)] = Seq(
+    "q_autocorr" -> autocorr,
+    "q_gini" -> gini,
+    "q_chi_square" -> chiSquare,
     "q_winsorized_mean" -> winsorizedMean,
     "q_skyline" -> skyline,
     "q_mad_outliers" -> madOutliers,

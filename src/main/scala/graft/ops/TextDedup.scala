@@ -1070,7 +1070,47 @@ object TextDedup {
       |SELECT doc_id, partner, jac, rk FROM r WHERE rk <= 3
       |ORDER BY doc_id, rk""".stripMargin)
 
+  /** Cross-language duplicate census: the verified near-dup pairs
+    * (same memoized LSH→exact-Jaccard lineage as q_dedup_near) joined
+    * to each side's language and rolled up per unordered language
+    * pair — the "is my dedup leaking across translations / is one
+    * source mirroring another language's content" report a corpus
+    * curator runs. Mean similarity is exact integer basis points
+    * (Σ round(jac·10⁴) div n — jac is already a 4-decimal double,
+    * identical on both engines). Scale: two dim-style joins on doc_id
+    * against the already-tiny pair set. */
+  private val crosslangDup = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val langs = Tables.documents(s, dir).select($"doc_id", $"lang")
+      verifiedPairs(s, dir)
+        .join(langs.select($"doc_id".as("da"), $"lang".as("la")), "da")
+        .join(langs.select($"doc_id".as("db"), $"lang".as("lb")), "db")
+        .select(least($"la", $"lb").as("lang_lo"),
+          greatest($"la", $"lb").as("lang_hi"),
+          round($"jac" * 10000).cast("long").as("jac_bp"))
+        .groupBy($"lang_lo", $"lang_hi")
+        .agg(count(lit(1)).as("n_pairs"),
+          expr("CAST(sum(jac_bp) div count(1) AS BIGINT)").as("mean_jac_bp"))
+        .orderBy($"lang_lo", $"lang_hi")
+    },
+    oracleScored + """,
+      |pairs AS (
+      |  SELECT da, db, ROUND(inter / uni, 4) AS jac FROM scored
+      |  WHERE ROUND(inter / uni, 4) >= 0.2),
+      |lp AS (
+      |  SELECT LEAST(a.lang, b.lang) AS lang_lo,
+      |         GREATEST(a.lang, b.lang) AS lang_hi,
+      |         CAST(ROUND(jac * 10000) AS BIGINT) AS jac_bp
+      |  FROM pairs
+      |  JOIN documents a ON da = a.doc_id
+      |  JOIN documents b ON db = b.doc_id)
+      |SELECT lang_lo, lang_hi, COUNT(*) AS n_pairs,
+      |       CAST(SUM(jac_bp) // COUNT(*) AS BIGINT) AS mean_jac_bp
+      |FROM lp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+
   val defs: Seq[(String, QueryDef)] = Seq(
+    "q_crosslang_dup" -> crosslangDup,
     "q_triangle_count" -> triangleCount,
     "q_degree_hist" -> degreeHist,
     "q_sim_report" -> simReport,

@@ -1383,7 +1383,54 @@ object TextOps {
       |SELECT source, doc_id, n_chars, priority, rk
       |FROM r WHERE rk <= 5 ORDER BY source, rk""".stripMargin)
 
+  /** Heaps'-law vocabulary-growth curve: cumulative distinct token
+    * types vs cumulative token occurrences, bucketed by doc_id (50 docs
+    * per bucket). Same first-occurrence decomposition as
+    * q_window_count_distinct — a type counts once, at min(doc_id) — so
+    * the heavy work is two hash aggregates over the exploded corpus;
+    * the cumulative window runs over ≤|corpus|/50 bucket rows (a
+    * partition-less window over an already-aggregated constant-ish
+    * frame, not over the corpus). */
+  private val vocabGrowth = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val toks = Tables.spread(Tables.documents(s, dir), "doc_id")
+        .select($"doc_id", explode(split($"text", " ")).as("tok"))
+        .filter(length($"tok") > 0)
+      val occ = toks.groupBy(expr("doc_id div 50").as("bucket"))
+        .agg(count(lit(1)).as("n_tokens"))
+      val types = toks.groupBy($"tok").agg(min($"doc_id").as("first_doc"))
+        .groupBy(expr("first_doc div 50").as("bucket"))
+        .agg(count(lit(1)).as("new_types"))
+      occ.join(types, Seq("bucket"), "left")
+        .withColumn("new_types", coalesce($"new_types", lit(0L)))
+        .withColumn("cum_tokens",
+          sum($"n_tokens").over(Window.orderBy($"bucket")))
+        .withColumn("cum_types",
+          sum($"new_types").over(Window.orderBy($"bucket")))
+        .orderBy($"bucket")
+    },
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |  FROM documents),
+      |tf AS (SELECT doc_id, tok FROM toks WHERE length(tok) > 0),
+      |occ AS (
+      |  SELECT doc_id // 50 AS bucket, COUNT(*) AS n_tokens
+      |  FROM tf GROUP BY 1),
+      |ty AS (
+      |  SELECT first_doc // 50 AS bucket, COUNT(*) AS new_types FROM (
+      |    SELECT tok, MIN(doc_id) AS first_doc FROM tf GROUP BY 1)
+      |  GROUP BY 1)
+      |SELECT o.bucket, o.n_tokens, COALESCE(t.new_types, 0) AS new_types,
+      |       CAST(SUM(o.n_tokens) OVER (ORDER BY o.bucket) AS BIGINT)
+      |         AS cum_tokens,
+      |       CAST(SUM(COALESCE(t.new_types, 0)) OVER (ORDER BY o.bucket)
+      |         AS BIGINT) AS cum_types
+      |FROM occ o LEFT JOIN ty t ON o.bucket = t.bucket
+      |ORDER BY o.bucket""".stripMargin)
+
   val defs: Seq[(String, QueryDef)] = Seq(
+    "q_vocab_growth" -> vocabGrowth,
     "q_sample_weighted" -> sampleWeighted,
     "q_filter_funnel" -> filterFunnel,
     "q_heavy_hitters" -> heavyHitters,

@@ -353,7 +353,55 @@ object Windows {
       |FROM c JOIN t USING (prev)
       |ORDER BY c.prev, c.next""".stripMargin)
 
+  /** Cumulative DISTINCT-user count per event_type by day — the window
+    * operator Spark (and DuckDB) lack natively (COUNT(DISTINCT) OVER is
+    * unsupported in both), implemented by the scalable first-occurrence
+    * decomposition: a user contributes to the running distinct count
+    * exactly once, on their first active day, so
+    * `cum_distinct = running Σ of per-day first-appearance counts`.
+    * Two hash aggregates ((type,user) → min day; (type,day) → counts)
+    * + one tiny per-type window over ≤|days| rows — versus the naive
+    * size(collect_set() OVER) which buffers every user id per row and
+    * OOMs at 100 TB. Both engines replay the identical decomposition. */
+  private val windowCountDistinct = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+        .select($"event_type", to_date($"ts").as("date"), $"user_id")
+      val daily = ev.groupBy($"event_type", $"date")
+        .agg(count(lit(1)).as("n_events"))
+      val firsts = ev.groupBy($"event_type", $"user_id")
+        .agg(min($"date").as("date"))
+        .groupBy($"event_type", $"date")
+        .agg(count(lit(1)).as("new_users"))
+      daily.join(firsts, Seq("event_type", "date"), "left")
+        .withColumn("new_users", coalesce($"new_users", lit(0L)))
+        .withColumn("cum_distinct_users",
+          sum($"new_users").over(
+            Window.partitionBy($"event_type").orderBy($"date")))
+        .orderBy($"event_type", $"date")
+    },
+    """WITH ev AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS date, user_id FROM events),
+      |daily AS (
+      |  SELECT event_type, date, COUNT(*) AS n_events
+      |  FROM ev GROUP BY 1, 2),
+      |firsts AS (
+      |  SELECT event_type, date, COUNT(*) AS new_users FROM (
+      |    SELECT event_type, user_id, MIN(date) AS date
+      |    FROM ev GROUP BY 1, 2)
+      |  GROUP BY 1, 2)
+      |SELECT d.event_type, d.date, d.n_events,
+      |       COALESCE(f.new_users, 0) AS new_users,
+      |       CAST(SUM(COALESCE(f.new_users, 0))
+      |         OVER (PARTITION BY d.event_type ORDER BY d.date)
+      |         AS BIGINT) AS cum_distinct_users
+      |FROM daily d LEFT JOIN firsts f
+      |  ON d.event_type = f.event_type AND d.date = f.date
+      |ORDER BY d.event_type, d.date""".stripMargin)
+
   val defs: Seq[(String, QueryDef)] = Seq(
+    "q_window_count_distinct" -> windowCountDistinct,
     "q_markov_transition" -> markovTransition,
     "q_window_range" -> windowRange,
     "q_window_dist" -> windowDist,

@@ -432,4 +432,32 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
       p.take(4000))
   }
+
+  test("q_bloom_join: might_contain prunes the fact scan BEFORE the " +
+    "exact semi join (the explicit runtime-filter reduction)") {
+    val p = plan("q_bloom_join")
+    assert(p.contains("might_contain"), p.take(4000))
+    assert(p.contains("LeftSemi"), p.take(4000))
+    // the bloom probe must sit in the lineitem Filter, i.e. appear
+    // earlier in the plan string than the semi join that consumes it
+    assert(p.indexOf("might_contain") > p.indexOf("LeftSemi"),
+      "bloom filter should be below (after in print order) the semi join\n" +
+        p.take(4000))
+  }
+
+  test("q_gini / q_chi_square / q_autocorr stay integer-exact: no " +
+    "double-typed aggregation feeds the emitted statistic") {
+    // the contract is structural: moments are decimal sums (order-free)
+    val pg = plan("q_gini")
+    assert(pg.contains("sum(cast(") || pg.contains("decimal(38,0)"), pg.take(3000))
+    val pa = plan("q_autocorr")
+    assert(pa.contains("decimal(38,0)"), pa.take(3000))
+  }
+
+  test("q_window_count_distinct avoids per-row state: two hash " +
+    "aggregates + a window over aggregated days only") {
+    val p = plan("q_window_count_distinct")
+    assert(!p.contains("collect_set"), p.take(3000))
+    assert(p.contains("HashAggregate"), p.take(3000))
+  }
 }
