@@ -571,7 +571,153 @@ object Incremental {
       |       100.0 * CAST(s4 - p4 AS DOUBLE) / CAST(p4 AS DOUBLE) AS growth_pct
       |FROM lagged ORDER BY event_type, week""".stripMargin)
 
+  /** Zone-map construction — the file-skipping index a 100 TB lakehouse
+    * scan lives on: per date partition, min/max/count of the value
+    * column plus the verdict of a candidate predicate (value BETWEEN
+    * 100 AND 200) against the zone — `can_skip` = the whole partition
+    * is provably outside the range, exactly the pruning decision
+    * Parquet row-group stats / Iceberg manifests make. min/max are pure
+    * selections (no arithmetic) so raw doubles compare engine-safe.
+    * One two-phase aggregate; emitted zones are |dates| rows. */
+  private val zoneMap = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .groupBy(to_date($"ts").as("date"))
+        .agg(count(lit(1)).as("n"),
+          min($"value").as("min_v"), max($"value").as("max_v"))
+        .withColumn("can_skip",
+          ($"max_v" < 100.0 || $"min_v" > 200.0).cast("boolean"))
+        .orderBy($"date")
+    },
+    """SELECT CAST(ts AS DATE) AS date, COUNT(*) AS n,
+      |       MIN(value) AS min_v, MAX(value) AS max_v,
+      |       (MAX(value) < 100.0 OR MIN(value) > 200.0) AS can_skip
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
+
+  /** Daily P50/P95 bands of the event value — the time-series quantile
+    * report (SLO/latency-band shape). Uses the EXACT integer rank rule
+    * pinned for quantile_disc (1-based ⌈p·n⌉: (n+1) div 2, (19n+19)
+    * div 20), computed with one per-date sort window + conditional
+    * agg — no buffering percentile aggregate (the built-in
+    * materializes each group's values in memory; this shape spills
+    * naturally and survives arbitrary group width). Value ties take
+    * the same VALUE on both engines regardless of tie order. */
+  private val dailyPercentile = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"date").orderBy($"value", $"event_id")
+      Tables.events(s, dir)
+        .select(to_date($"ts").as("date"), $"value", $"event_id")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy($"date")))
+        .groupBy($"date")
+        .agg(first($"n").as("n"),
+          max(when($"rn" === expr("(n + 1) div 2"), $"value")).as("p50"),
+          max(when($"rn" === expr("(19 * n + 19) div 20"), $"value")).as("p95"))
+        .orderBy($"date")
+    },
+    """SELECT CAST(ts AS DATE) AS date, COUNT(*) AS n,
+      |       quantile_disc(value, 0.5) AS p50,
+      |       quantile_disc(value, 0.95) AS p95
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
+
+  /** Interval coalescing (merge overlapping activity spans) — the
+    * gaps-and-islands operator: each event opens a 300 s activity
+    * interval; overlapping/touching intervals per user merge into
+    * islands. A new island starts exactly when an event's start exceeds
+    * the running max end of all EARLIER intervals (running-max window,
+    * 1-row lookback frame), island id = running count of starts — one
+    * sort-window pass per user partition, no self-join (the naive
+    * interval self-join is quadratic per hot user). Epoch-seconds
+    * integers end to end. */
+  private val intervalMerge = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val byUser = Window.partitionBy($"user_id")
+        .orderBy($"start_s", $"event_id")
+      val prevEnd = Window.partitionBy($"user_id")
+        .orderBy($"start_s", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.events(s, dir)
+        .select($"user_id", $"event_id",
+          date_trunc("second", $"ts").cast("long").as("start_s"))
+        .withColumn("end_s", $"start_s" + 300)
+        .withColumn("new_island",
+          when($"start_s" > max($"end_s").over(prevEnd), 1L).otherwise(
+            when(max($"end_s").over(prevEnd).isNull, 1L).otherwise(0L)))
+        .withColumn("island", sum($"new_island").over(byUser))
+        .groupBy($"user_id", $"island")
+        .agg(min($"start_s").as("start_s"), max($"end_s").as("end_s"),
+          count(lit(1)).as("n_events"))
+        .orderBy($"user_id", $"island")
+    },
+    """WITH iv AS (
+      |  SELECT user_id, event_id,
+      |         CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS start_s,
+      |         CAST(epoch(date_trunc('second', ts)) AS BIGINT) + 300 AS end_s
+      |  FROM events),
+      |fl AS (
+      |  SELECT user_id, event_id, start_s, end_s,
+      |         CASE WHEN MAX(end_s) OVER w IS NULL
+      |                OR start_s > MAX(end_s) OVER w
+      |              THEN 1 ELSE 0 END AS new_island
+      |  FROM iv
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY start_s, event_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+      |isl AS (
+      |  SELECT user_id, start_s, end_s,
+      |         CAST(SUM(new_island) OVER (PARTITION BY user_id
+      |           ORDER BY start_s, event_id) AS BIGINT) AS island
+      |  FROM fl)
+      |SELECT user_id, island, MIN(start_s) AS start_s, MAX(end_s) AS end_s,
+      |       COUNT(*) AS n_events
+      |FROM isl GROUP BY 1, 2 ORDER BY user_id, island""".stripMargin)
+
+  /** Time-to-conversion funnel metric: per user, seconds from first
+    * signup to first subsequent purchase, reported as a histogram over
+    * whole days-to-convert. One conditional aggregate per user (min
+    * signup instant, min purchase instant AFTER it via a second pass)
+    * + a tiny histogram rollup — no event-pair join. */
+  private val timeToConvert = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+        .select($"user_id", $"event_type",
+          date_trunc("second", $"ts").cast("long").as("ts_s"))
+      val signup = ev.filter($"event_type" === "signup")
+        .groupBy($"user_id").agg(min($"ts_s").as("s0"))
+      val conv = ev.filter($"event_type" === "purchase")
+        .join(signup, "user_id")
+        .filter($"ts_s" >= $"s0")
+        .groupBy($"user_id")
+        .agg(min($"ts_s").as("p0"), first($"s0").as("s0"))
+      conv
+        .groupBy(expr("(p0 - s0) div 86400").as("days_to_convert"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy($"days_to_convert")
+    },
+    """WITH ev AS (
+      |  SELECT user_id, event_type,
+      |         CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_s
+      |  FROM events),
+      |signup AS (
+      |  SELECT user_id, MIN(ts_s) AS s0 FROM ev
+      |  WHERE event_type = 'signup' GROUP BY 1),
+      |conv AS (
+      |  SELECT e.user_id, MIN(e.ts_s) AS p0, MIN(s.s0) AS s0
+      |  FROM ev e JOIN signup s ON e.user_id = s.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts_s >= s.s0
+      |  GROUP BY 1)
+      |SELECT CAST((p0 - s0) // 86400 AS BIGINT) AS days_to_convert,
+      |       COUNT(*) AS n_users
+      |FROM conv GROUP BY 1 ORDER BY 1""".stripMargin)
+
   val defs: Seq[(String, QueryDef)] = Seq(
+    "q_zone_map" -> zoneMap,
+    "q_daily_percentile" -> dailyPercentile,
+    "q_interval_merge" -> intervalMerge,
+    "q_time_to_convert" -> timeToConvert,
     "q_pop_growth" -> popGrowth,
     "q_ewma" -> ewma,
     "q_cdc_merge" -> cdcMerge,

@@ -1109,8 +1109,38 @@ object TextDedup {
       |       CAST(SUM(jac_bp) // COUNT(*) AS BIGINT) AS mean_jac_bp
       |FROM lp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 
+  /** Dedup accounting per source — which feeds are bringing duplicate
+    * mass: per documents.source, total docs, docs kept by the canonical
+    * assignment, and the drop rate in exact integer basis points.
+    * Reuses the memoized [[canonicalAssign]] fixpoint (one CC pass per
+    * session) joined to the source dimension; the rollup is a 20-row
+    * two-phase aggregate — scale cost is the dedup pass it reuses, not
+    * this report. */
+  private val dedupBySource = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      canonicalAssign(s, dir)
+        .join(Tables.documents(s, dir).select($"doc_id", $"source"), "doc_id")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"kept").as("n_kept"))
+        .withColumn("drop_bp", expr(
+          "CAST(((n_docs - n_kept) * 10000) div n_docs AS BIGINT)"))
+        .withColumn("n_kept", $"n_kept".cast("long"))
+        .orderBy($"source")
+    },
+    oracleCanonicalLabels + """
+      |SELECT source, COUNT(*) AS n_docs,
+      |       CAST(SUM(CAST(l.doc_id = l.canonical AS BIGINT)) AS BIGINT)
+      |         AS n_kept,
+      |       CAST(((COUNT(*) - SUM(CAST(l.doc_id = l.canonical AS BIGINT)))
+      |             * 10000) // COUNT(*) AS BIGINT) AS drop_bp
+      |FROM lbl l JOIN documents d ON l.doc_id = d.doc_id
+      |GROUP BY source ORDER BY source""".stripMargin)
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q_crosslang_dup" -> crosslangDup,
+    "q_dedup_by_source" -> dedupBySource,
     "q_triangle_count" -> triangleCount,
     "q_degree_hist" -> degreeHist,
     "q_sim_report" -> simReport,

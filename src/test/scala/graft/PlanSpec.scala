@@ -460,4 +460,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("collect_set"), p.take(3000))
     assert(p.contains("HashAggregate"), p.take(3000))
   }
+
+  test("q_bucketed_join: bucket co-location eliminates BOTH join-side " +
+    "shuffles (SortMergeJoin directly over bucketed scans)") {
+    val p = plan("q_bucketed_join")
+    assert(p.contains("SortMergeJoin"), p.take(4000))
+    assert(!p.contains("hashpartitioning(l_orderkey") &&
+      !p.contains("hashpartitioning(o_orderkey"),
+      "join keys must NOT be shuffled — bucketed layout provides the " +
+        "partitioning\n" + p.take(4000))
+  }
 }
