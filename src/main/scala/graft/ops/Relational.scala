@@ -1312,7 +1312,213 @@ object Relational {
       |            // (CAST(t AS HUGEINT) * r * c) AS BIGINT) AS term_bp
       |FROM m ORDER BY event_type, bucket""".stripMargin)
 
+  /** Referential-integrity audit across the star schema's three FK
+    * edges — the data-quality gate an ingest pipeline runs before
+    * publishing. Each edge is a LEFT ANTI join (shuffles keys only,
+    * stops at first match) counted against the fact total; the three
+    * 1-row results union. 0 orphans is the expected healthy reading —
+    * the query is the CHECK, not a filter. */
+  private val fkCheck = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      def audit(name: String, fact: org.apache.spark.sql.DataFrame,
+                fk: String, dim: org.apache.spark.sql.DataFrame,
+                pk: String): org.apache.spark.sql.DataFrame = {
+        val total = fact.agg(count(lit(1)).as("n_rows"))
+        val orphans = fact.join(dim, col(fk) === col(pk), "left_anti")
+          .agg(count(lit(1)).as("n_orphans"))
+        total.crossJoin(orphans).select(lit(name).as("fk"),
+          $"n_rows", $"n_orphans")
+      }
+      audit("lineitem.orderkey", Tables.lineitem(s, dir), "l_orderkey",
+          Tables.orders(s, dir), "o_orderkey")
+        .unionByName(audit("lineitem.partkey", Tables.lineitem(s, dir),
+          "l_partkey", Tables.part(s, dir), "p_partkey"))
+        .unionByName(audit("orders.custkey", Tables.orders(s, dir),
+          "o_custkey", Tables.customer(s, dir), "c_custkey"))
+        .orderBy($"fk")
+    },
+    """SELECT 'lineitem.orderkey' AS fk,
+      |       (SELECT COUNT(*) FROM lineitem) AS n_rows,
+      |       (SELECT COUNT(*) FROM lineitem WHERE NOT EXISTS
+      |         (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)) AS n_orphans
+      |UNION ALL
+      |SELECT 'lineitem.partkey',
+      |       (SELECT COUNT(*) FROM lineitem),
+      |       (SELECT COUNT(*) FROM lineitem WHERE NOT EXISTS
+      |         (SELECT 1 FROM part WHERE p_partkey = l_partkey))
+      |UNION ALL
+      |SELECT 'orders.custkey',
+      |       (SELECT COUNT(*) FROM orders),
+      |       (SELECT COUNT(*) FROM orders WHERE NOT EXISTS
+      |         (SELECT 1 FROM customer WHERE c_custkey = o_custkey))
+      |ORDER BY fk""".stripMargin)
+
+  /** Two-sample Kolmogorov–Smirnov distance (binned) between the event
+    * values of two user cohorts (even vs odd user_id) — the
+    * distribution-drift detector. ECDFs are compared on a fixed
+    * value grid (width-10 bins): at 100 TB an exact KS needs a global
+    * sort over every distinct double, while the binned statistic needs
+    * ONE hash aggregate + a window over ≤|grid| rows; the bin width is
+    * the documented resolution. D is emitted in exact integer basis
+    * points via cross-multiplication (|c0·n1 − c1·n0|·10⁴ div n0·n1)
+    * — no IEEE division inside the max. */
+  private val ksTest = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val binned = Tables.events(s, dir)
+        .select((floor($"value" / 10).cast("long") * 10).as("bin"),
+          ($"user_id" % 2).as("g"))
+        .groupBy($"bin")
+        .agg(sum(when($"g" === 0, 1L).otherwise(0L)).as("c0"),
+          sum(when($"g" === 1, 1L).otherwise(0L)).as("c1"))
+      // ≤ ~60 grid rows — the partition-less windows run over the
+      // aggregated grid, never the fact table
+      val w = Window.orderBy($"bin")
+      val tot = Window.partitionBy()
+      val perBin = binned
+        .withColumn("f0", sum($"c0").over(w))
+        .withColumn("f1", sum($"c1").over(w))
+        .withColumn("n0", sum($"c0").over(tot))
+        .withColumn("n1", sum($"c1").over(tot))
+        .withColumn("bp", expr(
+          """(abs(CAST(f0 AS DECIMAL(38,0)) * n1
+            |     - CAST(f1 AS DECIMAL(38,0)) * n0) * 10000)
+            |div (CAST(n0 AS DECIMAL(38,0)) * n1)""".stripMargin))
+      perBin
+        .withColumn("mx", max($"bp").over(tot))
+        .filter($"bp" === $"mx")
+        .groupBy($"n0", $"n1")
+        .agg(min($"bin").as("at_bin"),
+          max($"bp").cast("long").as("ks_bp"))
+        .select($"ks_bp", $"at_bin", $"n0", $"n1")
+    },
+    """WITH binned AS (
+      |  SELECT CAST(FLOOR(value / 10) AS BIGINT) * 10 AS bin,
+      |         SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS c0,
+      |         SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS c1
+      |  FROM events GROUP BY 1),
+      |cum AS (
+      |  SELECT bin,
+      |         SUM(c0) OVER (ORDER BY bin) AS f0,
+      |         SUM(c1) OVER (ORDER BY bin) AS f1,
+      |         SUM(c0) OVER () AS n0, SUM(c1) OVER () AS n1
+      |  FROM binned),
+      |bp AS (
+      |  SELECT bin, n0, n1,
+      |         (ABS(CAST(f0 AS HUGEINT) * n1 - CAST(f1 AS HUGEINT) * n0)
+      |          * 10000) // (CAST(n0 AS HUGEINT) * n1) AS bp
+      |  FROM cum)
+      |SELECT CAST(MAX(bp) AS BIGINT) AS ks_bp, MIN(bin) AS at_bin,
+      |       CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1
+      |FROM bp WHERE bp = (SELECT MAX(bp) FROM bp) GROUP BY n0, n1""".stripMargin)
+
+  /** Population Stability Index between the same two cohorts over a
+    * 12-bucket value grid — the model-monitoring drift score. Bucket
+    * shares use add-one smoothing (never log 0); the per-bucket counts
+    * are exact integers, so both engines evaluate ln on bit-identical
+    * ratios (libm log differs from the true value by ≤1 ulp — orders
+    * of magnitude below the 4-decimal emission). One fact-table hash
+    * aggregate; everything after runs on 12 rows. */
+  private val psi = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val binned = Tables.events(s, dir)
+        .select(least(floor($"value" / 50).cast("long"), lit(11L)).as("bucket"),
+          ($"user_id" % 2).as("g"))
+        .groupBy($"bucket")
+        .agg(sum(when($"g" === 0, 1L).otherwise(0L)).as("c0"),
+          sum(when($"g" === 1, 1L).otherwise(0L)).as("c1"))
+      val tot = Window.partitionBy()
+      val nb = count(lit(1)).over(tot)
+      binned
+        .withColumn("p", ($"c0" + 1).cast("double") /
+          (sum($"c0").over(tot) + nb).cast("double"))
+        .withColumn("q", ($"c1" + 1).cast("double") /
+          (sum($"c1").over(tot) + nb).cast("double"))
+        .withColumn("term", ($"p" - $"q") * log($"p" / $"q"))
+        .select($"bucket", $"c0", $"c1", round($"term", 4).as("term_r4"))
+        .orderBy($"bucket")
+    },
+    """WITH binned AS (
+      |  SELECT LEAST(CAST(FLOOR(value / 50) AS BIGINT), 11) AS bucket,
+      |         SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS c0,
+      |         SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS c1
+      |  FROM events GROUP BY 1),
+      |sm AS (
+      |  SELECT bucket, c0, c1,
+      |         CAST(c0 + 1 AS DOUBLE) /
+      |           CAST(SUM(c0) OVER () + COUNT(*) OVER () AS DOUBLE) AS p,
+      |         CAST(c1 + 1 AS DOUBLE) /
+      |           CAST(SUM(c1) OVER () + COUNT(*) OVER () AS DOUBLE) AS q
+      |  FROM binned)
+      |SELECT bucket, CAST(c0 AS BIGINT) AS c0, CAST(c1 AS BIGINT) AS c1,
+      |       ROUND((p - q) * LN(p / q), 4) AS term_r4
+      |FROM sm ORDER BY bucket""".stripMargin)
+
+  /** Exact mode per group with a pinned tie rule (highest count, then
+    * lowest bucket) — no engine mode() whose tie choice is unspecified:
+    * count per (group, bucket), WindowGroupLimit rank-1 pick. */
+  private val mode_ = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"event_type")
+        .orderBy($"n".desc, $"bucket")
+      Tables.events(s, dir)
+        .groupBy($"event_type", floor($"value" / 10).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rk", row_number().over(w))
+        .filter($"rk" === 1)
+        .select($"event_type", $"bucket".as("mode_bucket"), $"n")
+        .orderBy($"event_type")
+    },
+    """SELECT event_type, bucket AS mode_bucket, n FROM (
+      |  SELECT event_type, CAST(FLOOR(value / 10) AS BIGINT) AS bucket,
+      |         COUNT(*) AS n,
+      |         ROW_NUMBER() OVER (PARTITION BY event_type
+      |           ORDER BY COUNT(*) DESC, CAST(FLOOR(value / 10) AS BIGINT))
+      |           AS rk
+      |  FROM events GROUP BY 1, 2)
+      |WHERE rk = 1 ORDER BY event_type""".stripMargin)
+
+  /** Benford first-digit census over order totals — the classic
+    * fabricated-data smell test. The first significant digit comes from
+    * the exact cents integer's decimal rendering (identical int→string
+    * on both engines — no float log10 near power-of-ten boundaries);
+    * observed shares and Benford's expected log10(1+1/d) both emit in
+    * basis points. One fact aggregate over 9 digit groups. */
+  private val benford = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val digit = substring(round($"o_totalprice" * 100).cast("long")
+        .cast("string"), 1, 1).cast("long")
+      val tot = Window.partitionBy()
+      Tables.orders(s, dir)
+        .groupBy(digit.as("digit"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("pct_bp", expr(
+          "CAST((n * 10000) div (sum(n) OVER ()) AS BIGINT)"))
+        .withColumn("benford_bp",
+          round(log(10.0, lit(1.0) + lit(1.0) / $"digit".cast("double"))
+            * 10000).cast("long"))
+        .orderBy($"digit")
+    },
+    """SELECT digit, COUNT(*) AS n,
+      |       CAST((COUNT(*) * 10000) // (SUM(COUNT(*)) OVER ()) AS BIGINT)
+      |         AS pct_bp,
+      |       CAST(ROUND(LOG10(1.0 + 1.0 / digit) * 10000) AS BIGINT)
+      |         AS benford_bp
+      |FROM (SELECT CAST(SUBSTRING(CAST(CAST(ROUND(o_totalprice * 100)
+      |               AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      |      FROM orders)
+      |GROUP BY digit ORDER BY digit""".stripMargin)
+
   val defs: Seq[(String, QueryDef)] = Seq(
+    "q_fk_check" -> fkCheck,
+    "q_ks_test" -> ksTest,
+    "q_psi" -> psi,
+    "q_mode" -> mode_,
+    "q_benford" -> benford,
     "q_autocorr" -> autocorr,
     "q_gini" -> gini,
     "q_chi_square" -> chiSquare,
