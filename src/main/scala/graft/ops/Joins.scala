@@ -1102,15 +1102,20 @@ object Joins {
       val base = java.nio.file.Files
         .createDirectories(java.nio.file.Paths.get(
           sys.props("java.io.tmpdir"), "graft_bucketed")).toString
-      if (!s.catalog.tableExists(ot)) {
-        Tables.orders(s, dir)
-          .select($"o_orderkey", $"o_orderpriority", $"o_totalprice")
-          .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-          .option("path", s"$base/$ot").mode("overwrite").saveAsTable(ot)
-        Tables.lineitem(s, dir)
-          .select($"l_orderkey", $"l_returnflag", $"l_extendedprice")
-          .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-          .option("path", s"$base/$lt").mode("overwrite").saveAsTable(lt)
+      // JVM-wide lock: concurrent builders (parallel test suites) must
+      // not race the one-off bucketed ingest (double saveAsTable to the
+      // same path corrupts the table)
+      Joins.synchronized {
+        if (!s.catalog.tableExists(ot)) {
+          Tables.orders(s, dir)
+            .select($"o_orderkey", $"o_orderpriority", $"o_totalprice")
+            .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+            .option("path", s"$base/$ot").mode("overwrite").saveAsTable(ot)
+          Tables.lineitem(s, dir)
+            .select($"l_orderkey", $"l_returnflag", $"l_extendedprice")
+            .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+            .option("path", s"$base/$lt").mode("overwrite").saveAsTable(lt)
+        }
       }
       // MERGE hint: at fixture scale the optimizer would broadcast the
       // small side (also fine), but the point being pinned is the

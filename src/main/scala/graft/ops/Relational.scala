@@ -1513,7 +1513,112 @@ object Relational {
       |      FROM orders)
       |GROUP BY digit ORDER BY digit""".stripMargin)
 
+  /** Two-proportion z-test between user cohorts (even vs odd user_id):
+    * did cohort B convert (≥1 purchase) at a different rate — the
+    * experimentation primitive. All counts are exact integers (distinct
+    * users, converted users per cohort); p̂s and the pooled-variance z
+    * are a short fixed chain of IEEE ops on identical operands, rounded
+    * to 4 decimals. One distinct-user aggregate + one 2-row rollup. */
+  private val abTest = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      // conversion = a HIGH-VALUE purchase (≥150): the raw purchase
+      // event is near-universal in the fixture (67 events/user), which
+      // degenerates the test to p̂=1 where the pooled variance — hence
+      // z's denominator — is exactly 0 (and ANSI mode correctly throws
+      // on 0-divisor doubles); the guard below still emits NULL z for
+      // degenerate cohorts rather than relying on the data
+      val perUser = Tables.events(s, dir)
+        .groupBy($"user_id")
+        .agg(max(when($"event_type" === "purchase" && $"value" >= 150.0,
+          1L).otherwise(0L)).as("converted"))
+      val cohorts = perUser
+        .groupBy(($"user_id" % 2).as("cohort"))
+        .agg(count(lit(1)).as("n"), sum($"converted").as("c"))
+      val a = cohorts.filter($"cohort" === 0)
+        .select($"n".as("n0"), $"c".as("c0"))
+      val b = cohorts.filter($"cohort" === 1)
+        .select($"n".as("n1"), $"c".as("c1"))
+      a.crossJoin(b)
+        .withColumn("p0", $"c0".cast("double") / $"n0".cast("double"))
+        .withColumn("p1", $"c1".cast("double") / $"n1".cast("double"))
+        .withColumn("pp", ($"c0" + $"c1").cast("double") /
+          ($"n0" + $"n1").cast("double"))
+        .withColumn("den", sqrt($"pp" * (lit(1.0) - $"pp") *
+          (lit(1.0) / $"n0".cast("double") +
+           lit(1.0) / $"n1".cast("double"))))
+        .select($"n0", $"c0", $"n1", $"c1",
+          round($"p0" - $"p1", 4).as("lift_r4"),
+          when($"den" === 0.0, lit(null).cast("double"))
+            .otherwise(round(($"p0" - $"p1") / $"den", 4)).as("z_r4"))
+    },
+    """WITH pu AS (
+      |  SELECT user_id,
+      |         MAX(CASE WHEN event_type = 'purchase' AND value >= 150.0
+      |             THEN 1 ELSE 0 END) AS conv
+      |  FROM events GROUP BY 1),
+      |co AS (
+      |  SELECT user_id % 2 AS cohort, COUNT(*) AS n,
+      |         CAST(SUM(conv) AS BIGINT) AS c
+      |  FROM pu GROUP BY 1),
+      |ab AS (
+      |  SELECT a.n AS n0, a.c AS c0, b.n AS n1, b.c AS c1
+      |  FROM (SELECT * FROM co WHERE cohort = 0) a,
+      |       (SELECT * FROM co WHERE cohort = 1) b),
+      |d AS (
+      |  SELECT n0, c0, n1, c1,
+      |         CAST(c0 AS DOUBLE) / n0 AS p0, CAST(c1 AS DOUBLE) / n1 AS p1,
+      |         SQRT((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+      |              * (1.0 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+      |              * (1.0 / CAST(n0 AS DOUBLE)
+      |                 + 1.0 / CAST(n1 AS DOUBLE))) AS den
+      |  FROM ab)
+      |SELECT n0, c0, n1, c1,
+      |       ROUND(p0 - p1, 4) AS lift_r4,
+      |       CASE WHEN den = 0.0 THEN NULL
+      |            ELSE ROUND((p0 - p1) / den, 4) END AS z_r4
+      |FROM d""".stripMargin)
+
+  /** Ordered string aggregation (LISTAGG/string_agg) with an explicit
+    * deterministic order — top-3 orders by value per priority class,
+    * joined into one CSV cell. Spark's collect_list order is shuffle-
+    * dependent, so the list is SORTED after collection (struct sort on
+    * the same keys the oracle's WITHIN-GROUP order uses); the top-3 cut
+    * is WindowGroupLimit, not a global sort. */
+  private val listagg = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_orderpriority")
+        .orderBy($"o_totalprice".desc, $"o_orderkey".desc)
+      Tables.orders(s, dir)
+        .withColumn("rk", row_number().over(w))
+        .filter($"rk" <= 3)
+        .groupBy($"o_orderpriority")
+        .agg(
+          array_join(
+            transform(
+              reverse(sort_array(collect_list(
+                struct($"o_totalprice", $"o_orderkey")))),
+              x => x.getField("o_orderkey").cast("string")), ",")
+            .as("top_orders"),
+          count(lit(1)).as("n"))
+        .orderBy($"o_orderpriority")
+    },
+    """SELECT o_orderpriority,
+      |       string_agg(CAST(o_orderkey AS VARCHAR), ','
+      |         ORDER BY o_totalprice DESC, o_orderkey DESC) AS top_orders,
+      |       COUNT(*) AS n
+      |FROM (
+      |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+      |           ORDER BY o_totalprice DESC, o_orderkey DESC) AS rk
+      |  FROM orders)
+      |WHERE rk <= 3
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+
   val defs: Seq[(String, QueryDef)] = Seq(
+    "q_ab_test" -> abTest,
+    "q_listagg" -> listagg,
     "q_fk_check" -> fkCheck,
     "q_ks_test" -> ksTest,
     "q_psi" -> psi,

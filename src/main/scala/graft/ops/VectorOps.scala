@@ -893,7 +893,96 @@ object VectorOps {
       |       CAST(ROUND(d2s, 4) AS DOUBLE) AS d2, rk
       |FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin)
 
+  /** One logistic-regression gradient step over the embedding store —
+    * the distributed training-step shape (the full loop is this step
+    * iterated): fixed deterministic weights w_d = ((d·37 mod 21) − 10)
+    * / 10 (both engines derive them from the same integers), binary
+    * target label > 4, per-row z = w·x as the same fixed-order
+    * double chain both engines use for every dot product here,
+    * σ = 1/(1+e^(−z)), and grad_d = Σ (σ−y)·x_d / n with the per-term
+    * products cast to decimal so the SUM is order-independent (libm
+    * exp differs from Java's by ≤1 ulp — ~1e-16 per term against a
+    * 1e-4 emission grid). Scale: w is a literal (no broadcast even),
+    * one posexplode + two-phase (dim)-keyed aggregate — the classic
+    * data-parallel gradient AllReduce. */
+  private val logregGrad = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val wArr = array((1 to Dim).map(d =>
+        lit(((d * 37) % 21 - 10) / 10.0)): _*)
+      val emb = Tables.spread(Tables.embeddings(s, dir), "vec_id")
+        .select($"vec_id", vcol($"embedding").as("v"),
+          when($"label" > 4, 1.0).otherwise(0.0).as("y"))
+        .withColumn("z", aggregate(zip_with($"v", wArr, (x, w) => x * w),
+          lit(0.0), (acc, t) => acc + t))
+        .withColumn("sig", lit(1.0) / (lit(1.0) + exp(-$"z")))
+      emb.select($"sig", $"y", posexplode($"v"))
+        .groupBy(($"pos" + 1).cast("long").as("pos"))
+        .agg(
+          Incremental.r4a(sum((($"sig" - $"y") * $"col")
+            .cast("decimal(28,10)")), count(lit(1))).as("grad"),
+          count(lit(1)).as("n"))
+        .orderBy($"pos")
+    },
+    s"""WITH v AS (
+      |  SELECT vec_id,
+      |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve,
+      |         CASE WHEN label > 4 THEN 1.0 ELSE 0.0 END AS y
+      |  FROM embeddings),
+      |w AS (SELECT list_transform(range(1, ${Dim + 1}), d ->
+      |        CAST((d * 37) % 21 - 10 AS DOUBLE) / 10.0) AS wv),
+      |z AS (
+      |  SELECT vec_id, ve, y,
+      |         1.0 / (1.0 + EXP(-list_sum(list_transform(
+      |           range(1, ${Dim + 1}), i -> ve[i] * wv[i])))) AS sig
+      |  FROM v CROSS JOIN w),
+      |e AS (
+      |  SELECT CAST(i.i AS BIGINT) AS pos, (sig - y) * ve[i.i] AS t
+      |  FROM z CROSS JOIN (SELECT UNNEST(range(1, ${Dim + 1})) AS i) i)
+      |SELECT pos,
+      |       FLOOR(CAST(CAST(CAST(ROUND(SUM(CAST(t AS DECIMAL(28,10))), 6) AS DECIMAL(24,6)) * 1000000 AS BIGINT) AS DOUBLE) / (COUNT(*) * 100.0) + 0.5) / 10000.0 AS grad,
+      |       COUNT(*) AS n
+      |FROM e GROUP BY 1 ORDER BY 1""".stripMargin)
+
+  /** Sparse sign random projection (Achlioptas 2003 JL transform):
+    * 64-dim embeddings down to 8 dims via a deterministic ±1 matrix
+    * s(d,j) = ((d·31 + j·17) mod 2)·2 − 1 both engines rebuild from
+    * integers — the dimensionality-reduction preprocessing step before
+    * cheaper ANN / clustering. The projection is a narrow per-row map
+    * (the "matrix" is a literal — nothing is even broadcast); emitted
+    * per (vec, output-dim) with the same fixed-order dot-product
+    * chain as every vector op here. */
+  private val randomProjection = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val PDim = 8
+      val emb = Tables.spread(Tables.embeddings(s, dir), "vec_id")
+        .select($"vec_id", vcol($"embedding").as("v"))
+      val projs = array((1 to PDim).map { j =>
+        val signs = array((1 to Dim).map(d =>
+          lit((((d * 31 + j * 17) % 2) * 2 - 1).toDouble)): _*)
+        struct(lit(j).cast("long").as("j"),
+          aggregate(zip_with($"v", signs, (x, sg) => x * sg),
+            lit(0.0), (acc, t) => acc + t).as("p"))
+      }: _*)
+      emb.select($"vec_id", explode(projs).as("pr"))
+        .select($"vec_id", $"pr.j".as("j"), round($"pr.p", 4).as("p_r4"))
+        .orderBy($"vec_id", $"j")
+    },
+    s"""WITH v AS (
+      |  SELECT vec_id,
+      |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+      |  FROM embeddings)
+      |SELECT vec_id, CAST(j.j AS BIGINT) AS j,
+      |       ROUND(list_sum(list_transform(range(1, ${Dim + 1}), d ->
+      |         ve[d] * CAST(((d * 31 + j.j * 17) % 2) * 2 - 1 AS DOUBLE))),
+      |         4) AS p_r4
+      |FROM v CROSS JOIN (SELECT UNNEST(range(1, 9)) AS j) j
+      |ORDER BY vec_id, j""".stripMargin)
+
   val defs: Seq[(String, QueryDef)] = Seq(
+    "q_logreg_grad" -> logregGrad,
+    "q_random_projection" -> randomProjection,
     "q_ivfpq" -> ivfPq,
     "q_vec_pq" -> vecPq,
     "q_pq_adc" -> pqAdc,
