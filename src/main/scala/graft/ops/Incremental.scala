@@ -713,11 +713,116 @@ object Incremental {
       |       COUNT(*) AS n_users
       |FROM conv GROUP BY 1 ORDER BY 1""".stripMargin)
 
+  /** Session-level rollup over the merged activity islands (the same
+    * gaps-and-islands computation as q_interval_merge): sessions
+    * bucketed by duration minute, with exact-bp mean events/session
+    * and purchase-session share — the session-quality dashboard. All
+    * integer arithmetic; the rollup input is |sessions| rows. */
+  private val sessionStats = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val byUser = Window.partitionBy($"user_id")
+        .orderBy($"start_s", $"event_id")
+      val prevEnd = byUser.rowsBetween(Window.unboundedPreceding, -1)
+      val sessions = Tables.events(s, dir)
+        .select($"user_id", $"event_id", $"event_type",
+          date_trunc("second", $"ts").cast("long").as("start_s"))
+        .withColumn("end_s", $"start_s" + 300)
+        .withColumn("new_island",
+          when(max($"end_s").over(prevEnd).isNull ||
+            $"start_s" > max($"end_s").over(prevEnd), 1L).otherwise(0L))
+        .withColumn("island", sum($"new_island").over(byUser))
+        .groupBy($"user_id", $"island")
+        .agg(min($"start_s").as("ss"), max($"end_s").as("es"),
+          count(lit(1)).as("n_ev"),
+          max(when($"event_type" === "purchase", 1L).otherwise(0L))
+            .as("has_purchase"))
+      sessions
+        .groupBy(expr("(es - ss) div 60").as("duration_min"))
+        .agg(count(lit(1)).as("n_sessions"),
+          expr("CAST(sum(n_ev) * 10000 div count(1) AS BIGINT)")
+            .as("mean_events_bp"),
+          expr("CAST(sum(has_purchase) * 10000 div count(1) AS BIGINT)")
+            .as("purchase_share_bp"))
+        .orderBy($"duration_min")
+    },
+    """WITH iv AS (
+      |  SELECT user_id, event_id, event_type,
+      |         CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS start_s,
+      |         CAST(epoch(date_trunc('second', ts)) AS BIGINT) + 300 AS end_s
+      |  FROM events),
+      |fl AS (
+      |  SELECT user_id, event_id, event_type, start_s, end_s,
+      |         CASE WHEN MAX(end_s) OVER w IS NULL
+      |                OR start_s > MAX(end_s) OVER w
+      |              THEN 1 ELSE 0 END AS new_island
+      |  FROM iv
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY start_s, event_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+      |isl AS (
+      |  SELECT user_id, event_type, start_s, end_s,
+      |         CAST(SUM(new_island) OVER (PARTITION BY user_id
+      |           ORDER BY start_s, event_id) AS BIGINT) AS island
+      |  FROM fl),
+      |sess AS (
+      |  SELECT user_id, island, MIN(start_s) AS ss, MAX(end_s) AS es,
+      |         COUNT(*) AS n_ev,
+      |         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |           AS has_purchase
+      |  FROM isl GROUP BY 1, 2)
+      |SELECT (es - ss) // 60 AS duration_min, COUNT(*) AS n_sessions,
+      |       CAST(SUM(n_ev) * 10000 // COUNT(*) AS BIGINT) AS mean_events_bp,
+      |       CAST(SUM(has_purchase) * 10000 // COUNT(*) AS BIGINT)
+      |         AS purchase_share_bp
+      |FROM sess GROUP BY 1 ORDER BY 1""".stripMargin)
+
+  /** Small-file compaction planner — the lakehouse maintenance op: per
+    * date partition, estimated bytes (rows × a documented 100 B/row
+    * constant); partitions greedily bin-packed into compaction groups
+    * by running size (group = cumulative-bytes-before div 256 KB
+    * target). The plan is |partitions| rows; at 100 TB the same query
+    * runs over the file manifest instead of a rowcount aggregate. */
+  private val compactionPlan = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.orderBy($"date")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.events(s, dir)
+        .groupBy(to_date($"ts").as("date"))
+        .agg(count(lit(1)).as("n_rows"))
+        .withColumn("est_bytes", $"n_rows" * 100)
+        .withColumn("grp", expr(
+          "CAST(coalesce(sum(est_bytes) OVER (ORDER BY date ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) div 262144 AS BIGINT)"))
+        .groupBy($"grp")
+        .agg(count(lit(1)).as("n_partitions"),
+          sum($"n_rows").as("n_rows"),
+          sum($"est_bytes").as("total_bytes"),
+          min($"date").as("from_date"), max($"date").as("to_date"))
+        .orderBy($"grp")
+    },
+    """WITH p AS (
+      |  SELECT CAST(ts AS DATE) AS date, COUNT(*) AS n_rows,
+      |         COUNT(*) * 100 AS est_bytes
+      |  FROM events GROUP BY 1),
+      |g AS (
+      |  SELECT date, n_rows, est_bytes,
+      |         CAST(COALESCE(SUM(est_bytes) OVER (ORDER BY date
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |           // 262144 AS BIGINT) AS grp
+      |  FROM p)
+      |SELECT grp, COUNT(*) AS n_partitions,
+      |       CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+      |       CAST(SUM(est_bytes) AS BIGINT) AS total_bytes,
+      |       MIN(date) AS from_date, MAX(date) AS to_date
+      |FROM g GROUP BY 1 ORDER BY 1""".stripMargin)
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q_zone_map" -> zoneMap,
     "q_daily_percentile" -> dailyPercentile,
     "q_interval_merge" -> intervalMerge,
     "q_time_to_convert" -> timeToConvert,
+    "q_session_stats" -> sessionStats,
+    "q_compaction_plan" -> compactionPlan,
     "q_pop_growth" -> popGrowth,
     "q_ewma" -> ewma,
     "q_cdc_merge" -> cdcMerge,

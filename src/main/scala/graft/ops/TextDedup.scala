@@ -1138,9 +1138,53 @@ object TextDedup {
       |FROM lbl l JOIN documents d ON l.doc_id = d.doc_id
       |GROUP BY source ORDER BY source""".stripMargin)
 
+  /** Incremental-ingest exact dedup — the 100 TB pattern for "is this
+    * new batch already in the corpus" WITHOUT joining the whole store:
+    * a bloom filter over the EXISTING half's content hashes (one 1-row
+    * sketch aggregate in a scalar subquery) prunes the incoming scan
+    * to probable-dupes; the exact md5 join then runs only on the
+    * survivors (bloom false positives die there, false negatives are
+    * impossible). Result ≡ the plain incoming⋉existing content join —
+    * the oracle — but the store-side shuffle carries ~|dupes| rows.
+    * Content key = md5 of the 40-char prefix (the fixture's template
+    * corpus has prefix-exact near-copies but no full-text exact dupes
+    * below sf0.1 — prefix fingerprinting is the standard URL/boiler-
+    * plate dedup key and keeps the result non-degenerate at every
+    * fixture scale); the bloom key is xxhash64 of the same prefix
+    * (engine-local, never emitted), the EXACT match key is the md5
+    * hex (identical on both engines). */
+  private val dedupIncremental = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir).filter($"doc_id" < 250)
+        .select($"doc_id", substring($"text", 1, 40).as("pfx"),
+          md5(substring($"text", 1, 40)).as("fp"))
+        .createOrReplaceTempView("dedup_existing_docs")
+      Tables.documents(s, dir).filter($"doc_id" >= 250)
+        .filter(expr(
+          """graft_might_contain(
+            |  (SELECT graft_bloom_agg(xxhash64(pfx)) FROM dedup_existing_docs),
+            |  xxhash64(substring(text, 1, 40)))""".stripMargin))
+        .select($"doc_id".as("incoming_id"),
+          md5(substring($"text", 1, 40)).as("fp"))
+        .join(s.table("dedup_existing_docs").select($"doc_id", $"fp"), "fp")
+        .groupBy($"incoming_id")
+        .agg(min($"doc_id").as("dup_of"), count(lit(1)).as("n_matches"))
+        .orderBy($"incoming_id")
+    },
+    """SELECT i.doc_id AS incoming_id, MIN(e.doc_id) AS dup_of,
+      |       COUNT(*) AS n_matches
+      |FROM (SELECT doc_id, md5(substring(text, 1, 40)) AS fp
+      |      FROM documents WHERE doc_id >= 250) i
+      |JOIN (SELECT doc_id, md5(substring(text, 1, 40)) AS fp
+      |      FROM documents WHERE doc_id < 250) e
+      |  ON i.fp = e.fp
+      |GROUP BY 1 ORDER BY 1""".stripMargin)
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q_crosslang_dup" -> crosslangDup,
     "q_dedup_by_source" -> dedupBySource,
+    "q_dedup_incremental" -> dedupIncremental,
     "q_triangle_count" -> triangleCount,
     "q_degree_hist" -> degreeHist,
     "q_sim_report" -> simReport,

@@ -400,8 +400,56 @@ object Windows {
       |  ON d.event_type = f.event_type AND d.date = f.date
       |ORDER BY d.event_type, d.date""".stripMargin)
 
+  /** Last-touch marketing attribution: each purchase credits the
+    * user's most recent PRIOR non-purchase event (click/view/signup/
+    * error → the "channel"); purchases with no prior touch credit
+    * 'direct'. One per-user sort window with a 1-behind frame and
+    * last(ignoreNulls) — the same linear no-self-join shape as the
+    * as-of join; revenue rolls up in exact decimal. Window order is
+    * (epoch second, event_id): sub-second ns ordering differs between
+    * the engines' timestamp precisions, so the tie rule never touches
+    * raw ts (SURVEY.md §7.4). */
+  private val attribution = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id")
+        .orderBy($"ts_s", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.events(s, dir)
+        .select($"user_id", $"event_id", $"event_type", $"value",
+          date_trunc("second", $"ts").cast("long").as("ts_s"))
+        .withColumn("channel",
+          last(when($"event_type" =!= "purchase", $"event_type"), true)
+            .over(w))
+        .filter($"event_type" === "purchase")
+        .groupBy(coalesce($"channel", lit("direct")).as("channel"))
+        .agg(count(lit(1)).as("n_purchases"),
+          Incremental.r4s(sum($"value".cast("decimal(28,10)")))
+            .as("revenue"))
+        .orderBy($"channel")
+    },
+    """WITH ev AS (
+      |  SELECT user_id, event_id, event_type, value,
+      |         CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_s
+      |  FROM events),
+      |att AS (
+      |  SELECT event_type, value,
+      |         LAST_VALUE(CASE WHEN event_type <> 'purchase'
+      |                    THEN event_type END IGNORE NULLS)
+      |           OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |           AS channel
+      |  FROM ev)
+      |SELECT COALESCE(channel, 'direct') AS channel,
+      |       COUNT(*) AS n_purchases,
+      |       CAST(ROUND(SUM(CAST(value AS DECIMAL(28,10))), 4) AS DOUBLE)
+      |         AS revenue
+      |FROM att WHERE event_type = 'purchase'
+      |GROUP BY 1 ORDER BY 1""".stripMargin)
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q_window_count_distinct" -> windowCountDistinct,
+    "q_attribution" -> attribution,
     "q_markov_transition" -> markovTransition,
     "q_window_range" -> windowRange,
     "q_window_dist" -> windowDist,
