@@ -816,7 +816,83 @@ object Incremental {
       |       MIN(date) AS from_date, MAX(date) AS to_date
       |FROM g GROUP BY 1 ORDER BY 1""".stripMargin)
 
+  /** Rolling 7-day median of the daily mean per event type — another
+    * window op Spark lacks (no MEDIAN() OVER): re-expressed as a
+    * bounded range self-join over the DAILY rollup (≤7 partners per
+    * row, |days| rows total — the join is on the tiny aggregate, never
+    * the fact table) + the pinned exact disc-rank pick ⌈n/2⌉. The
+    * oracle replays it as DuckDB's native quantile_disc OVER a RANGE
+    * frame — engine-idiomatic on both sides, same pinned rank rule,
+    * and the RANGE (not ROWS) frame matches the day-interval join
+    * exactly even when a type has gap days. */
+  private val rollingMedian = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val daily = Tables.events(s, dir)
+        .groupBy($"event_type", to_date($"ts").as("date"))
+        .agg(r4a(sum($"value".cast("decimal(28,10)")), count(lit(1)))
+          .as("m"))
+      val right = daily.select($"event_type".as("et2"),
+        $"date".as("d2"), $"m".as("m2"))
+      daily.join(right,
+          $"event_type" === $"et2" &&
+          $"d2".between(date_sub($"date", 6), $"date"))
+        .groupBy($"event_type", $"date", $"m")
+        .agg(count(lit(1)).as("n"),
+          sort_array(collect_list($"m2")).as("win"))
+        .select($"event_type", $"date", $"m", $"n",
+          element_at($"win", expr("CAST((n + 1) div 2 AS INT)"))
+            .as("med7"))
+        .orderBy($"event_type", $"date")
+    },
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS date,
+      |         FLOOR(CAST(CAST(CAST(ROUND(SUM(CAST(value AS DECIMAL(28,10))), 6) AS DECIMAL(24,6)) * 1000000 AS BIGINT) AS DOUBLE) / (COUNT(*) * 100.0) + 0.5) / 10000.0 AS m
+      |  FROM events GROUP BY 1, 2)
+      |SELECT event_type, date, m,
+      |       COUNT(*) OVER w AS n,
+      |       quantile_disc(m, 0.5) OVER w AS med7
+      |FROM daily
+      |WINDOW w AS (PARTITION BY event_type ORDER BY date
+      |             RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW)
+      |ORDER BY event_type, date""".stripMargin)
+
+  /** Day-of-week seasonality index: per event type, each weekday's
+    * volume as basis points of the type's mean daily volume — the
+    * seasonal-profile read behind staffing/capacity decisions. Pure
+    * integer arithmetic (counts cross-multiplied against totals). */
+  private val dowIndex = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val byDow = Tables.events(s, dir)
+        .groupBy($"event_type", dayofweek($"ts").cast("long").as("dow"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(to_date($"ts")).as("n_days"))
+      byDow
+        .withColumn("tot_n",
+          sum($"n").over(Window.partitionBy($"event_type")))
+        .withColumn("tot_days",
+          sum($"n_days").over(Window.partitionBy($"event_type")))
+        // index = (n/n_days) / (tot_n/tot_days) in bp, cross-multiplied
+        .withColumn("dow_index_bp", expr(
+          "CAST((n * tot_days * 10000) div (n_days * tot_n) AS BIGINT)"))
+        .select($"event_type", $"dow", $"n", $"n_days", $"dow_index_bp")
+        .orderBy($"event_type", $"dow")
+    },
+    """WITH d AS (
+      |  -- Spark dayofweek is 1=Sunday..7; DuckDB's is 0=Sunday..6 → +1
+      |  SELECT event_type, CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+      |         COUNT(*) AS n, COUNT(DISTINCT CAST(ts AS DATE)) AS n_days
+      |  FROM events GROUP BY 1, 2)
+      |SELECT event_type, dow, n, n_days,
+      |       CAST((n * SUM(n_days) OVER (PARTITION BY event_type) * 10000)
+      |            // (n_days * SUM(n) OVER (PARTITION BY event_type))
+      |         AS BIGINT) AS dow_index_bp
+      |FROM d ORDER BY event_type, dow""".stripMargin)
+
   val defs: Seq[(String, QueryDef)] = Seq(
+    "q_rolling_median" -> rollingMedian,
+    "q_dow_index" -> dowIndex,
     "q_zone_map" -> zoneMap,
     "q_daily_percentile" -> dailyPercentile,
     "q_interval_merge" -> intervalMerge,

@@ -290,6 +290,59 @@ class OperatorInvariantsSpec extends SparkSpec {
     assert(rows.forall(_._2 == 8L)) // every vector got all 8 output dims
   }
 
+  test("q_attribution conserves purchases; channels are real event types") {
+    import spark.implicits._
+    val rows = run("q_attribution")
+      .select($"channel", $"n_purchases").as[(String, Long)].collect()
+    val totalPurchases = spark.read.parquet(s"$sf/events.parquet")
+      .filter($"event_type" === "purchase").count()
+    assert(rows.map(_._2).sum === totalPurchases)
+    val legal = Set("click", "view", "signup", "error", "direct")
+    assert(rows.forall(r => legal.contains(r._1)), rows.map(_._1).toSeq)
+  }
+
+  test("q_session_stats and q_compaction_plan conserve their row masses") {
+    import spark.implicits._
+    val events = spark.read.parquet(s"$sf/events.parquet").count()
+    // sessions: mean_events_bp is Σevents·1e4/Σsessions per bucket —
+    // reconstruct a lower bound instead: total sessions equals
+    // q_interval_merge's island count
+    val sessions = run("q_session_stats")
+      .agg(sum($"n_sessions")).as[Long].head()
+    val islands = run("q_interval_merge").count()
+    assert(sessions === islands)
+    val planned = run("q_compaction_plan").agg(sum($"n_rows")).as[Long].head()
+    assert(planned === events)
+  }
+
+  test("q_dedup_incremental pairs point from incoming into the store") {
+    import spark.implicits._
+    val rows = run("q_dedup_incremental")
+      .select($"incoming_id", $"dup_of").as[(Long, Long)].collect()
+    assert(rows.nonEmpty) // fixture has cross-split prefix dupes
+    rows.foreach { case (in, of) => assert(in >= 250 && of < 250) }
+  }
+
+  test("q_rolling_median stays inside its window's value range and " +
+    "window size never exceeds 7") {
+    import spark.implicits._
+    val rows = run("q_rolling_median")
+      .select($"event_type", $"date", $"m", $"n", $"med7")
+      .as[(String, java.sql.Date, Double, Long, Double)].collect()
+    assert(rows.forall(r => r._4 >= 1 && r._4 <= 7))
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val byDate = rs.sortBy(_._2.getTime)
+      byDate.foreach { case (_, d, _, _, med) =>
+        val win = byDate.filter { r =>
+          val diff = (d.getTime - r._2.getTime) / 86400000L
+          diff >= 0 && diff <= 6
+        }.map(_._3)
+        assert(win.contains(med)) // disc median IS one of the values
+        assert(med >= win.min && med <= win.max)
+      }
+    }
+  }
+
   test("q_fk_check reports zero orphans on the coherent fixture") {
     import spark.implicits._
     val rows = run("q_fk_check")
