@@ -271,4 +271,106 @@ object Pipeline {
     df.repartitionByRange(numFiles, col(keyCol))
       .sortWithinPartitions((keyCol +: secondarySort).map(col): _*)
       .write.mode(SaveMode.Overwrite).parquet(dir)
+
+  // ------------------------------------------------ versioned snapshots
+
+  /** Versioned snapshot write (time-travel-lite — the Delta/Iceberg
+    * commit idea re-grounded on plain Parquet): each publish lands in
+    * an immutable `v=N` subdirectory, and a `_latest` pointer file is
+    * swapped in with an atomic rename ONLY after the data write
+    * completed — readers either see the previous consistent version or
+    * the new one, never a half-written directory. Old versions stay
+    * readable (audit / rollback / reproducing a training run) until
+    * [[vacuumVersions]] retires them. Returns the new version number.
+    *
+    * Concurrency contract (same as [[upsert]]): one writer per table —
+    * the rename is the commit point, not a lock. */
+  def writeVersioned(spark: SparkSession, df: DataFrame,
+                     tableDir: String): Int = {
+    val next = versions(tableDir).lastOption.getOrElse(0) + 1
+    df.write.mode(SaveMode.ErrorIfExists).parquet(s"$tableDir/v=$next")
+    val tmp = java.nio.file.Paths.get(tableDir, s"._latest.tmp$next")
+    java.nio.file.Files.writeString(tmp, next.toString)
+    java.nio.file.Files.move(tmp,
+      java.nio.file.Paths.get(tableDir, "_latest"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    next
+  }
+
+  /** Committed versions of a [[writeVersioned]] table, ascending. */
+  def versions(tableDir: String): Seq[Int] = {
+    val d = new java.io.File(tableDir)
+    val kids = Option(d.listFiles()).getOrElse(Array.empty)
+    kids.collect {
+      case f if f.isDirectory && f.getName.startsWith("v=") =>
+        f.getName.stripPrefix("v=").toInt
+    }.sorted.toSeq
+  }
+
+  /** Read a specific snapshot (time travel) or, by default, the version
+    * the `_latest` commit pointer names — NOT simply the max directory,
+    * so a crashed writer's orphan `v=N` (data written, pointer never
+    * swapped) is invisible until its commit completes. */
+  def readVersion(spark: SparkSession, tableDir: String,
+                  version: Option[Int] = None): DataFrame = {
+    val v = version.getOrElse {
+      val p = java.nio.file.Paths.get(tableDir, "_latest")
+      require(java.nio.file.Files.exists(p),
+        s"$tableDir has no committed version (_latest missing)")
+      java.nio.file.Files.readString(p).trim.toInt
+    }
+    spark.read.parquet(s"$tableDir/v=$v")
+  }
+
+  /** Retire all but the newest `keep` committed versions (the vacuum
+    * half of the snapshot lifecycle). Only versions BELOW the `_latest`
+    * pointer are eligible: the pointed-at version is live, and anything
+    * above it is an in-flight commit (data written, pointer not yet
+    * swapped) that vacuum must never race. Returns the dropped
+    * version numbers. */
+  def vacuumVersions(tableDir: String, keep: Int = 2): Seq[Int] = {
+    require(keep >= 1, "must keep at least the latest version")
+    val latest = java.nio.file.Files
+      .readString(java.nio.file.Paths.get(tableDir, "_latest")).trim.toInt
+    val drop = versions(tableDir).filter(_ < latest).dropRight(keep - 1)
+    drop.foreach { v =>
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File(s"$tableDir/v=$v"))
+    }
+    drop
+  }
+
+  /** Execute a small-file compaction (the OPTIMIZE half of
+    * q_compaction_plan): rewrite the directory into
+    * ⌈rows/targetRowsPerFile⌉ files via staging + swap — readers of the
+    * old layout keep working until the swap, the rewrite is
+    * re-runnable, and row content is untouched (PipelineSpec pins
+    * count + content equality and the file-count drop). */
+  def compact(spark: SparkSession, dir: String,
+              targetRowsPerFile: Long): Int = {
+    val df = spark.read.parquet(dir)
+    val n = df.count()
+    val files = math.max(1, math.ceil(n.toDouble / targetRowsPerFile).toInt)
+    // staging lives BESIDE the target, not inside it: the final
+    // Overwrite deletes the target dir first and then STREAMS from the
+    // staging scan — a staging subdirectory would be deleted along with
+    // its parent mid-read (silent data loss on cache eviction)
+    val staging = s"${dir.stripSuffix("/")}.compact_staging"
+    df.repartition(files).write.mode(SaveMode.Overwrite).parquet(staging)
+    val staged = spark.read.parquet(staging)
+    require(staged.count() == n, "compaction must not change row count")
+    staged.write.mode(SaveMode.Overwrite).parquet(dir)
+    def rm(f: java.io.File): Unit = {
+      val kids = f.listFiles()
+      if (kids != null) kids.foreach(rm)
+      f.delete(): Unit
+    }
+    rm(new java.io.File(staging))
+    files
+  }
 }

@@ -268,4 +268,51 @@ class PipelineSpec extends SparkSpec {
     assert(clustered.filter(col("doc_id").between(10, 20)).count() ===
       docs.filter(col("doc_id").between(10, 20)).count())
   }
+
+  test("versioned snapshots: time travel reads old versions, _latest " +
+    "tracks the last COMMITTED one, vacuum keeps the newest") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_versioned").toString + "/t"
+    val v1 = Pipeline.writeVersioned(spark, Seq((1, "a"), (2, "b")).toDF("k", "v"), dir)
+    val v2 = Pipeline.writeVersioned(spark, Seq((1, "a2"), (3, "c")).toDF("k", "v"), dir)
+    assert(v1 === 1 && v2 === 2)
+    assert(Pipeline.versions(dir) === Seq(1, 2))
+    // default read = latest; explicit version = time travel
+    assert(Pipeline.readVersion(spark, dir).orderBy("k")
+      .as[(Int, String)].collect().toSeq === Seq((1, "a2"), (3, "c")))
+    assert(Pipeline.readVersion(spark, dir, Some(1)).orderBy("k")
+      .as[(Int, String)].collect().toSeq === Seq((1, "a"), (2, "b")))
+    // a crashed writer: data directory exists but pointer never swapped
+    Seq((9, "orphan")).toDF("k", "v").write.parquet(s"$dir/v=3")
+    assert(Pipeline.readVersion(spark, dir).count() === 2) // still v2
+    // vacuum retires old versions but never the committed latest
+    val dropped = Pipeline.vacuumVersions(dir, keep = 1)
+    assert(dropped === Seq(1))
+    assert(!new java.io.File(s"$dir/v=1").exists())
+    assert(Pipeline.readVersion(spark, dir).count() === 2)
+  }
+
+  test("compact rewrites to the planned file count without changing content") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_compact").toString + "/t"
+    // 8 small files of 25 rows each
+    (0 until 8).foreach { i =>
+      (i * 25 until (i + 1) * 25).map(k => (k.toLong, s"r$k"))
+        .toDF("k", "v").coalesce(1)
+        .write.mode("append").parquet(dir)
+    }
+    val before = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(before === 8)
+    val expected = spark.read.parquet(dir).orderBy("k")
+      .as[(Long, String)].collect().toSeq
+    val files = Pipeline.compact(spark, dir, targetRowsPerFile = 100)
+    assert(files === 2)
+    val after = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(after === 2, s"expected 2 files after compaction, got $after")
+    assert(spark.read.parquet(dir).orderBy("k")
+      .as[(Long, String)].collect().toSeq === expected)
+    assert(!new java.io.File(dir.stripSuffix("/") + ".compact_staging").exists())
+  }
 }
