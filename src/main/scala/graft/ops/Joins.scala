@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.QueryDef
 import graft.util.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1136,8 +1137,150 @@ object Joins {
       |WHERE o_orderpriority = '1-URGENT'
       |GROUP BY 1 ORDER BY 1""".stripMargin)
 
+  /** Derived partsupp relation — the fixture ships no partsupp table,
+    * so the (part, supplier) pairs OBSERVED in lineitem become the
+    * supply catalog, with availqty/supplycost as pure-integer functions
+    * of the keys that both engines derive identically (no engine hash):
+    *   availqty      = (partkey·37 + suppkey·17) mod 9999 + 1
+    *   supplycost_c  = (partkey·13 + suppkey·7) mod 9000 + 10000 cents
+    * This preserves the JOIN TOPOLOGY and aggregation semantics of the
+    * partsupp-dependent TPC-H shapes (Q11/Q16/Q20) without inventing
+    * untracked data. Mirrored verbatim in each oracle's `ps` CTE. */
+  private def partsupp(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .select($"l_partkey".as("ps_partkey"), $"l_suppkey".as("ps_suppkey"))
+      .distinct()
+      .withColumn("ps_availqty",
+        expr("(ps_partkey * 37 + ps_suppkey * 17) % 9999 + 1"))
+      .withColumn("ps_supplycost_c",
+        expr("(ps_partkey * 13 + ps_suppkey * 7) % 9000 + 10000"))
+  }
+
+  private val psOracle: String =
+    """ps AS (
+      |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+      |         (l_partkey * 37 + l_suppkey * 17) % 9999 + 1 AS ps_availqty,
+      |         (l_partkey * 13 + l_suppkey * 7) % 9000 + 10000
+      |           AS ps_supplycost_c
+      |  FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem))""".stripMargin
+
+  /** TPC-H Q11 analog (important stock identification): parts whose
+    * inventory value at one nation-group's suppliers exceeds 0.05% of
+    * that group's total — the scalar-subquery-fraction HAVING. The
+    * threshold compare is EXACT integers (value_c·2000 > total_c ⇔
+    * value > 0.0005·total), the 1-row total broadcasts, and the value
+    * rollup is two-phase on partkey. */
+  private val tpchQ11 = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val grp = partsupp(s, dir)
+        .join(broadcast(Tables.supplier(s, dir)
+          .join(broadcast(Tables.nation(s, dir)
+            .filter($"n_regionkey" === 2)), $"s_nationkey" === $"n_nationkey")
+          .select($"s_suppkey")), $"ps_suppkey" === $"s_suppkey")
+        .select($"ps_partkey",
+          ($"ps_supplycost_c" * $"ps_availqty").as("val_c"))
+      val perPart = grp.groupBy($"ps_partkey")
+        .agg(sum($"val_c".cast("decimal(38,0)")).as("value_c"))
+      perPart
+        .join(broadcast(perPart.agg(sum($"value_c").as("total_c"))))
+        .filter($"value_c" * 2000 > $"total_c")
+        .select($"ps_partkey",
+          round($"value_c".cast("double") / 100.0, 2).as("value"))
+        .orderBy($"value".desc, $"ps_partkey")
+    },
+    s"""WITH $psOracle,
+      |grp AS (
+      |  SELECT ps_partkey,
+      |         CAST(ps_supplycost_c AS HUGEINT) * ps_availqty AS val_c
+      |  FROM ps JOIN supplier ON ps_suppkey = s_suppkey
+      |          JOIN nation   ON s_nationkey = n_nationkey
+      |  WHERE n_regionkey = 2),
+      |pp AS (
+      |  SELECT ps_partkey, SUM(val_c) AS value_c FROM grp GROUP BY 1)
+      |SELECT ps_partkey,
+      |       ROUND(CAST(value_c AS DOUBLE) / 100.0, 2) AS value
+      |FROM pp, (SELECT SUM(value_c) AS total_c FROM pp) t
+      |WHERE value_c * 2000 > total_c
+      |ORDER BY value DESC, ps_partkey""".stripMargin)
+
+  /** TPC-H Q16 analog (parts/supplier relationship): distinct supplier
+    * count per (brand, type, size) for parts outside one brand,
+    * excluding deficit-balance suppliers (the fixture's stand-in for
+    * the complaints NOT IN). Exclusion is a LEFT ANTI join; the
+    * distinct count is exact two-phase. */
+  private val tpchQ16 = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val excl = Tables.supplier(s, dir).filter($"s_acctbal" < 0)
+        .select($"s_suppkey")
+      partsupp(s, dir)
+        .join(broadcast(Tables.part(s, dir)
+          .filter($"p_brand" =!= "Brand#1" && $"p_size".isin(5, 10, 15, 20))),
+          $"ps_partkey" === $"p_partkey")
+        .join(broadcast(excl), $"ps_suppkey" === $"s_suppkey", "left_anti")
+        .groupBy($"p_brand", $"p_type", $"p_size")
+        .agg(countDistinct($"ps_suppkey").as("supplier_cnt"))
+        .orderBy($"supplier_cnt".desc, $"p_brand", $"p_type", $"p_size")
+    },
+    s"""WITH $psOracle
+      |SELECT p_brand, p_type, p_size,
+      |       COUNT(DISTINCT ps_suppkey) AS supplier_cnt
+      |FROM ps JOIN part ON ps_partkey = p_partkey
+      |WHERE p_brand <> 'Brand#1' AND p_size IN (5, 10, 15, 20)
+      |  AND ps_suppkey NOT IN
+      |      (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY 1, 2, 3
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin)
+
+  /** TPC-H Q20 analog (potential part promotion): suppliers holding
+    * EXCESS stock — availqty more than half the quantity they actually
+    * shipped of that part in one year, for one part class. The nested
+    * IN/EXISTS chain decorrelates to: per-(part,supp) shipped-qty
+    * aggregate ⋈ partsupp ⋈ red-part filter, then a LEFT SEMI into
+    * supplier. Excess test is pure integers (availqty·2 > qty). */
+  private val tpchQ20 = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val shipped = Tables.lineitem(s, dir)
+        .filter($"l_shipdate" >= lit("1996-01-01") &&
+          $"l_shipdate" < lit("1997-01-01"))
+        .groupBy($"l_partkey", $"l_suppkey")
+        .agg(sum($"l_quantity".cast("long")).as("qty"))
+      val excess = partsupp(s, dir)
+        .join(broadcast(Tables.part(s, dir)
+          .filter($"p_name".startsWith("red")).select($"p_partkey")),
+          $"ps_partkey" === $"p_partkey")
+        .join(shipped,
+          $"ps_partkey" === $"l_partkey" && $"ps_suppkey" === $"l_suppkey")
+        .filter($"ps_availqty" * 2 > $"qty")
+        .select($"ps_suppkey").distinct()
+      Tables.supplier(s, dir)
+        .join(excess, $"s_suppkey" === $"ps_suppkey", "left_semi")
+        .select($"s_suppkey", $"s_name")
+        .orderBy($"s_suppkey")
+    },
+    s"""WITH $psOracle,
+      |shipped AS (
+      |  SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS BIGINT)) AS qty
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  GROUP BY 1, 2)
+      |SELECT s_suppkey, s_name FROM supplier
+      |WHERE s_suppkey IN (
+      |  SELECT ps_suppkey FROM ps
+      |  JOIN part ON ps_partkey = p_partkey
+      |  JOIN shipped ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+      |  WHERE p_name LIKE 'red%' AND ps_availqty * 2 > qty)
+      |ORDER BY s_suppkey""".stripMargin)
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q_bloom_join" -> bloomJoin,
+    "q_tpch_q11" -> tpchQ11,
+    "q_tpch_q16" -> tpchQ16,
+    "q_tpch_q20" -> tpchQ20,
     "q_rfm" -> rfm,
     "q_bucketed_join" -> bucketedJoin,
     "q_tpch_q2" -> tpchQ2,
