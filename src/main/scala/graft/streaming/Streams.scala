@@ -183,6 +183,47 @@ object Streams {
           Iterator(CdcRow(uid, st.op, st.value, st.ts, st.nOps))
       }
   }
+
+  /** Streaming last-touch attribution — the continuous twin of the
+    * batch q_attribution operator: per-user state holds the most
+    * recent non-purchase touch; each purchase emits immediately with
+    * the credited channel ('direct' when no prior touch). State is one
+    * tiny record per user (bounded by |users|, shardable on the key).
+    *
+    * ORDER CONTRACT (stronger than cdcSnapshot's): attribution is NOT
+    * commutative — a purchase must not be credited to a touch that
+    * arrives in a LATER micro-batch even if its event time is earlier.
+    * Within a batch rows replay in (epoch-second, event_id) order (the
+    * batch operator's exact tie rule); across batches the caller must
+    * feed event-time-ordered batches (the normal log-replay /
+    * watermarked-source situation). StreamingSpec pins equality with
+    * the batch operator under day-sliced batching. */
+  def attribution(events: Dataset[Event]): Dataset[AttributedPurchase] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TouchState, AttributedPurchase](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Event], state: GroupState[TouchState]) =>
+          val ordered = rows.toSeq.sortBy(e => (e.ts.getTime / 1000, e.event_id))
+          var st = state.getOption.orNull
+          val out = Seq.newBuilder[AttributedPurchase]
+          ordered.foreach { e =>
+            if (e.event_type == "purchase")
+              out += AttributedPurchase(e.event_id, uid,
+                if (st == null) "direct" else st.channel, e.value)
+            else {
+              val newer = st == null ||
+                e.ts.getTime / 1000 > st.ts.getTime / 1000 ||
+                (e.ts.getTime / 1000 == st.ts.getTime / 1000 &&
+                  e.event_id > st.eventId)
+              if (newer) st = TouchState(e.ts, e.event_id, e.event_type)
+            }
+          }
+          if (st != null) state.update(st)
+          out.result().iterator
+      }
+  }
 }
 
 /** StatefulProcessor for [[Streams.runningUserStatsTws]]: one ValueState
@@ -250,3 +291,6 @@ case class CdcRow(user_id: Long, last_op: String, last_value: Double,
     last_ts: java.sql.Timestamp, n_ops: Long)
 case class UserStat(user_id: Long, event_id: Long, running_n: Long,
     running_avg: Double)
+case class TouchState(ts: java.sql.Timestamp, eventId: Long, channel: String)
+case class AttributedPurchase(event_id: Long, user_id: Long,
+    channel: String, value: Double)

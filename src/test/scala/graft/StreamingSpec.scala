@@ -1,7 +1,7 @@
 package graft
 
 import java.sql.Timestamp
-import org.apache.spark.sql.functions.{count, lit, sum, to_date, window}
+import org.apache.spark.sql.functions.{count, lit, round, sum, to_date, window}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
 import graft.streaming.{Event, Streams}
@@ -142,6 +142,43 @@ class StreamingSpec extends SparkSpec {
       .map(r => r.getLong(0) ->
         (r.getString(1), r.getDouble(2), r.getLong(3), r.getLong(4))).toMap
     assert(fin === batch)
+  }
+
+  test("streaming attribution == batch q_attribution under event-time-" +
+    "ordered micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = graft.util.Tables.events(spark, sf)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[graft.streaming.Event].collect().toSeq
+      .sortBy(e => (e.ts.getTime / 1000, e.event_id))
+    // day-sliced batches: event-time order holds ACROSS batches (the
+    // operator's documented order contract — attribution is not
+    // commutative, unlike cdcSnapshot's latest-wins)
+    val d10 = java.sql.Timestamp.valueOf("2024-01-10 00:00:00").getTime
+    val d20 = java.sql.Timestamp.valueOf("2024-01-20 00:00:00").getTime
+    val batches = Seq(
+      events.filter(_.ts.getTime < d10),
+      events.filter(e => e.ts.getTime >= d10 && e.ts.getTime < d20),
+      events.filter(_.ts.getTime >= d20))
+    val in = MemoryStream[graft.streaming.Event]
+    val out = Streams.attribution(in.toDS()).toDF()
+    val rows = runBatches(in, out, OutputMode.Append, batches)
+    // re-aggregate the streamed purchases with the batch operator's
+    // exact decimal discipline, then compare collected row sets
+    val streamed = rows.map(r => (r.getLong(0), r.getString(2), r.getDouble(3)))
+      .toSeq.toDF("event_id", "channel", "value")
+    val agg = streamed.groupBy($"channel")
+      .agg(count(lit(1)).as("n_purchases"),
+        round(sum($"value".cast("decimal(28,10)")), 4).cast("double")
+          .as("revenue"))
+      .orderBy($"channel").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val batch = SparkEntry.all("q_attribution").fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(agg.toSeq === batch.toSeq)
+    // every purchase emitted exactly once
+    assert(rows.map(_.getLong(0)).distinct.size === rows.size)
   }
 
   test("complete vs update output modes (the §2.10 sink-mode row)") {
