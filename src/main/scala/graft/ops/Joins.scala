@@ -1276,7 +1276,59 @@ object Joins {
       |  WHERE p_name LIKE 'red%' AND ps_availqty * 2 > qty)
       |ORDER BY s_suppkey""".stripMargin)
 
+  /** Market-basket affinity (association rules): for part pairs
+    * co-purchased in the same order, support and LIFT in exact integer
+    * basis points (lift = N·n_ab / (n_a·n_b), cross-multiplied in
+    * decimal/HUGEINT — no IEEE division). The pair generator is a
+    * per-order self-join: fan-out is bounded by the max basket size
+    * (≤7 lines/order in TPC-H-shaped data, so ≤21 pairs — NOT a
+    * quadratic blowup; a retail-scale 10⁴-item basket would need the
+    * usual frequent-item pre-prune, which q_heavy_hitters provides).
+    * Per-part supports broadcast; top-50 by co-count via
+    * TakeOrderedAndProject. */
+  private val basketLift = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val items = Tables.lineitem(s, dir)
+        .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
+      val nOrders = items.select($"ok").distinct()
+        .agg(count(lit(1)).as("n_orders"))
+      val perPart = items.groupBy($"pk").agg(count(lit(1)).as("n_p"))
+      val pairs = items.select($"ok", $"pk".as("pa"))
+        .join(items.select($"ok", $"pk".as("pb")), "ok")
+        .filter($"pa" < $"pb")
+        .groupBy($"pa", $"pb")
+        .agg(count(lit(1)).as("n_ab"))
+      pairs
+        .join(broadcast(perPart.select($"pk".as("pa"), $"n_p".as("n_a"))), "pa")
+        .join(broadcast(perPart.select($"pk".as("pb"), $"n_p".as("n_b"))), "pb")
+        .join(broadcast(nOrders))
+        .withColumn("lift_bp", expr(
+          """CAST((CAST(n_ab AS DECIMAL(38,0)) * n_orders * 10000)
+            |div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)""".stripMargin))
+        .select($"pa", $"pb", $"n_ab", $"n_a", $"n_b", $"lift_bp")
+        .orderBy($"n_ab".desc, $"pa", $"pb")
+        .limit(50)
+    },
+    """WITH items AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |n AS (SELECT COUNT(DISTINCT ok) AS n_orders FROM items),
+      |pp AS (SELECT pk, COUNT(*) AS n_p FROM items GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.pk AS pa, b.pk AS pb, COUNT(*) AS n_ab
+      |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY 1, 2)
+      |SELECT pa, pb, n_ab, x.n_p AS n_a, y.n_p AS n_b,
+      |       CAST((CAST(n_ab AS HUGEINT) * n_orders * 10000)
+      |            // (CAST(x.n_p AS HUGEINT) * y.n_p) AS BIGINT) AS lift_bp
+      |FROM pairs
+      |JOIN pp x ON pa = x.pk
+      |JOIN pp y ON pb = y.pk
+      |CROSS JOIN n
+      |ORDER BY n_ab DESC, pa, pb LIMIT 50""".stripMargin)
+
   val defs: Seq[(String, QueryDef)] = Seq(
+    "q_basket_lift" -> basketLift,
     "q_bloom_join" -> bloomJoin,
     "q_tpch_q11" -> tpchQ11,
     "q_tpch_q16" -> tpchQ16,
