@@ -1289,14 +1289,23 @@ object Joins {
   private val basketLift = QueryDef(
     (s, dir) => {
       import s.implicits._
-      val items = Tables.lineitem(s, dir)
-        .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
-      val nOrders = items.select($"ok").distinct()
-        .agg(count(lit(1)).as("n_orders"))
-      val perPart = items.groupBy($"pk").agg(count(lit(1)).as("n_p"))
-      val pairs = items.select($"ok", $"pk".as("pa"))
-        .join(items.select($"ok", $"pk".as("pb")), "ok")
-        .filter($"pa" < $"pb")
+      // ONE orderkey shuffle builds the per-order basket (collect_set =
+      // the DISTINCT item set, bounded by basket size); pairs, per-part
+      // supports and the order count all derive from that aggregate —
+      // no items self-join shuffle. Pairs are generated ARRAY-SIDE from
+      // the sorted basket (a < b positions), ≤ C(7,2) structs per order.
+      val baskets = Tables.lineitem(s, dir)
+        .groupBy($"l_orderkey")
+        .agg(sort_array(collect_set($"l_partkey")).as("ps"))
+      val nOrders = baskets.agg(count(lit(1)).as("n_orders"))
+      val perPart = baskets.select(explode($"ps").as("pk"))
+        .groupBy($"pk").agg(count(lit(1)).as("n_p"))
+      val pairs = baskets
+        .select(explode(expr(
+          """flatten(transform(ps, (a, i) ->
+            |  transform(slice(ps, i + 2, size(ps)),
+            |    b -> struct(a AS pa, b AS pb))))""".stripMargin)).as("p"))
+        .select($"p.pa", $"p.pb")
         .groupBy($"pa", $"pb")
         .agg(count(lit(1)).as("n_ab"))
       pairs
