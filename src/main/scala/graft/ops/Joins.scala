@@ -1336,8 +1336,59 @@ object Joins {
       |CROSS JOIN n
       |ORDER BY n_ab DESC, pa, pb LIMIT 50""".stripMargin)
 
+  /** Item-item similarity from co-purchases (the collaborative-
+    * filtering neighborhood primitive): per co-purchased part pair,
+    * order-set Jaccard and BOTH directional confidences, all in exact
+    * integer basis points (jac = n_ab/(n_a+n_b−n_ab); conf(a→b) =
+    * n_ab/n_a). Same single-shuffle basket lineage as q_basket_lift;
+    * pairs with ≥2 co-occurrences only (the support floor every CF
+    * system applies — and what keeps the pair list sparse at scale). */
+  private val itemSimilarity = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val baskets = Tables.lineitem(s, dir)
+        .groupBy($"l_orderkey")
+        .agg(sort_array(collect_set($"l_partkey")).as("ps"))
+      val perPart = baskets.select(explode($"ps").as("pk"))
+        .groupBy($"pk").agg(count(lit(1)).as("n_p"))
+      baskets
+        .select(explode(expr(
+          """flatten(transform(ps, (a, i) ->
+            |  transform(slice(ps, i + 2, size(ps)),
+            |    b -> struct(a AS pa, b AS pb))))""".stripMargin)).as("p"))
+        .select($"p.pa", $"p.pb")
+        .groupBy($"pa", $"pb")
+        .agg(count(lit(1)).as("n_ab"))
+        .filter($"n_ab" >= 2)
+        .join(broadcast(perPart.select($"pk".as("pa"), $"n_p".as("n_a"))), "pa")
+        .join(broadcast(perPart.select($"pk".as("pb"), $"n_p".as("n_b"))), "pb")
+        .withColumn("jac_bp", expr(
+          "CAST((n_ab * 10000) div (n_a + n_b - n_ab) AS BIGINT)"))
+        .withColumn("conf_ab_bp", expr("CAST((n_ab * 10000) div n_a AS BIGINT)"))
+        .withColumn("conf_ba_bp", expr("CAST((n_ab * 10000) div n_b AS BIGINT)"))
+        .select($"pa", $"pb", $"n_ab", $"jac_bp", $"conf_ab_bp", $"conf_ba_bp")
+        .orderBy($"jac_bp".desc, $"pa", $"pb")
+        .limit(100)
+    },
+    """WITH baskets AS (
+      |  SELECT l_orderkey AS ok, list_sort(list_distinct(list(l_partkey))) AS ps
+      |  FROM lineitem GROUP BY 1),
+      |it AS (SELECT ok, unnest(ps) AS pk FROM baskets),
+      |pp AS (SELECT pk, COUNT(*) AS n_p FROM it GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.pk AS pa, b.pk AS pb, COUNT(*) AS n_ab
+      |  FROM it a JOIN it b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+      |SELECT pa, pb, n_ab,
+      |       CAST((n_ab * 10000) // (x.n_p + y.n_p - n_ab) AS BIGINT) AS jac_bp,
+      |       CAST((n_ab * 10000) // x.n_p AS BIGINT) AS conf_ab_bp,
+      |       CAST((n_ab * 10000) // y.n_p AS BIGINT) AS conf_ba_bp
+      |FROM pairs JOIN pp x ON pa = x.pk JOIN pp y ON pb = y.pk
+      |ORDER BY jac_bp DESC, pa, pb LIMIT 100""".stripMargin)
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q_basket_lift" -> basketLift,
+    "q_item_similarity" -> itemSimilarity,
     "q_bloom_join" -> bloomJoin,
     "q_tpch_q11" -> tpchQ11,
     "q_tpch_q16" -> tpchQ16,

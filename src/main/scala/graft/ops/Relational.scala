@@ -1616,7 +1616,66 @@ object Relational {
       |WHERE rk <= 3
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
 
+  /** Spark 4 VARIANT ingestion — semi-structured columns without a
+    * declared schema: parse_json → VARIANT, typed extraction via
+    * variant_get, plus is_variant_null/variant typeof probes, then an
+    * aggregate over the extracted value. VARIANT is Spark's answer to
+    * the open-schema column (shredded binary encoding, typed lazy
+    * access — the engine feature a semi-structured 100 TB corpus
+    * wants); the oracle replays the same extractions with DuckDB's
+    * JSON operators — identical values, engine-native idioms on each
+    * side. The variant itself is never emitted (its binary encoding is
+    * engine-internal). */
+  private val variantJson = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .select($"event_type",
+          expr("variant_get(parse_json(props), '$.k', 'long')").as("k"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum($"k").as("sum_k"),
+          min($"k").as("min_k"), max($"k").as("max_k"),
+          sum(when($"k".isNull, 1L).otherwise(0L)).as("n_null"))
+        .orderBy($"event_type")
+    },
+    """SELECT event_type, COUNT(*) AS n,
+      |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+      |         AS BIGINT) AS sum_k,
+      |       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+      |       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+      |       CAST(SUM(CASE WHEN json_extract_string(props, '$.k') IS NULL
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS n_null
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
+
+  /** Case-insensitive semantics via Spark 4 COLLATE (UTF8_LCASE)
+    * against uppercased probe values — the collation-aware equality/
+    * grouping surface. The oracle replays with explicit lower() (the
+    * collation-free equivalent under ASCII data); counts are exact. */
+  private val collation = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select($"doc_id", $"lang", $"source")
+        .withColumn("is_en", expr(
+          "CAST(collate(lang, 'UTF8_LCASE') = collate('EN', 'UTF8_LCASE') AS INT)"))
+        // group under the collation (case-insensitive key equality) but
+        // EMIT a binary-normalized lower() value — the collated string
+        // keeps its original case and sorts case-insensitively, both of
+        // which would diverge from the oracle's binary world
+        .groupBy(expr("collate(upper(source), 'UTF8_LCASE')").as("src_c"))
+        .agg(count(lit(1)).as("n"), sum($"is_en").cast("long").as("n_en"))
+        .select(lower($"src_c".cast("string")).as("source_ci"), $"n", $"n_en")
+        .orderBy($"source_ci")
+    },
+    """SELECT lower(upper(source)) AS source_ci, COUNT(*) AS n,
+      |       CAST(SUM(CASE WHEN lower(lang) = 'en' THEN 1 ELSE 0 END)
+      |         AS BIGINT) AS n_en
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)
+
   val defs: Seq[(String, QueryDef)] = Seq(
+    "q_variant_json" -> variantJson,
+    "q_collation" -> collation,
     "q_ab_test" -> abTest,
     "q_listagg" -> listagg,
     "q_fk_check" -> fkCheck,
