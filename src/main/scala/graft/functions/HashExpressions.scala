@@ -255,6 +255,37 @@ object HashKernels {
     while (i < m) { arr(i) = s.substringSQL(i + 1, n); i += 1 }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
   }
+
+  /** All ordered pairs (i < j) of a non-negative id array, each packed
+    * as (a << 32) | b — the basket pair generator for
+    * q_basket_lift/q_item_similarity as ONE codegen call instead of
+    * nested interpreted higher-order transforms. Caller unpacks with
+    * shifts. Ids must fit unsigned 32 bits (guarded — key spaces past
+    * 4e9 need the struct form). */
+  def packedPairs(arr: org.apache.spark.sql.catalyst.util.ArrayData)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val v = arr.getLong(i)
+      require(v >= 0 && v <= 0xFFFFFFFFL,
+        s"graft_pairs id $v outside unsigned 32-bit pack range")
+      i += 1
+    }
+    val out = new Array[Any](n * (n - 1) / 2)
+    var w = 0
+    i = 0
+    while (i < n) {
+      val a = arr.getLong(i) << 32
+      var j = i + 1
+      while (j < n) {
+        out(w) = a | arr.getLong(j)
+        w += 1; j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }
 
 abstract class StringHashExpression extends UnaryExpression {
@@ -413,6 +444,32 @@ case class CharTrigrams(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
       s"graft.functions.HashKernels.charTrigrams($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Packed ordered-pair generator over an id array — SQL function
+  * `graft_pairs(array<bigint>)` (see [[HashKernels.packedPairs]]): one
+  * codegen'd tight loop replacing the interpreted nested higher-order
+  * transforms in the basket queries. Output longs unpack as
+  * (p >> 32, p & 0xFFFFFFFF). */
+case class PackedPairs(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_pairs expects array<bigint>, got ${t.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.packedPairs(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HashKernels.packedPairs($c)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -177,6 +177,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_char3grams"),
       new ExpressionInfo(classOf[CharTrigrams].getName, "graft_char3grams"),
       (children: Seq[Expression]) => CharTrigrams(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_pairs"),
+      new ExpressionInfo(classOf[PackedPairs].getName, "graft_pairs"),
+      (children: Seq[Expression]) => PackedPairs(children.head)))
     // Spark's OWN runtime-filter bloom pair (BloomFilterAggregate /
     // BloomFilterMightContain, the machinery behind InjectRuntimeFilter)
     // is registered only in the internal function registry — surface it

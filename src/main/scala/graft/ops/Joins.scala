@@ -1276,6 +1276,26 @@ object Joins {
       |  WHERE p_name LIKE 'red%' AND ps_availqty * 2 > qty)
       |ORDER BY s_suppkey""".stripMargin)
 
+  /** Ordered co-occurrence pairs from each basket row: the codegen'd
+    * `graft_pairs` packed kernel when the extension is installed
+    * (unpacked with shifts), else the equivalent interpreted
+    * higher-order formulation — bit-identical outputs (ExpressionSpec
+    * pins the equality; partkeys fit the unsigned-32 pack by far). */
+  private def basketPairs(s: SparkSession,
+                          baskets: DataFrame): DataFrame = {
+    import s.implicits._
+    if (s.catalog.functionExists("graft_pairs"))
+      baskets.select(explode(call_function("graft_pairs", $"ps")).as("pp"))
+        .select(shiftright($"pp", 32).as("pa"),
+          $"pp".bitwiseAND(lit(0xFFFFFFFFL)).as("pb"))
+    else
+      baskets.select(explode(expr(
+        """flatten(transform(ps, (a, i) ->
+          |  transform(slice(ps, i + 2, size(ps)),
+          |    b -> struct(a AS pa, b AS pb))))""".stripMargin)).as("p"))
+        .select($"p.pa", $"p.pb")
+  }
+
   /** Market-basket affinity (association rules): for part pairs
     * co-purchased in the same order, support and LIFT in exact integer
     * basis points (lift = N·n_ab / (n_a·n_b), cross-multiplied in
@@ -1300,12 +1320,7 @@ object Joins {
       val nOrders = baskets.agg(count(lit(1)).as("n_orders"))
       val perPart = baskets.select(explode($"ps").as("pk"))
         .groupBy($"pk").agg(count(lit(1)).as("n_p"))
-      val pairs = baskets
-        .select(explode(expr(
-          """flatten(transform(ps, (a, i) ->
-            |  transform(slice(ps, i + 2, size(ps)),
-            |    b -> struct(a AS pa, b AS pb))))""".stripMargin)).as("p"))
-        .select($"p.pa", $"p.pb")
+      val pairs = basketPairs(s, baskets)
         .groupBy($"pa", $"pb")
         .agg(count(lit(1)).as("n_ab"))
       pairs
@@ -1351,12 +1366,7 @@ object Joins {
         .agg(sort_array(collect_set($"l_partkey")).as("ps"))
       val perPart = baskets.select(explode($"ps").as("pk"))
         .groupBy($"pk").agg(count(lit(1)).as("n_p"))
-      baskets
-        .select(explode(expr(
-          """flatten(transform(ps, (a, i) ->
-            |  transform(slice(ps, i + 2, size(ps)),
-            |    b -> struct(a AS pa, b AS pb))))""".stripMargin)).as("p"))
-        .select($"p.pa", $"p.pb")
+      basketPairs(s, baskets)
         .groupBy($"pa", $"pb")
         .agg(count(lit(1)).as("n_ab"))
         .filter($"n_ab" >= 2)

@@ -239,4 +239,29 @@ class ExpressionSpec extends SparkSpec {
       .queryExecution.optimizedPlan.toString
     assert(p.toLowerCase.contains("dotproduct"), p)
   }
+
+  test("graft_pairs packed kernel == interpreted pair HOF, and rejects " +
+    "ids outside the 32-bit pack") {
+    import spark.implicits._
+    val baskets = graft.util.Tables.lineitem(spark, sf)
+      .groupBy($"l_orderkey")
+      .agg(sort_array(collect_set($"l_partkey")).as("ps"))
+    val kernel = baskets
+      .select(explode(call_function("graft_pairs", $"ps")).as("pp"))
+      .select(shiftright($"pp", 32).as("pa"),
+        $"pp".bitwiseAND(lit(0xFFFFFFFFL)).as("pb"))
+    val hof = baskets.select(explode(expr(
+        """flatten(transform(ps, (a, i) ->
+          |  transform(slice(ps, i + 2, size(ps)),
+          |    b -> struct(a AS pa, b AS pb))))""".stripMargin)).as("p"))
+      .select($"p.pa", $"p.pb")
+    assert(kernel.count() === hof.count())
+    assert(kernel.exceptAll(hof).count() === 0)
+    assert(hof.exceptAll(kernel).count() === 0)
+    val e = intercept[Exception] {
+      Seq(Seq(1L, 1L << 40)).toDF("ps")
+        .select(call_function("graft_pairs", $"ps")).collect()
+    }
+    assert(e.getMessage != null)
+  }
 }
