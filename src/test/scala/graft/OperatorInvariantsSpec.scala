@@ -343,6 +343,33 @@ class OperatorInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("q_item_similarity: Jaccard never exceeds either directional " +
+    "confidence (set algebra), supports bound co-counts") {
+    import spark.implicits._
+    val rows = run("q_item_similarity")
+      .select($"n_ab", $"jac_bp", $"conf_ab_bp", $"conf_ba_bp")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (nab, jac, cab, cba) =>
+      assert(nab >= 2)
+      assert(jac <= cab && jac <= cba, s"($nab,$jac,$cab,$cba)")
+      assert(jac >= 0 && cab <= 10000 && cba <= 10000)
+    }
+  }
+
+  test("q_variant_json's VARIANT extraction agrees with the JSON-path " +
+    "extraction over the same rows") {
+    import spark.implicits._
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val both = ev.select(
+      expr("variant_get(parse_json(props), '$.k', 'long')").as("kv"),
+      get_json_object($"props", "$.k").cast("long").as("kj"))
+    assert(both.filter(not($"kv" <=> $"kj")).count() === 0)
+    val agg = run("q_variant_json")
+      .agg(sum($"n")).as[Long].head()
+    assert(agg === ev.count())
+  }
+
   test("q_fk_check reports zero orphans on the coherent fixture") {
     import spark.implicits._
     val rows = run("q_fk_check")
