@@ -980,7 +980,75 @@ object VectorOps {
       |FROM v CROSS JOIN (SELECT UNNEST(range(1, 9)) AS j) j
       |ORDER BY vec_id, j""".stripMargin)
 
+  /** Retrieval-evaluation metrics over the ANN lineage (the IR eval
+    * loop): per held-out query (vec_id < 50), the rank of the first
+    * same-label neighbor in the cosine top-10, reciprocal rank and
+    * precision@5 — MRR/P@k are THE numbers an embedding-quality
+    * dashboard tracks. All metric arithmetic is exact integers
+    * (rr_bp = 10⁴ div rank; hits are counts); rank assignment uses the
+    * same (cos desc, nid) tie rule as q_sim_topk. Fixture labels are
+    * random, so the VALUES read chance — the oracle pins the operator,
+    * the metric has nothing to pin (q_knn_classify's situation).
+    * Scale: bounded query side broadcasts; store streams once. */
+  private val mrrEval = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val (b0, dotf) = base(s, dir)
+      val labels = Tables.embeddings(s, dir)
+        .select($"vec_id".as("lid"), $"label")
+      val q = b0.filter($"vec_id" < 50)
+        .join(broadcast(labels), $"vec_id" === $"lid")
+        .select($"vec_id".as("qid"), $"v".as("qv"), $"nm".as("qn"),
+          $"label".as("qlabel"))
+      val cand = b0
+        .join(broadcast(labels), $"vec_id" === $"lid")
+        .select($"vec_id".as("nid"), $"v".as("nv"), $"nm".as("nn"),
+          $"label".as("nlabel"))
+      val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"nid")
+      cand.join(broadcast(q), $"nid" =!= $"qid")
+        .withColumn("cos", dotf($"qv", $"nv") / ($"qn" * $"nn"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter($"rk" <= 10)
+        .groupBy($"qid", $"qlabel")
+        .agg(
+          min(when($"nlabel" === $"qlabel", $"rk")).as("first_rel"),
+          sum(when($"rk" <= 5 && $"nlabel" === $"qlabel", 1L).otherwise(0L))
+            .as("p5_hits"))
+        .select($"qid", $"qlabel",
+          coalesce($"first_rel", lit(-1L)).as("first_rel_rank"),
+          coalesce(expr("10000 div first_rel"), lit(0L)).as("rr_bp"),
+          $"p5_hits")
+        .orderBy($"qid")
+    },
+    oracleBase +
+    """,
+      |lbl AS (SELECT vec_id AS lid, label FROM embeddings),
+      |pairs AS (
+      |  SELECT a.vec_id AS qid, la.label AS qlabel, b.vec_id AS nid,
+      |         lb.label AS nlabel,
+      |         list_sum(list_transform(list_zip(a.ve, b.ve), p -> p[1]*p[2]))
+      |           / (a.nm * b.nm) AS cos
+      |  FROM n a JOIN lbl la ON a.vec_id = la.lid
+      |       JOIN n b ON a.vec_id < 50 AND b.vec_id <> a.vec_id
+      |       JOIN lbl lb ON b.vec_id = lb.lid),
+      |ranked AS (
+      |  SELECT qid, qlabel, nlabel,
+      |         CAST(ROW_NUMBER() OVER (PARTITION BY qid
+      |           ORDER BY cos DESC, nid) AS BIGINT) AS rk
+      |  FROM pairs),
+      |agg AS (
+      |  SELECT qid, qlabel,
+      |         MIN(CASE WHEN nlabel = qlabel THEN rk END) AS first_rel,
+      |         CAST(SUM(CASE WHEN rk <= 5 AND nlabel = qlabel
+      |                  THEN 1 ELSE 0 END) AS BIGINT) AS p5_hits
+      |  FROM ranked WHERE rk <= 10 GROUP BY 1, 2)
+      |SELECT qid, qlabel,
+      |       COALESCE(first_rel, -1) AS first_rel_rank,
+      |       COALESCE(10000 // first_rel, 0) AS rr_bp, p5_hits
+      |FROM agg ORDER BY qid""".stripMargin)
+
   val defs: Seq[(String, QueryDef)] = Seq(
+    "q_mrr_eval" -> mrrEval,
     "q_logreg_grad" -> logregGrad,
     "q_random_projection" -> randomProjection,
     "q_ivfpq" -> ivfPq,

@@ -370,6 +370,38 @@ class OperatorInvariantsSpec extends SparkSpec {
     assert(agg === ev.count())
   }
 
+  test("q_link_predict proposes only NON-edges with real 2-path support") {
+    import spark.implicits._
+    val preds = run("q_link_predict")
+      .select($"a", $"b", $"cn", $"aa_bp").as[(Long, Long, Long, Long)]
+      .collect()
+    assert(preds.nonEmpty)
+    preds.foreach { case (a, b, cn, aa) =>
+      assert(a < b); assert(cn >= 1); assert(aa >= 0)
+    }
+    val edges = run("q_dedup_lsh").select($"da", $"db")
+      .as[(Long, Long)].collect().toSet
+    preds.foreach { case (a, b, _, _) =>
+      assert(!edges.contains((a, b)), s"($a,$b) is an existing edge")
+    }
+  }
+
+  test("q_mrr_eval: reciprocal ranks follow exactly from first_rel_rank; " +
+    "precision hits bounded by 5") {
+    import spark.implicits._
+    val rows = run("q_mrr_eval")
+      .select($"first_rel_rank", $"rr_bp", $"p5_hits")
+      .as[(Long, Long, Long)].collect()
+    assert(rows.length === 50)
+    rows.foreach { case (fr, rr, p5) =>
+      assert(p5 >= 0 && p5 <= 5)
+      if (fr == -1) assert(rr === 0)
+      else { assert(fr >= 1 && fr <= 10); assert(rr === 10000L / fr) }
+      // a top-5 hit implies the first relevant rank is ≤ 5
+      if (p5 > 0) assert(fr >= 1 && fr <= 5)
+    }
+  }
+
   test("q_fk_check reports zero orphans on the coherent fixture") {
     import spark.implicits._
     val rows = run("q_fk_check")
