@@ -1047,8 +1047,88 @@ object VectorOps {
       |       COALESCE(10000 // first_rel, 0) AS rr_bp, p5_hits
       |FROM agg ORDER BY qid""".stripMargin)
 
+  /** Binary nDCG@10 per held-out query — the graded-ranking companion
+    * to q_mrr_eval: DCG = Σ over relevant ranks of round(10⁴/log2(1+rk))
+    * (each term an exact integer BEFORE summation, so partial-agg order
+    * can't drift it), IDCG = the same series over ranks 1..n_rel (the
+    * ideal front-loaded ranking), ndcg = DCG·10⁴ div IDCG. Queries with
+    * zero relevant neighbors emit 0 by convention. */
+  private val ndcgEval = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val (b0, dotf) = base(s, dir)
+      val labels = Tables.embeddings(s, dir)
+        .select($"vec_id".as("lid"), $"label")
+      val q = b0.filter($"vec_id" < 50)
+        .join(broadcast(labels), $"vec_id" === $"lid")
+        .select($"vec_id".as("qid"), $"v".as("qv"), $"nm".as("qn"),
+          $"label".as("qlabel"))
+      val cand = b0
+        .join(broadcast(labels), $"vec_id" === $"lid")
+        .select($"vec_id".as("nid"), $"v".as("nv"), $"nm".as("nn"),
+          $"label".as("nlabel"))
+      val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"nid")
+      val gain = round(lit(10000.0) /
+        (log($"rk".cast("double") + 1.0) / log(lit(2.0)))).cast("long")
+      val ranked = cand.join(broadcast(q), $"nid" =!= $"qid")
+        .withColumn("cos", dotf($"qv", $"nv") / ($"qn" * $"nn"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter($"rk" <= 10)
+      ranked
+        // n_rel as a window col BEFORE the rollup: the ideal DCG sums
+        // the SAME gains over ranks 1..n_rel (rank i's gain contributes
+        // iff at least i relevant docs exist in the dense 1..10 frame)
+        .withColumn("n_rel",
+          sum(when($"nlabel" === $"qlabel", 1L).otherwise(0L))
+            .over(Window.partitionBy($"qid")))
+        .withColumn("gain", gain)
+        .groupBy($"qid")
+        .agg(
+          sum(when($"nlabel" === $"qlabel", $"gain").otherwise(0L)).as("dcg_bp"),
+          max($"n_rel").as("n_rel"),
+          sum(when($"rk" <= $"n_rel", $"gain").otherwise(0L)).as("idcg_bp"))
+        .select($"qid", $"n_rel", $"dcg_bp",
+          coalesce(expr(
+            "CASE WHEN idcg_bp > 0 THEN (dcg_bp * 10000) div idcg_bp END"),
+            lit(0L)).as("ndcg_bp"))
+        .orderBy($"qid")
+    },
+    oracleBase +
+    """,
+      |lbl AS (SELECT vec_id AS lid, label FROM embeddings),
+      |pairs AS (
+      |  SELECT a.vec_id AS qid, la.label AS qlabel, b.vec_id AS nid,
+      |         lb.label AS nlabel,
+      |         list_sum(list_transform(list_zip(a.ve, b.ve), p -> p[1]*p[2]))
+      |           / (a.nm * b.nm) AS cos
+      |  FROM n a JOIN lbl la ON a.vec_id = la.lid
+      |       JOIN n b ON a.vec_id < 50 AND b.vec_id <> a.vec_id
+      |       JOIN lbl lb ON b.vec_id = lb.lid),
+      |ranked AS (
+      |  SELECT qid, qlabel, nlabel,
+      |         CAST(ROW_NUMBER() OVER (PARTITION BY qid
+      |           ORDER BY cos DESC, nid) AS BIGINT) AS rk
+      |  FROM pairs QUALIFY rk <= 10),
+      |g AS (
+      |  SELECT qid, rk, nlabel = qlabel AS rel,
+      |         CAST(ROUND(10000.0 / (LN(rk + 1.0) / LN(2.0))) AS BIGINT)
+      |           AS gain,
+      |         SUM(CASE WHEN nlabel = qlabel THEN 1 ELSE 0 END)
+      |           OVER (PARTITION BY qid) AS n_rel
+      |  FROM ranked)
+      |SELECT qid, CAST(MAX(n_rel) AS BIGINT) AS n_rel,
+      |       CAST(SUM(CASE WHEN rel THEN gain ELSE 0 END) AS BIGINT)
+      |         AS dcg_bp,
+      |       CAST(COALESCE(CASE WHEN SUM(CASE WHEN rk <= n_rel THEN gain
+      |                              ELSE 0 END) > 0
+      |           THEN (SUM(CASE WHEN rel THEN gain ELSE 0 END) * 10000)
+      |                // SUM(CASE WHEN rk <= n_rel THEN gain ELSE 0 END)
+      |           END, 0) AS BIGINT) AS ndcg_bp
+      |FROM g GROUP BY qid ORDER BY qid""".stripMargin)
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q_mrr_eval" -> mrrEval,
+    "q_ndcg_eval" -> ndcgEval,
     "q_logreg_grad" -> logregGrad,
     "q_random_projection" -> randomProjection,
     "q_ivfpq" -> ivfPq,
