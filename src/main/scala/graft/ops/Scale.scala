@@ -141,6 +141,35 @@ object Scale {
       s"((($x >> $i) & 1) << ${2 * i}) | ((($y >> $i) & 1) << ${2 * i + 1})"
     }.mkString("(", " | ", ")")
 
+  /** Wedge enumeration with a witness hub cap — the scale armor for
+    * common-neighbor / Adamic-Adar link prediction. Input: a SYMMETRIC
+    * edge set (uCol, vCol). Output: one row per wedge a–w–b with a < b,
+    * enumerated ONLY at witnesses w with deg(w) ≤ cap, carrying the
+    * witness degree.
+    *
+    * Why a cap and not orientation: unlike triangle counting (where
+    * degree-ordered orientation bounds fan-out at O(√|E|) because each
+    * triangle needs counting once), every wedge here IS an output
+    * contribution — CN counts all of them — so no orientation trick can
+    * shrink the Σ deg(w)² wedge mass. The standard large-graph fix is
+    * dropping hub witnesses: a witness of degree d costs d(d-1)/2 wedge
+    * rows yet contributes only ~1/ln d of Adamic-Adar evidence per pair
+    * — maximum cost, minimum signal. With the cap, per-witness fan-out
+    * is ≤ cap(cap-1)/2 and a degree-10⁶ celebrity node contributes ZERO
+    * wedge rows instead of ~10¹². The degree filter lands BEFORE the
+    * self-join, so the pruned fan-out never materializes. */
+  def cappedWedges(sym: DataFrame, uCol: String, vCol: String,
+      cap: Long): DataFrame = {
+    val deg = sym.groupBy(col(uCol).as("w"))
+      .agg(count(lit(1)).as("degree"))
+      .filter(col("degree") <= cap)
+    sym.select(col(uCol).as("a"), col(vCol).as("w"))
+      .join(deg, "w")
+      .join(sym.select(col(uCol).as("w"), col(vCol).as("b")), "w")
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("w"), col("b"), col("degree"))
+  }
+
   def starCC(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 64): DataFrame = {
     val init = pairs

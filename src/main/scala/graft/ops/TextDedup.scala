@@ -1181,31 +1181,39 @@ object TextDedup {
       |  ON i.fp = e.fp
       |GROUP BY 1 ORDER BY 1""".stripMargin)
 
+  /** Witness degree ceiling for [[linkPredict]]'s wedge enumeration —
+    * part of the operator's CONTRACT, applied identically in the oracle
+    * SQL: common neighbors are counted only through witnesses of degree
+    * ≤ this cap. See [[Scale.cappedWedges]] for why a cap (not
+    * orientation) is the only scale fix here: the CN wedge mass is
+    * inherently Σ deg(w)², and a hub witness carries ~1/ln d of AA
+    * signal per pair at d²/2 cost. 64 leaves every fixture witness
+    * below sf0.1 intact (sf0.01 max degree: 22) while bounding
+    * per-witness fan-out at 2,016 wedges forever. */
+  private[graft] val LinkPredictHubCap = 64L
+
   /** Link prediction over the near-dup candidate graph (common
     * neighbors + Adamic-Adar): for non-adjacent node pairs joined by a
-    * length-2 path, CN = #common neighbors (exact) and
+    * length-2 path through a non-hub witness (deg ≤
+    * [[LinkPredictHubCap]]), CN = #common such witnesses (exact) and
     * AA = Σ_w round(10⁴/ln deg(w)) — each witness term rounded to an
     * exact integer FIRST so the sum is order-independent (the raw
     * IEEE Σ 1/ln d would drift with partial-agg order). The classic
     * "these two docs will likely turn out to be duplicates" ranking
-    * that prioritizes the verify queue. Wedge join = two equi-joins on
-    * the persisted symmetric edge set (degree-bounded fan-out, same
-    * skew armor story as q_triangle_count); existing edges removed by
-    * a LEFT ANTI; top-100 by (cn, aa, pair). */
+    * that prioritizes the verify queue. Wedge join =
+    * [[Scale.cappedWedges]] over the persisted symmetric edge set
+    * (hub-capped fan-out — the degree filter lands before the
+    * self-join, so a celebrity node's deg² pairs never materialize);
+    * existing edges removed by a LEFT ANTI; top-100 by (cn, aa, pair). */
   private val linkPredict = QueryDef(
     (s, dir) => {
       import s.implicits._
       val pairs = lshCandidates(s, dir)
       val sym = pairs.select($"da".as("u"), $"db".as("v"))
         .unionByName(pairs.select($"db".as("u"), $"da".as("v")))
-      val deg = sym.groupBy($"u").agg(count(lit(1)).as("degree"))
-      val wedges = sym.select($"u".as("a"), $"v".as("w"))
-        .join(sym.select($"u".as("w"), $"v".as("b")), "w")
-        .filter($"a" < $"b")
+      Scale.cappedWedges(sym, "u", "v", LinkPredictHubCap)
         .join(pairs.select($"da".as("a"), $"db".as("b")),
           Seq("a", "b"), "left_anti")
-      wedges
-        .join(deg.select($"u".as("w"), $"degree"), "w")
         .withColumn("aa_term",
           when($"degree" > 1,
             round(lit(10000.0) / log($"degree".cast("double"))).cast("long"))
@@ -1215,22 +1223,24 @@ object TextDedup {
         .orderBy($"cn".desc, $"aa_bp".desc, $"a", $"b")
         .limit(100)
     },
-    oracleLshCandidates + """,
+    oracleLshCandidates + s""",
       |sym AS (SELECT da AS u, db AS v FROM cand
       |        UNION ALL SELECT db, da FROM cand),
-      |dg AS (SELECT u, COUNT(*) AS degree FROM sym GROUP BY 1),
+      |dg AS (SELECT u, COUNT(*) AS degree FROM sym GROUP BY 1
+      |       HAVING COUNT(*) <= $LinkPredictHubCap),
       |wedge AS (
-      |  SELECT x.u AS a, x.v AS w, y.v AS b
-      |  FROM sym x JOIN sym y ON x.v = y.u
+      |  SELECT x.u AS a, x.v AS w, y.v AS b, dg.degree
+      |  FROM sym x JOIN dg ON x.v = dg.u
+      |  JOIN sym y ON x.v = y.u
       |  WHERE x.u < y.v
       |    AND NOT EXISTS (SELECT 1 FROM cand c
       |                    WHERE c.da = x.u AND c.db = y.v)),
       |scoredw AS (
       |  SELECT a, b,
-      |         CASE WHEN dg.degree > 1
-      |              THEN CAST(ROUND(10000.0 / LN(dg.degree)) AS BIGINT)
+      |         CASE WHEN degree > 1
+      |              THEN CAST(ROUND(10000.0 / LN(degree)) AS BIGINT)
       |              ELSE 0 END AS aa_term
-      |  FROM wedge JOIN dg ON wedge.w = dg.u)
+      |  FROM wedge)
       |SELECT a, b, COUNT(*) AS cn, CAST(SUM(aa_term) AS BIGINT) AS aa_bp
       |FROM scoredw GROUP BY 1, 2
       |ORDER BY cn DESC, aa_bp DESC, a, b LIMIT 100""".stripMargin)

@@ -154,6 +154,35 @@ class ScaleSpec extends SparkSpec {
     assert(actual === expected)
   }
 
+  test("cappedWedges: hub-and-spoke skew — a 1000-degree hub witness " +
+    "contributes ZERO wedge rows; non-hub wedges are exact") {
+    import spark.implicits._
+    // One celebrity node (id 0, degree 1000) plus a 10-clique of normal
+    // nodes (ids 10000-10009, degree 9 each, all ≤ cap). Uncapped, the
+    // hub alone would fan out 1000*999/2 = 499,500 wedge rows; with the
+    // cap, the plan's self-join never sees it.
+    val hubEdges = (1L to 1000L).map(i => (0L, i))
+    val cliqueIds = (0 until 10).map(i => 10000L + i)
+    val cliqueEdges = for (a <- cliqueIds; b <- cliqueIds if a < b) yield (a, b)
+    val pairs = (hubEdges ++ cliqueEdges).toDF("da", "db")
+    val sym = pairs.select($"da".as("u"), $"db".as("v"))
+      .unionByName(pairs.select($"db".as("u"), $"da".as("v")))
+    val wedges = Scale.cappedWedges(sym, "u", "v", cap = 64L).cache()
+    try {
+      // no wedge is witnessed at the hub
+      assert(wedges.filter($"w" === 0L).count() === 0)
+      // spokes (degree 1) witness nothing; each clique node (degree 9)
+      // witnesses C(9,2)=36 wedges → 360 total. Each spoke-hub wedge is
+      // gone: total == clique wedges only.
+      assert(wedges.count() === 360L)
+      // every clique pair {a,b} has exactly 8 common non-hub witnesses
+      val cn = wedges.groupBy($"a", $"b").count().collect()
+      assert(cn.length === 45 && cn.forall(_.getLong(2) === 8L))
+      // degree column carries the true witness degree
+      assert(wedges.select($"degree").distinct().as[Long].collect().toSet === Set(9L))
+    } finally wedges.unpersist()
+  }
+
   test("starCC and blockedPrefixSum tolerate empty and degenerate input") {
     import spark.implicits._
     // empty edge set → empty labels (no hang, no exception)
