@@ -64,14 +64,77 @@ object Bench {
         catch { case _: Throwable => false }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }.toMap
-    val failed = results.collect { case (k, v) if v < 0 => s"\"" + k + "\"" }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // ---- write-path timings (BASELINE.md r8): the Pipeline write
+    // surface at the same SF, into a throwaway tmpdir. Previously these
+    // were correctness-tested at toy size only, so an upsert/
+    // writeVersioned/compact regression was invisible to the bench.
+    // They report inside `queries` as pipeline_w_* (and count toward
+    // the headline total): writes are engine surface, same as reads.
+    import org.apache.spark.sql.functions.{broadcast, col, lit}
+    val wroot = java.nio.file.Files.createTempDirectory("graft_bench_w")
+    val sink = s"$wroot/sink"
+    def timedW(name: String)(body: => Unit): (String, Double) = {
+      val t0 = System.nanoTime()
+      val ok = try { body; true } catch { case _: Throwable => false }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+    }
+    val ev = graft.util.Tables.events(spark, sfDir)
+    val writeResults = Seq[(String, Double)](
+      // events → daily rollup → date-partitioned sink (the flagship
+      // incremental load, dynamic-partition-overwrite mode)
+      timedW("pipeline_w_incremental") {
+        graft.etl.Pipeline.runIncremental(spark, ev, "event_type", sink,
+          java.sql.Date.valueOf("2026-01-01"),
+          overwritePartitions = true): Unit
+      },
+      // key-level CoW merge: corrected values for the 30 newest dates
+      timedW("pipeline_w_upsert") {
+        val snap = spark.read.parquet(sink)
+        val dates = snap.select(col("date")).distinct()
+          .orderBy(col("date").desc).limit(30)
+        val updates = snap.join(broadcast(dates), Seq("date"))
+          .withColumn("avg_value", col("avg_value") * lit(1.01))
+        graft.etl.Pipeline.upsert(spark, updates, sink): Unit
+      },
+      // two snapshot commits + a time-travel read-back of the latest
+      timedW("pipeline_w_versioned") {
+        val vdir = s"$wroot/versioned"
+        graft.etl.Pipeline.writeVersioned(spark,
+          spark.read.parquet(sink), vdir): Unit
+        graft.etl.Pipeline.writeVersioned(spark,
+          spark.read.parquet(sink).withColumn("n", col("n") + lit(1L)),
+          vdir): Unit
+        graft.etl.Pipeline.readVersion(spark, vdir)
+          .write.format("noop").mode("overwrite").save()
+      },
+      // 64-way small-file scatter, then the rename-swap compaction
+      timedW("pipeline_w_compact") {
+        val cdir = s"$wroot/compactme"
+        spark.read.parquet(sink).repartition(64)
+          .write.mode("overwrite").parquet(cdir)
+        graft.etl.Pipeline.compact(spark, cdir,
+          targetRowsPerFile = 500000): Unit
+      },
+      // range-clustered write (the data-skipping layout)
+      timedW("pipeline_w_clustered") {
+        graft.etl.Pipeline.clusteredWrite(spark.read.parquet(sink),
+          "group_key", 8, s"$wroot/clustered")
+      })
+    def rmAll(f: java.io.File): Unit = {
+      val kids = f.listFiles(); if (kids != null) kids.foreach(rmAll)
+      f.delete(): Unit
+    }
+    rmAll(wroot.toFile)
+
+    val all = results ++ writeResults
+    val failed = all.collect { case (k, v) if v < 0 => s"\"" + k + "\"" }
+    val qs = all.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // headline total INCLUDES the shared-lineage warm: prior rounds
     // billed that rebuild inside whichever query touched it first, so
     // excluding it here would silently shrink the metric round-over-
     // round. The breakdown fields keep the two costs separable.
-    val total = results.values.filter(_ >= 0).sum + warmSec
+    val total = all.collect { case (_, v) if v >= 0 => v }.sum + warmSec
     val failedJson = failed.mkString("[", ",", "]")
     // memory telemetry: the r4 regression was heap starvation
     // (VERDICT r4) — record the budget each run actually had so a

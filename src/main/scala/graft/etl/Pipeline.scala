@@ -347,30 +347,58 @@ object Pipeline {
 
   /** Execute a small-file compaction (the OPTIMIZE half of
     * q_compaction_plan): rewrite the directory into
-    * ⌈rows/targetRowsPerFile⌉ files via staging + swap — readers of the
-    * old layout keep working until the swap, the rewrite is
-    * re-runnable, and row content is untouched (PipelineSpec pins
-    * count + content equality and the file-count drop). */
+    * ⌈rows/targetRowsPerFile⌉ files and COMMIT BY DIRECTORY RENAME —
+    * the live dir is never written in place, so readers of the old
+    * layout keep working until the swap (their already-open files stay
+    * valid), a crash at any point leaves a recoverable state, and the
+    * rewrite is re-runnable (PipelineSpec pins count + content equality,
+    * the file-count drop, and crash-point recovery). Row content is
+    * untouched.
+    *
+    * Commit protocol (each step is a single directory rename):
+    *  1. write the compacted copy to `<dir>.compact_staging`
+    *     (beside, never inside, the target);
+    *  2. verify the staged row count;
+    *  3. rename live → `<dir>.compact_old` (retire);
+    *  4. rename staging → live (publish);
+    *  5. delete the retiree.
+    *
+    * Entry first recovers any state a previous crashed run left, in
+    * reverse swap order: a missing live dir beside a `.compact_old`
+    * means the crash hit between renames 3 and 4 — the retiree is a
+    * complete pre-compaction layout, so it is rolled back to live; a
+    * `.compact_old` beside a live dir (crash between 4 and 5) is
+    * droppable; a leftover `.compact_staging` (crash before 3) is
+    * droppable, possibly partial. */
   def compact(spark: SparkSession, dir: String,
               targetRowsPerFile: Long): Int = {
-    val df = spark.read.parquet(dir)
-    val n = df.count()
-    val files = math.max(1, math.ceil(n.toDouble / targetRowsPerFile).toInt)
-    // staging lives BESIDE the target, not inside it: the final
-    // Overwrite deletes the target dir first and then STREAMS from the
-    // staging scan — a staging subdirectory would be deleted along with
-    // its parent mid-read (silent data loss on cache eviction)
-    val staging = s"${dir.stripSuffix("/")}.compact_staging"
-    df.repartition(files).write.mode(SaveMode.Overwrite).parquet(staging)
-    val staged = spark.read.parquet(staging)
-    require(staged.count() == n, "compaction must not change row count")
-    staged.write.mode(SaveMode.Overwrite).parquet(dir)
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val base = dir.stripSuffix("/")
+    val staging = s"$base.compact_staging"
+    val retired = s"$base.compact_old"
     def rm(f: java.io.File): Unit = {
       val kids = f.listFiles()
       if (kids != null) kids.foreach(rm)
       f.delete(): Unit
     }
-    rm(new java.io.File(staging))
+    // crash recovery from a previous interrupted run (see scaladoc)
+    if (!Files.exists(Paths.get(base)) && Files.exists(Paths.get(retired)))
+      Files.move(Paths.get(retired), Paths.get(base),
+        StandardCopyOption.ATOMIC_MOVE)
+    if (Files.exists(Paths.get(retired))) rm(new java.io.File(retired))
+    if (Files.exists(Paths.get(staging))) rm(new java.io.File(staging))
+
+    val df = spark.read.parquet(base)
+    val n = df.count()
+    val files = math.max(1, math.ceil(n.toDouble / targetRowsPerFile).toInt)
+    df.repartition(files).write.mode(SaveMode.Overwrite).parquet(staging)
+    require(spark.read.parquet(staging).count() == n,
+      "compaction must not change row count")
+    Files.move(Paths.get(base), Paths.get(retired),
+      StandardCopyOption.ATOMIC_MOVE)
+    Files.move(Paths.get(staging), Paths.get(base),
+      StandardCopyOption.ATOMIC_MOVE)
+    rm(new java.io.File(retired))
     files
   }
 }

@@ -28,12 +28,19 @@ import org.apache.spark.sql.SparkSessionExtensions
   * widened per-element (exact) before multiply-accumulate in double,
   * matching `CAST(x AS DOUBLE)` semantics. Array elements must be
   * non-null (embedding fixtures guarantee this; null elements read as 0).
+  *
+  * Length-mismatched inputs yield NULL — the identical observable the
+  * fallback produces (`zip_with` pads the shorter side with nulls, the
+  * null product nulls the aggregate) — so the "results never depend on
+  * registration" contract holds on malformed input too, not only on
+  * well-formed vectors.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
-  override def nullable: Boolean = left.nullable || right.nullable
+  // nullable even over non-null inputs: length mismatch → NULL
+  override def nullable: Boolean = true
 
   private def elemType(e: Expression): DataType =
     e.dataType.asInstanceOf[ArrayType].elementType
@@ -50,7 +57,8 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n) return null
     val (lf, rf) = (elemType(left) == FloatType, elemType(right) == FloatType)
     var s = 0.0
     var i = 0
@@ -72,12 +80,16 @@ case class DotProduct(left: Expression, right: Expression)
         if (elemType(e) == FloatType) s"(double) $arr.getFloat($i)"
         else s"$arr.getDouble($i)"
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += ${get(a, left)} * ${get(b, right)};
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += ${get(a, left)} * ${get(b, right)};
+         |  }
+         |  ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 

@@ -1095,14 +1095,37 @@ object Joins {
     * sf) in the catalog — the one-off ingest cost a warehouse amortizes
     * over every subsequent join; bucket files land under java tmpdir,
     * not the fixture dir. Result ≡ the plain join (the oracle). */
+  /** Content-addressed suffix for the memoized bucketed tables: hex
+    * SHA-256 (64 bits kept) of the canonical absolute fixture path.
+    * Collision-free in practice — unlike `String.hashCode`, whose
+    * 32-bit space collides trivially (e.g. "Aa"/"BB") and whose
+    * `math.abs` is negative at Int.MinValue — so two distinct fixture
+    * dirs can never silently share (and therefore cross-contaminate)
+    * a bucketed table. Pinned by JoinsSpec. */
+  private[graft] def bucketSuffix(dir: String): String = {
+    val canon = java.nio.file.Paths.get(dir)
+      .toAbsolutePath.normalize.toString
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(canon.getBytes("UTF-8"))
+      .take(8).map(b => f"$b%02x").mkString
+  }
+
   private val bucketedJoin = QueryDef(
     (s, dir) => {
       import s.implicits._
-      val suffix = math.abs(dir.hashCode).toString
+      val suffix = bucketSuffix(dir)
       val (ot, lt) = (s"g_bkt_orders_$suffix", s"g_bkt_lineitem_$suffix")
+      // the bucket files are PROCESS-private (pid in the path): catalog
+      // metadata never crosses JVMs (each sbt fork runs its own
+      // metastore), so a shared tmpdir could only ever let one fork's
+      // overwrite race another fork's read — scoping the dir per
+      // process removes the cross-process race outright, and the
+      // JVM-wide lock below serializes ingest within the process. In
+      // production this is a real warehouse table, written once.
       val base = java.nio.file.Files
         .createDirectories(java.nio.file.Paths.get(
-          sys.props("java.io.tmpdir"), "graft_bucketed")).toString
+          sys.props("java.io.tmpdir"),
+          s"graft_bucketed_p${ProcessHandle.current.pid}")).toString
       // JVM-wide lock: concurrent builders (parallel test suites) must
       // not race the one-off bucketed ingest (double saveAsTable to the
       // same path corrupts the table)

@@ -307,11 +307,10 @@ object Relational {
       val li = Tables.lineitem(s, dir)
         .select($"l_returnflag", $"l_quantity".cast("double").as("q"),
           $"l_extendedprice".cast("double").as("p"))
-      // ONE per-group counts job, shared by both rankPicks (as their
-      // offset table, in Spark sort order) and the final agg join
-      val counted = li.groupBy($"l_returnflag").agg(count(lit(1)).as("n"))
-        .orderBy($"l_returnflag")
-        .collect().toSeq.map(r => r.getString(0) -> r.getLong(1))
+      // ONE per-group counts job (guarded driver read), shared by both
+      // rankPicks (as their offset table, in Spark sort order) and the
+      // final agg join
+      val counted = Scale.groupCounts(li, "l_returnflag")
       val counts = counted.toDF("l_returnflag", "n")
       // target ranks per group size (1-based): interpolation straddle
       // ranks for cont percentiles, ⌈p·n⌉ for disc — driver arithmetic
@@ -1016,9 +1015,7 @@ object Relational {
       import s.implicits._
       val ev = Tables.events(s, dir)
         .select($"event_type", $"value".cast("double").as("v"))
-      val counted = ev.groupBy($"event_type").agg(count(lit(1)).as("n"))
-        .orderBy($"event_type")
-        .collect().toSeq.map(r => r.getString(0) -> r.getLong(1))
+      val counted = Scale.groupCounts(ev, "event_type")
       val disc = (n: Long) => Seq((n + 1) / 2) // rank ⌈n/2⌉ = quantile_disc(0.5)
       val meds = Scale.rankPickBy(s,
           ev.select($"event_type".as("gk"), $"v"), "gk", "v",
@@ -1117,9 +1114,7 @@ object Relational {
       import s.implicits._
       val ev = Tables.events(s, dir)
         .select($"event_type", $"value".cast("double").as("v"))
-      val counted = ev.groupBy($"event_type").agg(count(lit(1)).as("n"))
-        .orderBy($"event_type")
-        .collect().toSeq.map(r => r.getString(0) -> r.getLong(1))
+      val counted = Scale.groupCounts(ev, "event_type")
       val r05 = (n: Long) => (n + 19) / 20
       val r95 = (n: Long) => (19 * n + 19) / 20
       val picks = Scale.rankPickBy(s,

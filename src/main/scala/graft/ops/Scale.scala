@@ -301,6 +301,25 @@ object Scale {
     * never a driver-side re-sort — Scala's UTF-16 String ordering and
     * Spark's UTF8 binary ordering disagree on supplementary-plane
     * characters. */
+  /** ONE guarded per-group counts job in SPARK sort order — the
+    * watermark-class driver scalar read shared by the rank-pick call
+    * sites (passed back as `precounted`) and by [[rankPickBy]]'s own
+    * fallback. The maxGroups ceiling is enforced with a
+    * limit(maxGroups+1) fetch (TakeOrderedAndProject — no full collect
+    * on the failure path either), failing fast instead of silently
+    * becoming a driver bottleneck on a high-cardinality key. */
+  def groupCounts(df: DataFrame, groupCol: String,
+      maxGroups: Int = 100000): Seq[(String, Long)] = {
+    val rows = df.groupBy(col(groupCol)).count().orderBy(col(groupCol))
+      .limit(maxGroups + 1)
+      .collect().toSeq.map(r => r.getString(0) -> r.getLong(1))
+    require(rows.size <= maxGroups,
+      s"groupCounts holds one (group, count) pair per group on the " +
+        s"driver; '$groupCol' has >$maxGroups groups — use a distributed " +
+        "window rank per group instead, or raise maxGroups deliberately")
+    rows
+  }
+
   def rankPick(
       spark: SparkSession,
       df: DataFrame,
@@ -330,24 +349,13 @@ object Scale {
     require(df.schema(groupCol).dataType == StringType,
       s"rankPick groups by a string key; got ${df.schema(groupCol).dataType.sql}" +
         " — cast the group column first")
-    // group order must be SPARK's sort order (orderBy below), not a
-    // driver-side sortBy — see `precounted` scaladoc.
-    // The per-group (key, count) offset table lives on the driver — the
-    // documented watermark-class scalar read. That contract is only safe
-    // when group cardinality is low, so ENFORCE it (VERDICT r4 item 4):
-    // fetch maxGroups+1 rows via TakeOrderedAndProject (no full collect
-    // on the failure path either) and fail fast instead of silently
-    // becoming a driver-side bottleneck on a high-cardinality key.
-    val counts: Seq[(String, Long)] = precounted.getOrElse {
-      val rows = df.groupBy(col(groupCol)).count().orderBy(col(groupCol))
-        .limit(maxGroups + 1)
-        .collect().toSeq.map(r => r.getString(0) -> r.getLong(1))
-      require(rows.size <= maxGroups,
-        s"rankPick holds one (group, count) pair per group on the driver; " +
-          s"'$groupCol' has >$maxGroups groups — use a distributed " +
-          "window rank per group instead, or raise maxGroups deliberately")
-      rows
-    }
+    // group order must be SPARK's sort order (orderBy inside
+    // groupCounts), not a driver-side sortBy — see `precounted`
+    // scaladoc. The (key, count) offset table lives on the driver — the
+    // documented watermark-class scalar read, guarded by maxGroups
+    // inside groupCounts (VERDICT r4 item 4).
+    val counts: Seq[(String, Long)] =
+      precounted.getOrElse(groupCounts(df, groupCol, maxGroups))
     require(counts.size <= maxGroups,
       s"rankPick precounted table has ${counts.size} groups > maxGroups=$maxGroups")
     val schema = StructType(Seq(

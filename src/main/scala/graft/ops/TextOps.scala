@@ -141,9 +141,13 @@ object TextOps {
     * skill. Scale: profile is |langs × trigrams| — tiny — and broadcast;
     * docs never shuffle raw text, only (doc, trigram) counts. */
   /** Held-out prediction frame (doc_id, lang, pred_lang, score) shared
-    * by q_lang_id (row dump) and q_lang_confusion (evaluation). */
+    * by q_lang_id (row dump) and q_lang_confusion (evaluation) —
+    * memoized like the other multi-consumer lineages (hashedShingles /
+    * lshCandidates / the n-gram models): the trigram explode + two
+    * aggregations + profile join otherwise re-run once per consumer. */
   private def langPredictions(s: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame = {
+      dir: String): org.apache.spark.sql.DataFrame =
+    memoized(s, dir, "langPredictions") {
       import s.implicits._
       // trigrams packed into int64 (base-1021 codepoint arithmetic —
       // injective below codepoint 1021, ASCII corpus; the dedup_ngram
@@ -185,7 +189,7 @@ object TextOps {
         .withColumn("rn", row_number().over(w))
         .filter($"rn" === 1)
         .select($"doc_id", $"lang", $"plang".as("pred_lang"), $"score")
-  }
+    }
 
   /** Shared oracle CTE chain ending in `picked` (rn=1 rows). */
   private val langSqlCtes =
@@ -1248,11 +1252,14 @@ object TextOps {
       |FROM r GROUP BY 1 ORDER BY 1""".stripMargin)
 
   /** Heavy-hitter census via Count-Min sketch ([[graft.functions.
-    * Sketches]]): top-20 corpus words by exact count, each annotated
-    * with its CMS estimate. Rows-only by design: the sketch layout is
-    * engine-internal (no DuckDB analog) — the CMS guarantee
-    * (never under-counts; over-counts ≤ εN, ε = e/W) is pinned in
-    * SketchSpec over ALL words, plus partial-merge invariance.
+    * Sketches]]): top-20 corpus words by exact count, each audited
+    * against its CMS estimate. ORACLE-CHECKED since r8: the raw
+    * estimate stays engine-internal (no DuckDB analog), but the CMS
+    * guarantee (never under-counts; over-counts ≤ εN, ε = e/W) is
+    * emitted as two boolean columns the oracle pins to literal TRUE —
+    * a sketch bug now hash-mismatches the driver gate instead of
+    * hiding behind a rows-only check. SketchSpec additionally pins the
+    * envelope over ALL words, plus partial-merge invariance.
     *
     * Scale: the POINT of the sketch — the aggregation shuffle carries
     * one D×W counter matrix per partition (4 KB), never the keys; the
@@ -1268,16 +1275,37 @@ object TextOps {
         .filter(length($"word") > 0)
         .select($"word", xxhash64($"word").as("h"))
       val cms = udaf(Sketches.countMin, org.apache.spark.sql.Encoders.scalaLong)
-      val sketch = words.agg(cms($"h").as("sk"))
+      val sketch = words.agg(cms($"h").as("sk"), count(lit(1)).as("n_total"))
       val top = words.groupBy($"word")
         .agg(count(lit(1)).as("n_exact"), first($"h").as("h"))
         .orderBy($"n_exact".desc, $"word").limit(20)
       val est = udf((sk: Seq[Long], h: Long) => Sketches.estimate(sk.toArray, h))
+      // the estimate value is engine-internal (no DuckDB analog), so
+      // the ORACLE-CHECKED columns are the top-20 identity + exact
+      // counts PLUS the audited CMS envelope as booleans: the oracle
+      // asserts literal TRUE for both, so an under-count or an
+      // over-count beyond εN (ε = e/W) hash-mismatches the row. The
+      // envelope arithmetic runs only engine-side — no float crosses
+      // engines — and the fixture is deterministic, so the 1−e^−D
+      // per-key probability is a fixed outcome, not flakiness.
       top.crossJoin(broadcast(sketch))
-        .select($"word", $"n_exact", est($"sk", $"h").as("n_est"))
+        .withColumn("n_est", est($"sk", $"h"))
+        .select($"word", $"n_exact",
+          ($"n_est" >= $"n_exact").as("cms_never_under"),
+          (($"n_est" - $"n_exact").cast("double") <=
+            lit(math.E / Sketches.W) * $"n_total".cast("double"))
+            .as("cms_within_eps_n"))
         .orderBy($"n_exact".desc, $"word")
     },
-    None)
+    """WITH w AS (
+      |  SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+      |ww AS (SELECT word FROM w WHERE length(word) > 0),
+      |top AS (
+      |  SELECT word, COUNT(*) AS n_exact FROM ww GROUP BY 1
+      |  ORDER BY n_exact DESC, word LIMIT 20)
+      |SELECT word, n_exact,
+      |       TRUE AS cms_never_under, TRUE AS cms_within_eps_n
+      |FROM top ORDER BY n_exact DESC, word""".stripMargin)
 
   /** Filter-funnel census: how many documents per source survive each
     * successive quality gate, cumulatively — the ops dashboard every

@@ -31,23 +31,33 @@ object Metrics {
       error: Option[String])
 
   /** Bounded ring per session — a listener that grows without bound is
-    * a driver leak; 4096 captures ≈ hours of interactive use. */
+    * a driver leak; 4096 captures ≈ hours of interactive use.
+    *
+    * Both per-session maps hold WEAK keys: a session-cycling process
+    * (notebook kernels, test harnesses, long-lived services creating
+    * short-lived sessions) must not accumulate a ring + listener per
+    * dead session forever. The listener deliberately holds its RING,
+    * never its session — a strong session reference in a map value
+    * would pin the weak key of the same entry (the classic WeakHashMap
+    * self-reference pitfall) and re-create the leak. With that edge
+    * absent, an unreferenced session, its listenerManager, its
+    * listener, and its ring form one garbage cycle and are collected
+    * together; [[evict]] offers the deterministic form. */
   private val MaxCaptures = 4096
-  private val rings =
-    new java.util.concurrent.ConcurrentHashMap[
-      SparkSession, java.util.ArrayDeque[Capture]]()
+  private val rings = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, java.util.ArrayDeque[Capture]]())
 
-  private final class Listener(spark: SparkSession)
+  private final class Listener(ring: java.util.ArrayDeque[Capture])
       extends QueryExecutionListener {
     override def onSuccess(funcName: String, qe: QueryExecution,
                            durationNs: Long): Unit =
-      record(spark, funcName, qe, durationNs, None)
+      record(ring, funcName, qe, durationNs, None)
     override def onFailure(funcName: String, qe: QueryExecution,
                            exception: Exception): Unit =
-      record(spark, funcName, qe, 0L, Some(exception.toString.take(200)))
+      record(ring, funcName, qe, 0L, Some(exception.toString.take(200)))
   }
 
-  private def record(spark: SparkSession, funcName: String,
+  private def record(ring: java.util.ArrayDeque[Capture], funcName: String,
                      qe: QueryExecution, durationNs: Long,
                      err: Option[String]): Unit = {
     val plan = qe.executedPlan
@@ -68,8 +78,6 @@ object Metrics {
         n.subqueries.foreach(walk)
     }
     walk(plan)
-    val ring = rings.computeIfAbsent(spark,
-      _ => new java.util.ArrayDeque[Capture]())
     ring.synchronized {
       if (ring.size >= MaxCaptures) ring.removeFirst()
       ring.addLast(Capture(funcName, durationNs / 1000000L, rows,
@@ -77,13 +85,31 @@ object Metrics {
     }
   }
 
-  /** Idempotent install — one listener per session. */
-  private val installed =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
+  /** Listener per session, weak-keyed like [[rings]] (the value holds
+    * only the ring — see the leak note there). */
+  private val listeners = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, Listener]())
 
-  def install(spark: SparkSession): Unit =
-    if (installed.add(spark))
-      spark.listenerManager.register(new Listener(spark))
+  /** Idempotent install — one listener per session. */
+  def install(spark: SparkSession): Unit = listeners.synchronized {
+    if (!listeners.containsKey(spark)) {
+      val ring = rings.computeIfAbsent(spark,
+        _ => new java.util.ArrayDeque[Capture]())
+      val l = new Listener(ring)
+      listeners.put(spark, l)
+      spark.listenerManager.register(l)
+    }
+  }
+
+  /** Deterministic eviction for session-cycling drivers: unregister the
+    * listener and drop the ring; a later [[install]] starts fresh.
+    * (Sessions that are simply dropped are reclaimed by GC via the weak
+    * keys — this is the explicit form for immediate release.) */
+  def evict(spark: SparkSession): Unit = listeners.synchronized {
+    val l = listeners.remove(spark)
+    if (l != null) spark.listenerManager.unregister(l)
+    rings.remove(spark): Unit
+  }
 
   /** Captures so far, oldest first. */
   def captures(spark: SparkSession): Seq[Capture] = {

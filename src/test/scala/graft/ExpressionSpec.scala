@@ -45,6 +45,24 @@ class ExpressionSpec extends SparkSpec {
     assert(r(1) === None)       // null array → null, no crash
   }
 
+  test("native dot on length-mismatched arrays == the zip_with fallback: NULL") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(1.0, 2.0, 3.0), Array(1.0, 1.0)), // left longer
+      (Array(1.0), Array(2.0, 5.0)),           // right longer
+      (Array(7.0, 7.0), Array(2.0, 3.0)))      // matched control
+      .toDF("a", "b")
+    def read(c: org.apache.spark.sql.Column): Seq[Option[Double]] =
+      df.select(c.as("d")).collect().toSeq
+        .map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    val native = read(call_function("graft_dot", $"a", $"b"))
+    val fallback = read(VectorOps.dot(VectorOps.vcol($"a"), VectorOps.vcol($"b")))
+    assert(native === Seq(None, None, Some(35.0)))
+    assert(native === fallback,
+      "kernel and fallback must agree on malformed input — results " +
+        "must never depend on whether the extension is registered")
+  }
+
   test("native string hashes == built-in folds on the documents corpus") {
     import spark.implicits._
     val d = spark.read.parquet(s"$sf/documents.parquet")

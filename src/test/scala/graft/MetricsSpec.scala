@@ -47,4 +47,28 @@ class MetricsSpec extends SparkSpec {
     // snapshot row count equals the pre-report capture count
     assert(rep.collect().length === n)
   }
+
+  test("evict releases a session's captures and stops its listener; " +
+    "reinstall starts fresh without double-capturing") {
+    Metrics.install(spark)
+    Metrics.reset(spark)
+    spark.read.parquet(s"$sf/nation.parquet").count()
+    assert(awaitCaptures().nonEmpty)
+    Metrics.evict(spark)
+    assert(Metrics.captures(spark).isEmpty)
+    // evicted listener is unregistered: actions record nothing (listener
+    // bus is async — give it a beat before asserting the negative)
+    spark.read.parquet(s"$sf/region.parquet").count()
+    Thread.sleep(1500)
+    assert(Metrics.captures(spark).isEmpty)
+    // reinstall after evict records again, exactly once per action
+    Metrics.install(spark)
+    spark.read.parquet(s"$sf/nation.parquet").count()
+    assert(awaitCaptures().nonEmpty)
+    Thread.sleep(1500)
+    val perAction = Metrics.captures(spark).groupBy(_.action)
+    assert(perAction.values.forall(_.size == 1),
+      s"double capture after reinstall: $perAction")
+    Metrics.evict(spark)
+  }
 }

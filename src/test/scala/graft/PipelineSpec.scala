@@ -314,5 +314,51 @@ class PipelineSpec extends SparkSpec {
     assert(spark.read.parquet(dir).orderBy("k")
       .as[(Long, String)].collect().toSeq === expected)
     assert(!new java.io.File(dir.stripSuffix("/") + ".compact_staging").exists())
+    assert(!new java.io.File(dir.stripSuffix("/") + ".compact_old").exists())
+  }
+
+  test("compact recovers every crash point of the rename-swap commit") {
+    import spark.implicits._
+    import java.nio.file.{Files => NF, Paths, StandardCopyOption}
+    def mkTable(): String = {
+      val dir = Files.createTempDirectory("graft_compact_crash").toString + "/t"
+      (0 until 4).foreach { i =>
+        (i * 25 until (i + 1) * 25).map(k => (k.toLong, s"r$k"))
+          .toDF("k", "v").coalesce(1).write.mode("append").parquet(dir)
+      }
+      dir
+    }
+    def rows(dir: String): Seq[(Long, String)] =
+      spark.read.parquet(dir).orderBy("k").as[(Long, String)].collect().toSeq
+
+    // crash BEFORE the swap: a partial staging dir is left beside the
+    // live table → next run drops it and completes
+    val d1 = mkTable(); val exp1 = rows(d1)
+    val stg = d1 + ".compact_staging"
+    new java.io.File(stg).mkdirs()
+    NF.writeString(Paths.get(stg, "part-corrupt.parquet"), "not parquet")
+    assert(Pipeline.compact(spark, d1, targetRowsPerFile = 100) === 1)
+    assert(rows(d1) === exp1)
+    assert(!new java.io.File(stg).exists())
+
+    // crash BETWEEN the two renames: live dir is missing, the complete
+    // old layout sits at .compact_old → next run rolls it back first
+    val d2 = mkTable(); val exp2 = rows(d2)
+    NF.move(Paths.get(d2), Paths.get(d2 + ".compact_old"),
+      StandardCopyOption.ATOMIC_MOVE)
+    assert(!new java.io.File(d2).exists())
+    assert(Pipeline.compact(spark, d2, targetRowsPerFile = 100) === 1)
+    assert(rows(d2) === exp2)
+    assert(!new java.io.File(d2 + ".compact_old").exists())
+
+    // crash AFTER the publish rename but before cleanup: a retired old
+    // layout sits beside the (already-new) live dir → dropped on entry
+    val d3 = mkTable(); val exp3 = rows(d3)
+    new java.io.File(d3 + ".compact_old").mkdirs()
+    Seq((999L, "stale")).toDF("k", "v")
+      .write.mode("overwrite").parquet(d3 + ".compact_old")
+    assert(Pipeline.compact(spark, d3, targetRowsPerFile = 100) === 1)
+    assert(rows(d3) === exp3)
+    assert(!new java.io.File(d3 + ".compact_old").exists())
   }
 }

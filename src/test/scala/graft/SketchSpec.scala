@@ -4,7 +4,8 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.Sketches
 
-/** Count-Min sketch envelope (the rows-only q_heavy_hitters contract):
+/** Count-Min sketch envelope (the q_heavy_hitters audit contract —
+  * oracle-checked since r8 via the TRUE-pinned envelope booleans):
   * the estimate NEVER under-counts, over-counts by at most εN
   * (ε = e/W — the Cormode-Muthukrishnan guarantee, deterministic here
   * because data and hashes are fixed), and the sketch is invariant
@@ -43,15 +44,18 @@ class SketchSpec extends SparkSpec {
     assert(a === b)
   }
 
-  test("q_heavy_hitters: top-20 exact counts descend, every estimate " +
-    "covers its exact count") {
+  test("q_heavy_hitters: top-20 exact counts descend, and both audited " +
+    "envelope booleans hold (the columns the oracle pins to TRUE)") {
     val rows = SparkEntry.all("q_heavy_hitters").fn(spark, sf).collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2), r.getBoolean(3)))
     assert(rows.length === 20)
     rows.sliding(2).foreach {
       case Array(x, y) => assert(x._2 >= y._2)
       case _ =>
     }
-    rows.foreach { case (w, ex, est) => assert(est >= ex, w) }
+    rows.foreach { case (w, _, neverUnder, withinEps) =>
+      assert(neverUnder, s"$w: CMS under-counted")
+      assert(withinEps, s"$w: CMS over-counted beyond eps*N")
+    }
   }
 }

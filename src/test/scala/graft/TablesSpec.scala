@@ -46,4 +46,20 @@ class TablesSpec extends SparkSpec {
       assert(missing.isEmpty, s"$t missing columns: $missing")
     }
   }
+
+  test("bucketSuffix: distinct fixture dirs never share a bucketed table, " +
+    "even under String.hashCode collisions") {
+    import graft.ops.Joins
+    // "Aa" and "BB" are the canonical Java hashCode collision — the old
+    // math.abs(dir.hashCode) memo key mapped both to ONE table
+    assert("/tmp/Aa".hashCode === "/tmp/BB".hashCode)
+    assert(Joins.bucketSuffix("/tmp/Aa") !== Joins.bucketSuffix("/tmp/BB"))
+    // stable + canonicalizing: same dir through a redundant path → same key
+    assert(Joins.bucketSuffix("/root/testdata/sf0.01") ===
+      Joins.bucketSuffix("/root/testdata/./sf0.01/"))
+    assert(Joins.bucketSuffix("/root/testdata/sf0.01") !==
+      Joins.bucketSuffix("/root/testdata/sf0.001"))
+    // well-formed table-name fragment: 16 lowercase hex chars
+    assert(Joins.bucketSuffix(sf).matches("[0-9a-f]{16}"))
+  }
 }
