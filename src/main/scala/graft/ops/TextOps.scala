@@ -339,6 +339,132 @@ object TextOps {
       |  FROM documents)
       |WHERE rn <= 20 ORDER BY lang, rn""".stripMargin)
 
+  /** Okapi BM25 top-k retrieval (SURVEY.md §2.9 text-analysis family —
+    * the LEXICAL-retrieval dual of the embedding ANN tier): score every
+    * document against a fixed query-term set with the classic
+    * doc-length-normalized formula (k1 = 1.2, b = 0.75) and keep the
+    * top-20. The rare term ("dup", df ≈ 5% of docs) dominates via IDF —
+    * exactly the behavior BM25 exists for.
+    *
+    * IDF is the Lucene/+1 variant, ln(1 + (D−df+0.5)/(df+0.5)) =
+    * ln((2D+2)/(2df+1)) — always positive, avoiding the classic
+    * formula's negative scores for terms in more than half the corpus
+    * (which would let a MISSING common term outrank a present one).
+    *
+    * Determinism (the q_doc_logprob/q_dsir_weight ln discipline): with
+    * k1 = 6/5 and b = 3/4, multiplying the tf-normalization through by
+    * 10·T (T = total corpus tokens) makes BOTH operands exact BIGINTs —
+    *   tf_norm = 22·T·tf / (10·T·tf + 3·T + 9·dl·D)
+    * — and the IDF operands (2D+2)/(2df+1) are exact ints too, so
+    * each per-term score is ONE identically-written double chain
+    * (ln → mul → div) on integer-exact inputs, cast to decimal(28,10);
+    * the per-doc sum is exact decimal and rounds half-up identically.
+    *
+    * Scale: the query-term list is a broadcast IN-filter applied AT the
+    * explode, so the (doc, term) shuffle carries only matching tokens —
+    * never the corpus; dl is a map-side width-2 projection; df and the
+    * (T, D) totals are a 3-row broadcast and a 1-row cross join; the
+    * final per-doc agg is two-phase and TakeOrderedAndProject keeps the
+    * top-20 without a global sort. */
+  private val bm25TopK = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val terms = Seq("join", "vector", "dup")
+      val docs = Tables.spread(Tables.documents(s, dir), "doc_id")
+      val dl = docs.select($"doc_id",
+        size(split($"text", " ")).cast("long").as("dl"))
+      val totals = dl.agg(sum($"dl").as("t"), count(lit(1)).as("nd"))
+      val tf = docs
+        .select($"doc_id", explode(split($"text", " ")).as("word"))
+        .filter($"word".isInCollection(terms))
+        .groupBy($"doc_id", $"word").agg(count(lit(1)).as("tf"))
+      val df_ = tf.groupBy($"word").agg(count(lit(1)).as("df"))
+      tf.join(broadcast(df_), "word")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(totals))
+        .select($"doc_id",
+          (log((lit(2L) * $"nd" + lit(2L)).cast("double") /
+               (lit(2L) * $"df" + lit(1L)).cast("double")) *
+            (lit(22L) * $"t" * $"tf").cast("double") /
+            (lit(10L) * $"t" * $"tf" + lit(3L) * $"t" +
+              lit(9L) * $"dl" * $"nd").cast("double"))
+            .cast("decimal(28,10)").as("term"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_hits"),
+          Incremental.r4s(sum($"term")).as("bm25"))
+        .orderBy($"bm25".desc, $"doc_id")
+        .limit(20)
+    },
+    """WITH d AS (SELECT doc_id,
+      |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+      |           FROM documents),
+      |k AS (SELECT CAST(SUM(dl) AS BIGINT) AS t, COUNT(*) AS nd FROM d),
+      |w AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS word
+      |      FROM documents),
+      |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w
+      |       WHERE word IN ('join', 'vector', 'dup') GROUP BY 1, 2),
+      |df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY 1),
+      |sc AS (SELECT tf.doc_id,
+      |         CAST(LN(CAST(2 * k.nd + 2 AS DOUBLE) /
+      |                 CAST(2 * df.df + 1 AS DOUBLE))
+      |              * CAST(22 * k.t * tf.tf AS DOUBLE)
+      |              / CAST(10 * k.t * tf.tf + 3 * k.t + 9 * d.dl * k.nd
+      |                     AS DOUBLE)
+      |           AS DECIMAL(28,10)) AS term
+      |       FROM tf JOIN df USING (word)
+      |       JOIN d ON tf.doc_id = d.doc_id CROSS JOIN k)
+      |SELECT doc_id, COUNT(*) AS n_hits,
+      |       CAST(ROUND(SUM(term), 4) AS DOUBLE) AS bm25
+      |FROM sc GROUP BY 1 ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin)
+
+  /** Deterministic train/val/test split census — the leakage-safe
+    * corpus partitioning every training run does before mixing: each
+    * doc draws a replayable integer hash bucket (the Knuth
+    * multiplicative discipline of q_sample_stratified — engine-native
+    * `randomSplit` is seed- AND partitioning-dependent, so not
+    * oracle-replayable), mod 1000 → <800 train / <900 val / else test,
+    * and the output is the per-(source, split) census with exact token
+    * counts and the realized share in basis points (exact integer
+    * division). Disjoint + exhaustive by construction: ONE bucket per
+    * doc — the property that matters, since a doc leaking from train
+    * to test invalidates the eval.
+    * Scale: narrow projection + two-phase agg; the per-source share
+    * join is |sources × 3| rows — broadcast-trivial. */
+  private val splitAssign = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val h = (($"doc_id" % 1000000007L) * 2654435761L) % 1000L
+      val base = Tables.documents(s, dir)
+        .select($"source",
+          when(h < 800, "train").when(h < 900, "val").otherwise("test")
+            .as("split"),
+          size(split($"text", " ")).cast("long").as("tok"))
+        .groupBy($"source", $"split")
+        .agg(count(lit(1)).as("n_docs"), sum($"tok").as("tokens"))
+      val tot = base.groupBy($"source").agg(sum($"n_docs").as("src_total"))
+      base.join(broadcast(tot), "source")
+        .withColumn("share_bp", expr("(n_docs * 10000) div src_total"))
+        .select($"source", $"split", $"n_docs", $"tokens", $"share_bp")
+        .orderBy($"source", $"split")
+    },
+    """WITH b AS (
+      |  SELECT source,
+      |         CASE WHEN ((doc_id % 1000000007) * 2654435761) % 1000 < 800
+      |              THEN 'train'
+      |              WHEN ((doc_id % 1000000007) * 2654435761) % 1000 < 900
+      |              THEN 'val' ELSE 'test' END AS split,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+      |  FROM documents),
+      |g AS (SELECT source, split, COUNT(*) AS n_docs,
+      |             CAST(SUM(tok) AS BIGINT) AS tokens
+      |      FROM b GROUP BY 1, 2),
+      |t AS (SELECT source, CAST(SUM(n_docs) AS BIGINT) AS src_total
+      |      FROM g GROUP BY 1)
+      |SELECT g.source, g.split, g.n_docs, g.tokens,
+      |       CAST((g.n_docs * 10000) // t.src_total AS BIGINT) AS share_bp
+      |FROM g JOIN t ON g.source = t.source
+      |ORDER BY g.source, g.split""".stripMargin)
+
   /** Sequence packing — the training-batch construction step: greedy
     * in-order packing of each language's documents into fixed
     * token-budget bins (budget 512). A doc starts a new bin when the
@@ -1488,6 +1614,8 @@ object TextOps {
     "q_edit_distance" -> editDistance,
     "q_tfidf" -> tfidf,
     "q_sample_stratified" -> sampleStratified,
+    "q_bm25_topk" -> bm25TopK,
+    "q_split_assign" -> splitAssign,
     "q_seq_pack" -> seqPack,
     "q_corpus_mix" -> corpusMix)
 }

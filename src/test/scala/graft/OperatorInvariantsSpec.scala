@@ -412,4 +412,78 @@ class OperatorInvariantsSpec extends SparkSpec {
       assert(n > 0, fk); assert(orph === 0L, fk)
     }
   }
+
+  test("q_bm25_topk: scores descend, hits are real, and the top doc's " +
+    "score matches a driver-side BM25 recomputation") {
+    import spark.implicits._
+    val terms = Seq("join", "vector", "dup")
+    val out = run("q_bm25_topk")
+      .select($"doc_id", $"n_hits", $"bm25")
+      .as[(Long, Long, Double)].collect()
+    assert(out.nonEmpty && out.length <= 20)
+    out.sliding(2).foreach {
+      case Array(x, y) =>
+        assert(x._3 > y._3 || (x._3 == y._3 && x._1 < y._1))
+      case _ =>
+    }
+    out.foreach { case (_, h, s) =>
+      assert(h >= 1 && h <= terms.length); assert(s > 0.0)
+    }
+    // driver-side reference: same formula from raw text, top doc only
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val dls = docs.map { case (id, t) => id -> t.split(" ", -1).length.toLong }.toMap
+    val bigT = dls.values.sum
+    val bigD = dls.size.toLong
+    val dfm = terms.map(t =>
+      t -> docs.count(_._2.split(" ", -1).contains(t)).toLong).toMap
+    def bm25(id: Long): Double = {
+      val toks = docs.find(_._1 == id).get._2.split(" ", -1)
+      val sum = terms.map { t =>
+        val tf = toks.count(_ == t).toLong
+        if (tf == 0) BigDecimal(0)
+        else {
+          val term = math.log((2 * bigD + 2).toDouble /
+              (2 * dfm(t) + 1).toDouble) *
+            (22L * bigT * tf).toDouble /
+            (10L * bigT * tf + 3L * bigT + 9L * dls(id) * bigD).toDouble
+          BigDecimal(term).setScale(10, BigDecimal.RoundingMode.HALF_UP)
+        }
+      }.sum
+      sum.setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val (topId, _, topScore) = out.head
+    assert(bm25(topId) === topScore)
+    // the rare term's idf dominates: every returned doc containing
+    // "dup" outranks every returned doc without it
+    val hasDup = docs.filter(_._2.split(" ", -1).contains("dup")).map(_._1).toSet
+    val (withDup, without) = out.partition(r => hasDup(r._1))
+    if (withDup.nonEmpty && without.nonEmpty)
+      assert(withDup.map(_._3).min > without.map(_._3).max)
+  }
+
+  test("q_split_assign: splits are disjoint + exhaustive per source, " +
+    "shares are exact integer basis points near 80/10/10") {
+    import spark.implicits._
+    val rows = run("q_split_assign")
+      .select($"source", $"split", $"n_docs", $"tokens", $"share_bp")
+      .as[(String, String, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => Set("train", "val", "test")(r._2)))
+    // exhaustive: per-source doc counts sum to the table's count
+    val total = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.map(_._3).sum === total)
+    // share_bp is the exact integer division the contract states
+    val bySource = rows.groupBy(_._1)
+    bySource.foreach { case (src, rs) =>
+      val srcTotal = rs.map(_._3).sum
+      rs.foreach { case (_, _, n, tok, bp) =>
+        assert(bp === n * 10000 / srcTotal, src)
+        assert(tok >= n, src) // at least one token per doc
+      }
+      // hash uniformity: train ~80% within a wide fixture-size band
+      val train = rs.find(_._2 == "train").map(_._5).getOrElse(0L)
+      assert(train > 6000 && train < 9500, s"$src train=$train bp")
+    }
+  }
 }
