@@ -184,4 +184,46 @@ class SourcesAggregatesSpec extends SparkSpec {
         s"$flag r2 bp=${r2Bp / 10000.0} builtin=$r2")
     }
   }
+
+  test("unitSum tier == decimal-sum tier on every grid-valued Q1 measure " +
+    "(the grid audit the r8 arithmetic tier rests on)") {
+    import spark.implicits._
+    import graft.ops.Incremental
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val disc = $"l_extendedprice" * (lit(1.0) - $"l_discount")
+    // fixture grid audit: every raw measure equals its 2-decimal round
+    val offGrid = li.filter(
+      $"l_quantity" =!= round($"l_quantity", 0) ||
+      $"l_extendedprice" =!= round($"l_extendedprice", 2) ||
+      $"l_discount" =!= round($"l_discount", 2) ||
+      $"l_tax" =!= round($"l_tax", 2)).count()
+    assert(offGrid === 0L, "fixture measures left the 2-decimal grid — " +
+      "the unitSum tier's exactness precondition broke")
+    // tier equivalence: long unit sums reproduce the decimal sums bit-
+    // for-bit after identical rounding, per group
+    val units = li.groupBy($"l_returnflag", $"l_linestatus").agg(
+      Incremental.unitSum($"l_quantity", 0).as("sq"),
+      Incremental.unitSum($"l_extendedprice", 2).as("sp"),
+      Incremental.unitSum(disc, 4).as("sd"),
+      Incremental.unitSum(disc * (lit(1.0) + $"l_tax"), 6).as("sc"))
+    val dec = li.groupBy($"l_returnflag", $"l_linestatus").agg(
+      (sum($"l_quantity".cast("decimal(28,10)")) * 1).cast("decimal(38,0)").as("dq"),
+      (sum($"l_extendedprice".cast("decimal(28,10)")) * 100).cast("decimal(38,0)").as("dp"),
+      (sum(disc.cast("decimal(28,10)")) * 10000).cast("decimal(38,0)").as("dd"),
+      round(sum((disc * (lit(1.0) + $"l_tax")).cast("decimal(28,10)")) * 1000000, 0)
+        .cast("decimal(38,0)").as("dc"))
+    val joined = units.join(dec, Seq("l_returnflag", "l_linestatus"))
+    // sq/sp: raw 2-decimal doubles cast to decimal are EXACT per row
+    // (shortest-repr), so the tiers must agree to the unit. sd: the
+    // double product's ≤1e-11/row error sums to ≤0.15 of a 1e-4 unit
+    // per group — same integer. sc: the scale-6 grid is finer than the
+    // accumulated product error (≤ ~15 units of 1e-6 per group), so the
+    // DECIMAL path itself is only that accurate — the unit tier is the
+    // exact one; assert the decimal path stays inside its own envelope.
+    val bad = joined.filter(
+      $"sq" =!= $"dq".cast("long") || $"sp" =!= $"dp".cast("long") ||
+      $"sd" =!= $"dd".cast("long") ||
+      abs($"sc" - $"dc".cast("long")) > 20)
+    assert(bad.count() === 0, bad.collect().mkString("\n"))
+  }
 }
