@@ -1190,16 +1190,21 @@ object Joins {
     * This preserves the JOIN TOPOLOGY and aggregation semantics of the
     * partsupp-dependent TPC-H shapes (Q11/Q16/Q20) without inventing
     * untracked data. Mirrored verbatim in each oracle's `ps` CTE. */
-  private def partsupp(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    Tables.lineitem(s, dir)
-      .select($"l_partkey".as("ps_partkey"), $"l_suppkey".as("ps_suppkey"))
-      .distinct()
-      .withColumn("ps_availqty",
-        expr("(ps_partkey * 37 + ps_suppkey * 17) % 9999 + 1"))
-      .withColumn("ps_supplycost_c",
-        expr("(ps_partkey * 13 + ps_suppkey * 7) % 9000 + 10000"))
-  }
+  /** Derived partsupp (the fixture set has no partsupp table; keys are
+    * the DISTINCT lineitem (part, supp) pairs with deterministic
+    * availqty/supplycost) — memoized: the distinct is a full lineitem
+    * shuffle and q_tpch_q11/q16/q20 each rebuilt it. */
+  private def partsupp(s: SparkSession, dir: String): DataFrame =
+    memoized(s, dir, "partsupp") {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .select($"l_partkey".as("ps_partkey"), $"l_suppkey".as("ps_suppkey"))
+        .distinct()
+        .withColumn("ps_availqty",
+          expr("(ps_partkey * 37 + ps_suppkey * 17) % 9999 + 1"))
+        .withColumn("ps_supplycost_c",
+          expr("(ps_partkey * 13 + ps_suppkey * 7) % 9000 + 10000"))
+    }
 
   private val psOracle: String =
     """ps AS (
