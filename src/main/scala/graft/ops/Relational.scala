@@ -146,6 +146,12 @@ object Relational {
       // countDistinct excludes NULL but a distinct (status, NULL) row
       // would survive to the count — an off-by-one if the fixture ever
       // gains NULL custkeys
+      // ORACLE-CHECKED since r8 (the q_heavy_hitters technique): the
+      // raw HLL estimate is engine-specific, so the hashed output
+      // carries the exact count plus the sketch's accuracy CONTRACT as
+      // a boolean the oracle pins to literal TRUE — |approx − exact|
+      // · 10 < exact (5× the requested rsd 0.02), pure integer
+      // arithmetic. A register-merge bug now reds the driver gate.
       Tables.spread(Tables.orders(s, dir), "o_orderkey")
         .filter($"o_custkey".isNotNull)
         .select($"o_orderstatus", $"o_custkey").distinct()
@@ -153,9 +159,15 @@ object Relational {
         .agg(
           approx_count_distinct($"o_custkey", 0.02).as("approx_cust"),
           count(lit(1)).as("exact_cust"))
+        .select($"o_orderstatus", $"exact_cust",
+          (abs($"approx_cust" - $"exact_cust") * 10 < $"exact_cust")
+            .as("hll_within_5rsd"))
         .orderBy($"o_orderstatus")
     },
-    None)
+    """SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS exact_cust,
+      |       TRUE AS hll_within_5rsd
+      |FROM orders WHERE o_custkey IS NOT NULL
+      |GROUP BY 1 ORDER BY 1""".stripMargin)
 
   /** Conditional + argmin/argmax aggregates (§2.4): count_if, bool_or /
     * bool_and, max_by / min_by, median. The max_by/min_by ordering key
@@ -200,20 +212,35 @@ object Relational {
   private val quantileApprox = QueryDef(
     (s, dir) => {
       import s.implicits._
+      // ORACLE-CHECKED since r8: the KLL-style sketch values are
+      // engine-specific, so the hashed output carries the per-group
+      // row count plus each estimate's RANK-ERROR contract as booleans
+      // the oracle pins to TRUE — percentile_approx(accuracy=1000)
+      // guarantees rank error ≤ 1/1000, and each estimate is checked
+      // against the EXACT percentiles at p ± 0.01, a 10× margin that
+      // keeps the booleans deterministic (the exact band edges are the
+      // same interpolated values on any partitioning — they never
+      // enter the output, only the comparison).
       Tables.spread(Tables.lineitem(s, dir), "l_orderkey")
         .groupBy($"l_returnflag")
         .agg(
           expr("percentile_approx(l_extendedprice, array(0.1, 0.5, 0.9), 1000)")
             .as("pcts"),
-          expr("percentile(l_extendedprice, 0.5)").as("exact_p50"))
-        .select($"l_returnflag",
-          element_at($"pcts", 1).as("p10"),
-          element_at($"pcts", 2).as("p50"),
-          element_at($"pcts", 3).as("p90"),
-          $"exact_p50")
+          expr("percentile(l_extendedprice, array(0.09, 0.11, 0.49, 0.51, 0.89, 0.91))")
+            .as("ex"),
+          count(lit(1)).as("n_rows"))
+        .select($"l_returnflag", $"n_rows",
+          (element_at($"pcts", 1) >= element_at($"ex", 1) &&
+            element_at($"pcts", 1) <= element_at($"ex", 2)).as("p10_in_band"),
+          (element_at($"pcts", 2) >= element_at($"ex", 3) &&
+            element_at($"pcts", 2) <= element_at($"ex", 4)).as("p50_in_band"),
+          (element_at($"pcts", 3) >= element_at($"ex", 5) &&
+            element_at($"pcts", 3) <= element_at($"ex", 6)).as("p90_in_band"))
         .orderBy($"l_returnflag")
     },
-    None)
+    """SELECT l_returnflag, COUNT(*) AS n_rows,
+      |       TRUE AS p10_in_band, TRUE AS p50_in_band, TRUE AS p90_in_band
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)
 
   /** Finest-grouping pre-aggregate feeding rollup/cube/grouping-sets:
     * (status, priority) partial count + exact decimal price sum. The

@@ -120,37 +120,45 @@ class SourcesAggregatesSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
   }
 
-  test("approx_count_distinct lands within its rsd envelope") {
+  test("q_agg_approx: the audited HLL envelope boolean holds and the " +
+    "exact counts match a direct countDistinct") {
     import spark.implicits._
     val r = SparkEntry.all("q_agg_approx").fn(spark, sf)
-      .select($"approx_cust".cast("double"), $"exact_cust".cast("double"))
-      .as[(Double, Double)].collect()
-    r.foreach { case (approx, exact) =>
-      assert(math.abs(approx - exact) / exact < 0.1,
-        s"approx=$approx exact=$exact")
-    }
+      .select($"o_orderstatus", $"exact_cust", $"hll_within_5rsd")
+      .as[(String, Long, Boolean)].collect()
+    assert(r.nonEmpty)
+    r.foreach { case (st, _, ok) => assert(ok, s"$st HLL left its envelope") }
+    val direct = spark.read.parquet(s"$sf/orders.parquet")
+      .groupBy($"o_orderstatus")
+      .agg(countDistinct($"o_custkey").as("n"))
+      .as[(String, Long)].collect().toMap
+    r.foreach { case (st, n, _) => assert(n === direct(st), st) }
   }
 
-  test("approx quantiles: ordered, bounded by group min/max, median near exact") {
+  test("q_quantile_approx: every audited rank-band boolean holds and " +
+    "the raw sketch values are ordered within group bounds") {
     import spark.implicits._
     val r = SparkEntry.all("q_quantile_approx").fn(spark, sf)
-      .select($"l_returnflag", array($"p10", $"p50", $"p90"), $"exact_p50")
-      .as[(String, Seq[Double], Double)].collect()
+      .select($"l_returnflag", $"n_rows",
+        $"p10_in_band", $"p50_in_band", $"p90_in_band")
+      .as[(String, Long, Boolean, Boolean, Boolean)].collect()
     assert(r.nonEmpty)
-    val bounds = spark.read.parquet(s"$sf/lineitem.parquet")
+    r.foreach { case (flag, n, a, b, c) =>
+      assert(n > 0, flag)
+      assert(a && b && c, s"$flag sketch left its ±0.01 rank band")
+    }
+    // the raw estimates (no longer in the hashed output) still obey
+    // order + group bounds — checked directly against the sketch
+    val raw = spark.read.parquet(s"$sf/lineitem.parquet")
       .groupBy($"l_returnflag")
-      .agg(min($"l_extendedprice").as("lo"), max($"l_extendedprice").as("hi"))
-      .as[(String, Double, Double)].collect()
-      .map(t => t._1 -> (t._2, t._3)).toMap
-    r.foreach { case (flag, qs, exact50) =>
-      assert(qs.length === 3)
-      assert(qs(0) <= qs(1) && qs(1) <= qs(2), s"$flag quantiles unordered: $qs")
-      val (lo, hi) = bounds(flag)
+      .agg(
+        expr("percentile_approx(l_extendedprice, array(0.1, 0.5, 0.9), 1000)")
+          .as("qs"),
+        min($"l_extendedprice").as("lo"), max($"l_extendedprice").as("hi"))
+      .as[(String, Seq[Double], Double, Double)].collect()
+    raw.foreach { case (flag, qs, lo, hi) =>
+      assert(qs(0) <= qs(1) && qs(1) <= qs(2), s"$flag unordered: $qs")
       assert(qs.head >= lo && qs.last <= hi, s"$flag out of [$lo,$hi]: $qs")
-      // accuracy=1000 → rank error ≤ n/1000; translate loosely to value
-      // space via a 5% relative tolerance on this smooth distribution
-      assert(math.abs(qs(1) - exact50) / exact50 < 0.05,
-        s"$flag p50 approx=${qs(1)} exact=$exact50")
     }
   }
 
