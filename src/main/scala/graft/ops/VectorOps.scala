@@ -1126,7 +1126,127 @@ object VectorOps {
       |           END, 0) AS BIGINT) AS ndcg_bp
       |FROM g GROUP BY qid ORDER BY qid""".stripMargin)
 
+  /** Maximal Marginal Relevance diversified re-ranking (Carbonell &
+    * Goldstein 1998) — the retrieval-diversification step between ANN
+    * candidate generation and final serving: from each query's top-6
+    * cosine pool, select 3 items iteratively, step 1 = argmax
+    * relevance, steps 2-3 = argmax λ·rel − (1−λ)·max sim to the
+    * already-selected set (λ = 0.7; ties → lower id). A near-duplicate
+    * of an already-picked item is punished by its own high similarity —
+    * the property that turns a redundant top-k into a diverse one.
+    *
+    * Determinism: rel and sim come from the same dot/norm chains every
+    * ANN query already oracle-replays; the MMR combine is one
+    * identically-written double expression per comparison, and both
+    * engines run the IDENTICAL unrolled selection (engine: 3-step
+    * DataFrame loop; oracle: 3 chained CTEs) with id tie-breaks.
+    *
+    * Scale: the pool is top-k per query (WindowGroupLimit) — MMR
+    * iterations touch only |queries|·k rows and the k² per-query sim
+    * matrix, never the store; the store-side cost stays in the ANN
+    * candidate stage where IVF/LSH already bound it. */
+  private val mmrDiversify = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val Lambda = 0.7
+      val (b0, dotf) = base(s, dir)
+      val q = b0.filter($"vec_id" < 20)
+        .select($"vec_id".as("qid"), $"v".as("qv"), $"nm".as("qn"))
+      val cand = b0.select($"vec_id".as("nid"), $"v".as("nv"), $"nm".as("nn"))
+      val wRel = Window.partitionBy($"qid").orderBy($"rel".desc, $"nid")
+      val pool = cand.join(broadcast(q), $"nid" =!= $"qid")
+        .withColumn("rel", dotf($"qv", $"nv") / ($"qn" * $"nn"))
+        .withColumn("rk", row_number().over(wRel).cast("long"))
+        .filter($"rk" <= 6)
+        .select($"qid", $"nid", $"nv", $"nn", $"rel")
+      val sims = pool.select($"qid", $"nid".as("ca"), $"nv".as("va"), $"nn".as("na"))
+        .join(pool.select($"qid".as("q2"), $"nid".as("cb"), $"nv".as("vb"),
+          $"nn".as("nb")), $"qid" === $"q2" && $"ca" =!= $"cb")
+        .select($"qid", $"ca", $"cb", (dotf($"va", $"vb") / ($"na" * $"nb")).as("sim"))
+      val w1 = Window.partitionBy($"qid").orderBy($"rel".desc, $"nid")
+      var result = pool
+        .withColumn("rn", row_number().over(w1))
+        .filter($"rn" === 1)
+        .select($"qid", $"nid", lit(1L).as("step"), $"rel".as("mmr"))
+      for (t <- 2 to 3) {
+        val remaining = pool.select($"qid", $"nid", $"rel")
+          .join(result.select($"qid", $"nid"), Seq("qid", "nid"), "left_anti")
+        val wStep = Window.partitionBy($"qid").orderBy($"mmr".desc, $"nid")
+        val pick = remaining
+          .join(result.select($"qid", $"nid".as("sel")), "qid")
+          .join(sims.withColumnRenamed("qid", "sqid"),
+            $"sqid" === $"qid" && $"ca" === $"nid" && $"cb" === $"sel")
+          .groupBy($"qid", $"nid", $"rel")
+          .agg(max($"sim").as("ms"))
+          .withColumn("mmr", lit(Lambda) * $"rel" - lit(1.0 - Lambda) * $"ms")
+          .withColumn("rn", row_number().over(wStep))
+          .filter($"rn" === 1)
+          .select($"qid", $"nid", lit(t.toLong).as("step"), $"mmr")
+        result = result.unionByName(pick)
+      }
+      result
+        .select($"qid", $"step", $"nid", round($"mmr", 4).as("mmr"))
+        .orderBy($"qid", $"step")
+    },
+    oracleBase +
+    """,
+      |q AS (SELECT vec_id AS qid, ve AS qv, nm AS qn FROM n WHERE vec_id < 20),
+      |rel AS (
+      |  SELECT q.qid, b.vec_id AS nid,
+      |         list_sum(list_transform(list_zip(q.qv, b.ve), p -> p[1]*p[2]))
+      |           / (q.qn * b.nm) AS rel
+      |  FROM q JOIN n b ON b.vec_id <> q.qid),
+      |pool AS (
+      |  SELECT qid, nid, rel FROM (
+      |    SELECT qid, nid, rel,
+      |           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rel DESC, nid) AS rk
+      |    FROM rel) WHERE rk <= 6),
+      |sims AS (
+      |  SELECT p.qid, p.nid AS ca, r.nid AS cb,
+      |         list_sum(list_transform(list_zip(a.ve, b.ve), p2 -> p2[1]*p2[2]))
+      |           / (a.nm * b.nm) AS sim
+      |  FROM pool p JOIN pool r ON p.qid = r.qid AND p.nid <> r.nid
+      |  JOIN n a ON p.nid = a.vec_id JOIN n b ON r.nid = b.vec_id),
+      |s1 AS (
+      |  SELECT qid, nid, 1 AS step, rel AS mmr FROM (
+      |    SELECT qid, nid, rel,
+      |           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rel DESC, nid) AS rn
+      |    FROM pool) WHERE rn = 1),
+      |m2 AS (
+      |  SELECT p.qid, p.nid, p.rel, MAX(s.sim) AS ms
+      |  FROM pool p JOIN s1 ON p.qid = s1.qid
+      |  JOIN sims s ON s.qid = p.qid AND s.ca = p.nid AND s.cb = s1.nid
+      |  WHERE NOT EXISTS (SELECT 1 FROM s1 x
+      |                    WHERE x.qid = p.qid AND x.nid = p.nid)
+      |  GROUP BY 1, 2, 3),
+      |s2 AS (
+      |  SELECT qid, nid, 2 AS step, mmr FROM (
+      |    SELECT qid, nid, 0.7 * rel - 0.3 * ms AS mmr,
+      |           ROW_NUMBER() OVER (PARTITION BY qid
+      |             ORDER BY 0.7 * rel - 0.3 * ms DESC, nid) AS rn
+      |    FROM m2) WHERE rn = 1),
+      |sel2 AS (SELECT qid, nid FROM s1 UNION ALL SELECT qid, nid FROM s2),
+      |m3 AS (
+      |  SELECT p.qid, p.nid, p.rel, MAX(s.sim) AS ms
+      |  FROM pool p JOIN sel2 ON p.qid = sel2.qid
+      |  JOIN sims s ON s.qid = p.qid AND s.ca = p.nid AND s.cb = sel2.nid
+      |  WHERE NOT EXISTS (SELECT 1 FROM sel2 x
+      |                    WHERE x.qid = p.qid AND x.nid = p.nid)
+      |  GROUP BY 1, 2, 3),
+      |s3 AS (
+      |  SELECT qid, nid, 3 AS step, mmr FROM (
+      |    SELECT qid, nid, 0.7 * rel - 0.3 * ms AS mmr,
+      |           ROW_NUMBER() OVER (PARTITION BY qid
+      |             ORDER BY 0.7 * rel - 0.3 * ms DESC, nid) AS rn
+      |    FROM m3) WHERE rn = 1),
+      |allsel AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2
+      |           UNION ALL SELECT * FROM s3)
+      |SELECT qid, CAST(step AS BIGINT) AS step, nid,
+      |       ROUND(mmr, 4) AS mmr
+      |FROM allsel ORDER BY qid, step""".stripMargin)
+
   val defs: Seq[(String, QueryDef)] = Seq(
+    "q_mmr_diversify" -> mmrDiversify,
     "q_mrr_eval" -> mrrEval,
     "q_ndcg_eval" -> ndcgEval,
     "q_logreg_grad" -> logregGrad,

@@ -462,6 +462,48 @@ class OperatorInvariantsSpec extends SparkSpec {
       assert(withDup.map(_._3).min > without.map(_._3).max)
   }
 
+  test("q_mmr_diversify: the full 3-step MMR selection matches a " +
+    "driver-side recomputation from raw embeddings, every query") {
+    import spark.implicits._
+    val out = run("q_mmr_diversify")
+      .select($"qid", $"step", $"nid").as[(Long, Long, Long)].collect()
+    assert(out.length === 60) // 20 queries × 3 steps
+    val byQ = out.groupBy(_._1)
+    assert(byQ.size === 20)
+    byQ.values.foreach { rows =>
+      assert(rows.map(_._3).distinct.length === 3, "re-selected an item")
+    }
+    // driver-side reference MMR (same λ=0.7, pool 6, k=3, id ties)
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+      .map { case (id, e) => id -> e.map(_.toDouble).toArray }.toMap
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def cos(a: Long, b: Long): Double =
+      dot(vecs(a), vecs(b)) /
+        (math.sqrt(dot(vecs(a), vecs(a))) * math.sqrt(dot(vecs(b), vecs(b))))
+    (0L until 20L).foreach { qid =>
+      val pool = vecs.keys.filter(_ != qid).toSeq
+        .map(n => n -> cos(qid, n))
+        .sortBy { case (n, r) => (-r, n) }.take(6)
+      val rel = pool.toMap
+      var selected = Vector(pool.head._1)
+      (2 to 3).foreach { _ =>
+        val pick = pool.map(_._1).filterNot(selected.contains)
+          .map { c =>
+            val ms = selected.map(sel => cos(c, sel)).max
+            c -> (0.7 * rel(c) - 0.3 * ms)
+          }
+          .sortBy { case (n, m) => (-m, n) }.head._1
+        selected :+= pick
+      }
+      val got = byQ(qid).sortBy(_._2).map(_._3).toVector
+      assert(got === selected, s"query $qid: engine $got vs reference $selected")
+    }
+  }
+
   test("q_split_assign: splits are disjoint + exhaustive per source, " +
     "shares are exact integer basis points near 80/10/10") {
     import spark.implicits._
