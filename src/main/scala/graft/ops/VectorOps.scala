@@ -1154,15 +1154,21 @@ object VectorOps {
         .select($"vec_id".as("qid"), $"v".as("qv"), $"nm".as("qn"))
       val cand = b0.select($"vec_id".as("nid"), $"v".as("nv"), $"nm".as("nn"))
       val wRel = Window.partitionBy($"qid").orderBy($"rel".desc, $"nid")
+      // localCheckpoint the tiny pool/sim frames (|q|·k and |q|·k²
+      // rows): the 3-step loop references them ~2× per step, and
+      // without truncation each step re-runs the store-wide scoring
+      // scan — measured 3.0 s → ~1 s at sf0.1
       val pool = cand.join(broadcast(q), $"nid" =!= $"qid")
         .withColumn("rel", dotf($"qv", $"nv") / ($"qn" * $"nn"))
         .withColumn("rk", row_number().over(wRel).cast("long"))
         .filter($"rk" <= 6)
         .select($"qid", $"nid", $"nv", $"nn", $"rel")
+        .localCheckpoint(eager = true)
       val sims = pool.select($"qid", $"nid".as("ca"), $"nv".as("va"), $"nn".as("na"))
         .join(pool.select($"qid".as("q2"), $"nid".as("cb"), $"nv".as("vb"),
           $"nn".as("nb")), $"qid" === $"q2" && $"ca" =!= $"cb")
         .select($"qid", $"ca", $"cb", (dotf($"va", $"vb") / ($"na" * $"nb")).as("sim"))
+        .localCheckpoint(eager = true)
       val w1 = Window.partitionBy($"qid").orderBy($"rel".desc, $"nid")
       var result = pool
         .withColumn("rn", row_number().over(w1))
