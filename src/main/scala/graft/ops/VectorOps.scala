@@ -230,34 +230,38 @@ object VectorOps {
     * at cos ≥ 0.9) the same pipeline approaches recall 1; ncent/nprobe
     * are the tuning knobs. At 100 TB the cell id is the partition key
     * and centroids come from an offline k-means refinement. */
-  private val dedupEmbed = QueryDef(
-    (s, dir) => {
-      import s.implicits._
-      val (b0, dotf) = base(s, dir)
-      val cents = b0.filter($"vec_id" < 10)
-        .select($"vec_id".as("cid"), $"v".as("cv"), $"nm".as("cn"))
-      // stage 1: every vector probes its 2 nearest seed cells
-      val wProbe = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cid")
-      val probes = b0.crossJoin(broadcast(cents))
-        .withColumn("ccos", dotf($"v", $"cv") / ($"nm" * $"cn"))
-        .withColumn("prk", row_number().over(wProbe))
-        .filter($"prk" <= 2)
-        .select($"vec_id", $"cid".as("cell"))
-      // candidate pairs: share ≥1 probe cell — equi-join on the cell key
-      val cand = probes.select($"cell", $"vec_id".as("ida"))
-        .join(probes.select($"cell".as("cell2"), $"vec_id".as("idb")),
-          $"cell" === $"cell2" && $"ida" < $"idb")
-        .select($"ida", $"idb").distinct()
-      // stage 2: exact cosine verify on candidates only
-      val va = b0.select($"vec_id".as("ida"), $"v".as("va"), $"nm".as("na"))
-      val vb = b0.select($"vec_id".as("idb"), $"v".as("vb"), $"nm".as("nb"))
-      cand.join(va, "ida").join(vb, "idb")
-        .withColumn("cos", dotf($"va", $"vb") / ($"na" * $"nb"))
-        .filter($"cos" >= 0.35)
-        .select($"ida", $"idb", round($"cos", 4).as("cos"))
-        .orderBy($"ida", $"idb")
-    },
-    oracleBase +
+  /** Verified embedding near-dup pairs (ida < idb, exact cos ≥ 0.35 on
+    * the IVF candidate set) — dedup_embed's stage-2 output, extracted
+    * so q_semantic_clusters can ride the same lineage. */
+  private def semanticPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (b0, dotf) = base(s, dir)
+    val cents = b0.filter($"vec_id" < 10)
+      .select($"vec_id".as("cid"), $"v".as("cv"), $"nm".as("cn"))
+    // stage 1: every vector probes its 2 nearest seed cells
+    val wProbe = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cid")
+    val probes = b0.crossJoin(broadcast(cents))
+      .withColumn("ccos", dotf($"v", $"cv") / ($"nm" * $"cn"))
+      .withColumn("prk", row_number().over(wProbe))
+      .filter($"prk" <= 2)
+      .select($"vec_id", $"cid".as("cell"))
+    // candidate pairs: share ≥1 probe cell — equi-join on the cell key
+    val cand = probes.select($"cell", $"vec_id".as("ida"))
+      .join(probes.select($"cell".as("cell2"), $"vec_id".as("idb")),
+        $"cell" === $"cell2" && $"ida" < $"idb")
+      .select($"ida", $"idb").distinct()
+    // stage 2: exact cosine verify on candidates only
+    val va = b0.select($"vec_id".as("ida"), $"v".as("va"), $"nm".as("na"))
+    val vb = b0.select($"vec_id".as("idb"), $"v".as("vb"), $"nm".as("nb"))
+    cand.join(va, "ida").join(vb, "idb")
+      .withColumn("cos", dotf($"va", $"vb") / ($"na" * $"nb"))
+      .filter($"cos" >= 0.35)
+      .select($"ida", $"idb", $"cos")
+  }
+
+  /** Shared oracle CTE chain ending in `sem(ida, idb, cos)` — the
+    * replay of [[semanticPairs]]. */
+  private val oracleSemanticPairs: String = oracleBase +
     """,
       |cents AS (SELECT vec_id AS cid, ve AS cv, nm AS cn FROM n WHERE vec_id < 10),
       |probes AS (
@@ -270,14 +274,61 @@ object VectorOps {
       |  WHERE prk <= 2),
       |cand AS (
       |  SELECT DISTINCT a.vec_id AS ida, b.vec_id AS idb
-      |  FROM probes a JOIN probes b ON a.cell = b.cell AND a.vec_id < b.vec_id)
-      |SELECT c.ida, c.idb,
-      |       ROUND(list_sum(list_transform(list_zip(a.ve, b.ve), p -> p[1]*p[2]))
-      |             / (a.nm * b.nm), 4) AS cos
-      |FROM cand c JOIN n a ON c.ida = a.vec_id JOIN n b ON c.idb = b.vec_id
-      |WHERE list_sum(list_transform(list_zip(a.ve, b.ve), p -> p[1]*p[2]))
-      |      / (a.nm * b.nm) >= 0.35
-      |ORDER BY ida, idb""".stripMargin)
+      |  FROM probes a JOIN probes b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+      |sem AS (
+      |  SELECT c.ida, c.idb,
+      |         list_sum(list_transform(list_zip(a.ve, b.ve), p -> p[1]*p[2]))
+      |           / (a.nm * b.nm) AS cos
+      |  FROM cand c JOIN n a ON c.ida = a.vec_id JOIN n b ON c.idb = b.vec_id
+      |  WHERE list_sum(list_transform(list_zip(a.ve, b.ve), p -> p[1]*p[2]))
+      |        / (a.nm * b.nm) >= 0.35)""".stripMargin
+
+  private val dedupEmbed = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      semanticPairs(s, dir)
+        .select($"ida", $"idb", round($"cos", 4).as("cos"))
+        .orderBy($"ida", $"idb")
+    },
+    oracleSemanticPairs +
+      "\nSELECT ida, idb, ROUND(cos, 4) AS cos FROM sem ORDER BY ida, idb")
+
+  /** Corpus-level SEMANTIC dedup (the SemDeDup shape, Abbas et al.
+    * 2023, public): connected components over the verified
+    * embedding-cosine near-dup pairs, keep-lowest-id canonical per
+    * cluster — the embedding-space twin of q_dedup_canonical's
+    * text-shingle clustering, sharing its contract (kept = 1 iff the
+    * doc survives). Singleton vectors (no verified neighbor) are their
+    * own canonical.
+    *
+    * Scale: the CC runs on the SPARSE verified pair set only (the
+    * IVF-bucketed candidate stage bounds it — never all-pairs), via
+    * [[Scale.starCC]]'s skew-resistant min-label propagation; the
+    * final join is a left join of labels onto vector ids. */
+  private val semanticClusters = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val labels = Scale.starCC(
+        semanticPairs(s, dir).select($"ida", $"idb"), "ida", "idb")
+      Tables.embeddings(s, dir).select($"vec_id")
+        .join(labels.select($"node".as("vec_id"), $"lbl"),
+          Seq("vec_id"), "left")
+        .select($"vec_id", coalesce($"lbl", $"vec_id").as("canonical"))
+        .withColumn("kept", ($"vec_id" === $"canonical").cast("long"))
+        .orderBy($"vec_id")
+    },
+    oracleSemanticPairs.replaceFirst("WITH ", "WITH RECURSIVE ") +
+    """,
+      |edges AS (SELECT ida AS src, idb AS dst FROM sem
+      |          UNION ALL SELECT idb, ida FROM sem),
+      |reach(a, b) AS (
+      |  SELECT vec_id, vec_id FROM embeddings
+      |  UNION
+      |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+      |lbl AS (SELECT a AS vec_id, MIN(b) AS canonical FROM reach GROUP BY a)
+      |SELECT vec_id, canonical,
+      |       CAST(vec_id = canonical AS BIGINT) AS kept
+      |FROM lbl ORDER BY vec_id""".stripMargin)
 
   /** IVF-style ANN: centroids = vectors 0..9 (deterministic seed cells);
     * every vector is assigned to its nearest centroid (by cosine, ties →
@@ -1252,6 +1303,7 @@ object VectorOps {
       |FROM allsel ORDER BY qid, step""".stripMargin)
 
   val defs: Seq[(String, QueryDef)] = Seq(
+    "q_semantic_clusters" -> semanticClusters,
     "q_mmr_diversify" -> mmrDiversify,
     "q_mrr_eval" -> mrrEval,
     "q_ndcg_eval" -> ndcgEval,

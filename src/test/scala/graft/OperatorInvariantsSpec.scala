@@ -462,6 +462,32 @@ class OperatorInvariantsSpec extends SparkSpec {
       assert(withDup.map(_._3).min > without.map(_._3).max)
   }
 
+  test("q_semantic_clusters == driver union-find over the q_dedup_embed " +
+    "pairs; singletons are their own canonical") {
+    import spark.implicits._
+    val pairs = run("q_dedup_embed")
+      .select($"ida", $"idb").as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val got = run("q_semantic_clusters")
+      .select($"vec_id", $"canonical", $"kept")
+      .as[(Long, Long, Long)].collect()
+    val allIds = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id").as[Long].collect().toSet
+    assert(got.map(_._1).toSet === allIds, "every vector labeled")
+    got.foreach { case (id, canon, kept) =>
+      assert(canon === find(id), s"vec $id")
+      assert(kept === (if (id == canon) 1L else 0L), s"vec $id")
+    }
+  }
+
   test("q_mmr_diversify: the full 3-step MMR selection matches a " +
     "driver-side recomputation from raw embeddings, every query") {
     import spark.implicits._
