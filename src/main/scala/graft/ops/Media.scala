@@ -4,11 +4,18 @@ import graft.QueryDef
 import graft.functions.Multimodal
 import org.apache.spark.sql.functions._
 
-/** Multimodal surface as declared (rows-only) queries (SURVEY.md §2.9):
-  * binary payloads are not DuckDB-oracle-checkable by design, so the
-  * driver records the weaker rows-only check while MultimodalSpec pins
-  * the decode/resize/frame semantics. The synthetic media generator is
-  * deterministic, so outputs are stable run-to-run. */
+/** Multimodal surface as declared queries (SURVEY.md §2.9) — ORACLE-
+  * CHECKED since r8: the binary payloads themselves can't cross into
+  * DuckDB, but every DERIVED column the queries emit (dims, byte
+  * counts, rolling checksums, feature dots) is integer/float
+  * arithmetic over the deterministic synthetic payload layout, and
+  * DuckDB replays it from a generated series — Java-long wrap-around
+  * via HUGEINT mod-2⁶⁴ folds (probed bit-identical incl. the signed
+  * mapping), float32 feature division via REAL (probed bit-identical
+  * to JVM float semantics). The ENGINE side still runs the real
+  * binary path (mapPartitions decode over payload bytes), so the
+  * oracle genuinely checks the multimodal pipeline's output, not a
+  * shortcut. MultimodalSpec continues to pin resize/frame semantics. */
 object Media {
 
   /** Batched decode over 200 deterministic media payloads. */
@@ -18,7 +25,32 @@ object Media {
       Multimodal.decode(Multimodal.syntheticMedia(s, 200)).toDF()
         .orderBy($"media_id")
     },
-    None)
+    """WITH m AS (SELECT range AS media_id FROM range(200)),
+      |d AS (SELECT media_id,
+      |        CASE media_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+      |             ELSE 'video' END AS kind,
+      |        16 + (media_id % 8) * 4 AS w,
+      |        9 + (media_id % 5) * 3 AS h,
+      |        64 + (media_id % 32) * 4 AS blen
+      |      FROM m),
+      |b AS (SELECT media_id, kind, w, h, blen,
+      |        list_concat(
+      |          [CAST(w // 256 AS HUGEINT), CAST(w % 256 AS HUGEINT),
+      |           CAST(h // 256 AS HUGEINT), CAST(h % 256 AS HUGEINT)],
+      |          list_transform(range(0, CAST(blen AS INT)), i ->
+      |            CAST((media_id * 131 + i * 7) % 251 AS HUGEINT))) AS bs
+      |      FROM d),
+      |c AS (SELECT media_id, kind, w, h, blen,
+      |        list_reduce(bs, (a, x) ->
+      |          (a * 131 + x) % 18446744073709551616::HUGEINT) AS cu
+      |      FROM b)
+      |SELECT media_id, kind,
+      |       CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+      |       CAST(blen AS BIGINT) AS n_pixels,
+      |       CAST(CASE WHEN cu >= 9223372036854775808::HUGEINT
+      |                 THEN cu - 18446744073709551616::HUGEINT
+      |                 ELSE cu END AS BIGINT) AS checksum
+      |FROM c ORDER BY media_id""".stripMargin)
 
   /** Payload → embedding features, bridged into the vector inventory:
     * cosine top-3 neighbors per query media item via the same kernels
@@ -45,7 +77,46 @@ object Media {
         .select($"qid", $"nid", round($"cos", 4).as("cos"), $"rk")
         .orderBy($"qid", $"rk")
     },
-    None)
+    """WITH m AS (SELECT range AS media_id FROM range(200)),
+      |d AS (SELECT media_id,
+      |        16 + (media_id % 8) * 4 AS w,
+      |        9 + (media_id % 5) * 3 AS h,
+      |        64 + (media_id % 32) * 4 AS blen
+      |      FROM m),
+      |dims AS (
+      |  SELECT media_id, dd.d,
+      |    list_reduce(
+      |      list_transform(
+      |        range(CAST(dd.d AS BIGINT), CAST(blen + 4 AS BIGINT), 8),
+      |        pos -> CAST(CASE WHEN pos = 0 THEN w // 256
+      |                         WHEN pos = 1 THEN w % 256
+      |                         WHEN pos = 2 THEN h // 256
+      |                         WHEN pos = 3 THEN h % 256
+      |                         ELSE (media_id * 131 + (pos - 4) * 7) % 251
+      |                    END AS HUGEINT)),
+      |      (a, x) -> (a * 31 + x) % 18446744073709551616::HUGEINT) AS cu
+      |  FROM d CROSS JOIN (SELECT UNNEST(range(8)) AS d) dd),
+      |fv AS (
+      |  SELECT media_id,
+      |         list(CAST(CAST(sv % 1000003 AS REAL) / CAST(1000003 AS REAL)
+      |                   AS REAL) ORDER BY d) AS emb
+      |  FROM (SELECT media_id, d,
+      |          CASE WHEN cu >= 9223372036854775808::HUGEINT
+      |               THEN cu - 18446744073709551616::HUGEINT
+      |               ELSE cu END AS sv
+      |        FROM dims)
+      |  GROUP BY 1),
+      |pr AS (
+      |  SELECT q.media_id AS qid, n.media_id AS nid,
+      |         list_sum(list_transform(list_zip(q.emb, n.emb),
+      |           p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS cos
+      |  FROM fv q JOIN fv n ON q.media_id < 5 AND n.media_id <> q.media_id),
+      |rk AS (SELECT qid, nid, cos,
+      |         CAST(ROW_NUMBER() OVER (PARTITION BY qid
+      |           ORDER BY cos DESC, nid) AS BIGINT) AS rk
+      |       FROM pr)
+      |SELECT qid, nid, ROUND(cos, 4) AS cos, rk
+      |FROM rk WHERE rk <= 3 ORDER BY qid, rk""".stripMargin)
 
   val defs: Seq[(String, QueryDef)] = Seq(
     "q_media_decode" -> mediaDecode,
