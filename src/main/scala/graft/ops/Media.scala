@@ -118,7 +118,83 @@ object Media {
       |SELECT qid, nid, ROUND(cos, 4) AS cos, rk
       |FROM rk WHERE rk <= 3 ORDER BY qid, rk""".stripMargin)
 
+  /** Resize (factor 2) then decode — the chained-narrow-transform shape:
+    * payload bytes never shuffle, the header is rewritten in place, and
+    * the decode of the RESIZED payload is what the oracle replays
+    * (dims halved, body subsampled every 2nd byte, fresh checksum). */
+  private val mediaResize = QueryDef(
+    (s, _) => {
+      import s.implicits._
+      Multimodal.decode(
+        Multimodal.resize(Multimodal.syntheticMedia(s, 200), factor = 2)).toDF()
+        .orderBy($"media_id")
+    },
+    """WITH m AS (SELECT range AS media_id FROM range(200)),
+      |d AS (SELECT media_id,
+      |        CASE media_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+      |             ELSE 'video' END AS kind,
+      |        16 + (media_id % 8) * 4 AS w,
+      |        9 + (media_id % 5) * 3 AS h,
+      |        64 + (media_id % 32) * 4 AS blen
+      |      FROM m),
+      |r AS (SELECT media_id, kind,
+      |        greatest(w // 2, 1) AS nw, greatest(h // 2, 1) AS nh,
+      |        (blen + 1) // 2 AS nblen, blen
+      |      FROM d),
+      |b AS (SELECT media_id, kind, nw, nh, nblen,
+      |        list_concat(
+      |          [CAST(nw // 256 AS HUGEINT), CAST(nw % 256 AS HUGEINT),
+      |           CAST(nh // 256 AS HUGEINT), CAST(nh % 256 AS HUGEINT)],
+      |          list_transform(range(0, CAST(blen AS BIGINT), 2), i ->
+      |            CAST((media_id * 131 + i * 7) % 251 AS HUGEINT))) AS bs
+      |      FROM r),
+      |c AS (SELECT media_id, kind, nw, nh, nblen,
+      |        list_reduce(bs, (a, x) ->
+      |          (a * 131 + x) % 18446744073709551616::HUGEINT) AS cu
+      |      FROM b)
+      |SELECT media_id, kind,
+      |       CAST(nw AS INTEGER) AS width, CAST(nh AS INTEGER) AS height,
+      |       CAST(nblen AS BIGINT) AS n_pixels,
+      |       CAST(CASE WHEN cu >= 9223372036854775808::HUGEINT
+      |                 THEN cu - 18446744073709551616::HUGEINT
+      |                 ELSE cu END AS BIGINT) AS checksum
+      |FROM c ORDER BY media_id""".stripMargin)
+
+  /** Frame sampling (video payloads only): every 2nd 32-byte frame with
+    * its offset and per-frame checksum — the one-to-many narrow explode
+    * whose SMALL Frame rows are all that flows downstream. */
+  private val mediaFrames = QueryDef(
+    (s, _) => {
+      import s.implicits._
+      Multimodal.sampleFrames(Multimodal.syntheticMedia(s, 200),
+        frameBytes = 32, everyK = 2).toDF()
+        .orderBy($"media_id", $"frame_no")
+    },
+    """WITH m AS (SELECT range AS media_id FROM range(200)
+      |           WHERE range % 3 = 2),
+      |d AS (SELECT media_id, 64 + (media_id % 32) * 4 AS blen FROM m),
+      |f AS (SELECT media_id, blen,
+      |        UNNEST(range(0, CAST((blen + 31) // 32 AS BIGINT))) AS fno
+      |      FROM d),
+      |b AS (SELECT media_id, fno,
+      |        list_transform(
+      |          range(fno * 32, least((fno + 1) * 32, blen)), i ->
+      |            CAST((media_id * 131 + i * 7) % 251 AS HUGEINT)) AS bs
+      |      FROM f WHERE fno % 2 = 0),
+      |c AS (SELECT media_id, fno,
+      |        list_reduce(bs, (a, x) ->
+      |          (a * 131 + x) % 18446744073709551616::HUGEINT) AS cu
+      |      FROM b)
+      |SELECT media_id, CAST(fno AS INTEGER) AS frame_no,
+      |       CAST(4 + fno * 32 AS INTEGER) AS offset,
+      |       CAST(CASE WHEN cu >= 9223372036854775808::HUGEINT
+      |                 THEN cu - 18446744073709551616::HUGEINT
+      |                 ELSE cu END AS BIGINT) AS checksum
+      |FROM c ORDER BY media_id, frame_no""".stripMargin)
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q_media_decode" -> mediaDecode,
+    "q_media_resize" -> mediaResize,
+    "q_media_frames" -> mediaFrames,
     "q_media_features" -> mediaFeatures)
 }
