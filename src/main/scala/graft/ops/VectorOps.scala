@@ -305,11 +305,25 @@ object VectorOps {
     * IVF-bucketed candidate stage bounds it — never all-pairs), via
     * [[Scale.starCC]]'s skew-resistant min-label propagation; the
     * final join is a left join of labels onto vector ids. */
+  /** starCC labels over the verified embedding pairs, memoized per
+    * (session, dir) — the TextDedup.canonicalAssign discipline: the CC
+    * fixpoint is tens of tiny jobs (iteration × convergence checks),
+    * so its one-off cost belongs in the session warm, not per query. */
+  private val sessionMemo = new graft.util.SessionMemo(onHit = { hit =>
+    if (hit.storageLevel == org.apache.spark.storage.StorageLevel.NONE) hit.persist()
+    hit
+  }, persistedLineage = true)
+  private def semanticLabels(s: SparkSession, dir: String): DataFrame =
+    sessionMemo(s, s"semanticLabels|$dir") {
+      import s.implicits._
+      Scale.starCC(semanticPairs(s, dir).select($"ida", $"idb"),
+        "ida", "idb").persist()
+    }
+
   private val semanticClusters = QueryDef(
     (s, dir) => {
       import s.implicits._
-      val labels = Scale.starCC(
-        semanticPairs(s, dir).select($"ida", $"idb"), "ida", "idb")
+      val labels = semanticLabels(s, dir)
       Tables.embeddings(s, dir).select($"vec_id")
         .join(labels.select($"node".as("vec_id"), $"lbl"),
           Seq("vec_id"), "left")
