@@ -271,6 +271,62 @@ object TextDedup {
         .select($"da", $"db", $"jac")
     }
 
+  /** Cross-split near-dup LEAKAGE census — the eval-integrity metric a
+    * curation run reads before trusting its held-out split: verified
+    * near-dup pairs (J ≥ 0.2) whose members land in DIFFERENT
+    * train/val/test buckets (the same replayable Knuth-hash formula as
+    * q_split_assign) turn the eval into memorization recall. Emits
+    * per (split, split) pair counts with max/mean Jaccard — "how
+    * porous is the boundary" in one table; split names normalized
+    * least/greatest so (train,test) and (test,train) collapse.
+    * Scale: the split is doc_id ARITHMETIC (no join), computed on the
+    * memoized verified-pair set — marginal cost is one tiny
+    * two-phase aggregate. */
+  private val splitLeakage = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      def splitOf(c: org.apache.spark.sql.Column) = {
+        val h = ((c % 1000000007L) * 2654435761L) % 1000L
+        when(h < 800, "train").when(h < 900, "val").otherwise("test")
+      }
+      verifiedPairs(s, dir)
+        .withColumn("sa2", splitOf($"da"))
+        .withColumn("sb2", splitOf($"db"))
+        .select(least($"sa2", $"sb2").as("split_a"),
+          greatest($"sa2", $"sb2").as("split_b"), $"jac")
+        .groupBy($"split_a", $"split_b")
+        .agg(count(lit(1)).as("n_pairs"),
+          max($"jac").as("max_jac"),
+          Incremental.r4a(sum($"jac".cast("decimal(28,10)")),
+            count(lit(1))).as("mean_jac"))
+        .withColumn("crosses", ($"split_a" =!= $"split_b").cast("long"))
+        .select($"split_a", $"split_b", $"n_pairs", $"crosses",
+          $"max_jac", $"mean_jac")
+        .orderBy($"split_a", $"split_b")
+    },
+    oracleScored + """,
+      |ver AS (SELECT da, db, ROUND(inter / uni, 4) AS jac FROM scored
+      |        WHERE ROUND(inter / uni, 4) >= 0.2),
+      |sp AS (
+      |  SELECT jac,
+      |    CASE WHEN ((da % 1000000007) * 2654435761) % 1000 < 800
+      |         THEN 'train'
+      |         WHEN ((da % 1000000007) * 2654435761) % 1000 < 900
+      |         THEN 'val' ELSE 'test' END AS ra,
+      |    CASE WHEN ((db % 1000000007) * 2654435761) % 1000 < 800
+      |         THEN 'train'
+      |         WHEN ((db % 1000000007) * 2654435761) % 1000 < 900
+      |         THEN 'val' ELSE 'test' END AS rb
+      |  FROM ver)
+      |SELECT least(ra, rb) AS split_a, greatest(ra, rb) AS split_b,
+      |       COUNT(*) AS n_pairs,
+      |       CAST(least(ra, rb) <> greatest(ra, rb) AS BIGINT) AS crosses,
+      |       MAX(jac) AS max_jac,
+      |       FLOOR(CAST(CAST(CAST(ROUND(SUM(CAST(jac AS DECIMAL(28,10))), 6)
+      |             AS DECIMAL(24,6)) * 1000000 AS BIGINT) AS DOUBLE)
+      |             / (COUNT(*) * 100.0) + 0.5) / 10000.0 AS mean_jac
+      |FROM sp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+
   /** Near-dup verify: the two-stage MinHash→LSH→exact-Jaccard pipeline;
     * emits pairs with J ≥ 0.2 — the exact verify join is what the
     * oracle checks. */
@@ -1246,6 +1302,7 @@ object TextDedup {
       |ORDER BY cn DESC, aa_bp DESC, a, b LIMIT 100""".stripMargin)
 
   val defs: Seq[(String, QueryDef)] = Seq(
+    "q_split_leakage" -> splitLeakage,
     "q_link_predict" -> linkPredict,
     "q_crosslang_dup" -> crosslangDup,
     "q_dedup_by_source" -> dedupBySource,

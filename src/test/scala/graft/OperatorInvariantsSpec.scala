@@ -462,6 +462,33 @@ class OperatorInvariantsSpec extends SparkSpec {
       assert(withDup.map(_._3).min > without.map(_._3).max)
   }
 
+  test("q_split_leakage: totals cover every verified pair and the " +
+    "cross-split counts match a driver recompute of the split hash") {
+    import spark.implicits._
+    val rows = run("q_split_leakage")
+      .select($"split_a", $"split_b", $"n_pairs", $"crosses")
+      .as[(String, String, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, b, _, x) =>
+      assert(a <= b, s"($a,$b) not normalized")
+      assert(x === (if (a == b) 0L else 1L))
+    }
+    def splitOf(id: Long): String = {
+      val h = ((id % 1000000007L) * 2654435761L) % 1000L
+      if (h < 800) "train" else if (h < 900) "val" else "test"
+    }
+    val pairs = run("q_dedup_near").select($"da", $"db")
+      .as[(Long, Long)].collect()
+    assert(rows.map(_._3).sum === pairs.length, "pair census incomplete")
+    val expected = pairs
+      .map { case (a, b) =>
+        val (sa, sb) = (splitOf(a), splitOf(b))
+        (if (sa <= sb) (sa, sb) else (sb, sa))
+      }
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    assert(rows.map(r => (r._1, r._2) -> r._3).toMap === expected)
+  }
+
   test("q_semantic_clusters == driver union-find over the q_dedup_embed " +
     "pairs; singletons are their own canonical") {
     import spark.implicits._
