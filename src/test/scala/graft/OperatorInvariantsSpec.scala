@@ -413,7 +413,7 @@ class OperatorInvariantsSpec extends SparkSpec {
     }
   }
 
-  test("q_bm25_topk: scores descend, hits are real, and the top doc's " +
+  test("q_bm25_topk: scores descend, hits are real, and every returned " +
     "score matches a driver-side BM25 recomputation") {
     import spark.implicits._
     val terms = Seq("join", "vector", "dup")
@@ -452,8 +452,10 @@ class OperatorInvariantsSpec extends SparkSpec {
       }.sum
       sum.setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
     }
-    val (topId, _, topScore) = out.head
-    assert(bm25(topId) === topScore)
+    // every returned row's score matches the reference, not just the top
+    out.foreach { case (id, _, score) =>
+      assert(bm25(id) === score, s"doc $id")
+    }
     // the rare term's idf dominates: every returned doc containing
     // "dup" outranks every returned doc without it
     val hasDup = docs.filter(_._2.split(" ", -1).contains("dup")).map(_._1).toSet
