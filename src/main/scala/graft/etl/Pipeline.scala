@@ -331,8 +331,11 @@ object Pipeline {
     * version numbers. */
   def vacuumVersions(tableDir: String, keep: Int = 2): Seq[Int] = {
     require(keep >= 1, "must keep at least the latest version")
-    val latest = java.nio.file.Files
-      .readString(java.nio.file.Paths.get(tableDir, "_latest")).trim.toInt
+    val latestPath = java.nio.file.Paths.get(tableDir, "_latest")
+    require(java.nio.file.Files.exists(latestPath),
+      s"$tableDir has no committed version (_latest missing) — " +
+        "not a versioned table, or no commit completed; refusing to vacuum")
+    val latest = java.nio.file.Files.readString(latestPath).trim.toInt
     val drop = versions(tableDir).filter(_ < latest).dropRight(keep - 1)
     drop.foreach { v =>
       def rm(f: java.io.File): Unit = {

@@ -290,6 +290,13 @@ class PipelineSpec extends SparkSpec {
     assert(dropped === Seq(1))
     assert(!new java.io.File(s"$dir/v=1").exists())
     assert(Pipeline.readVersion(spark, dir).count() === 2)
+    // an unversioned dir (no _latest pointer) is refused with a clear
+    // message instead of a raw NoSuchFileException from deep inside
+    val plain = Files.createTempDirectory("graft_unversioned").toString
+    val e = intercept[IllegalArgumentException] {
+      Pipeline.vacuumVersions(plain)
+    }
+    assert(e.getMessage.contains("_latest missing"))
   }
 
   test("compact rewrites to the planned file count without changing content") {
