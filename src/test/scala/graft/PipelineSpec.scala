@@ -299,6 +299,43 @@ class PipelineSpec extends SparkSpec {
     assert(e.getMessage.contains("_latest missing"))
   }
 
+  test("readEvolved: old files read NULL for added columns; removal, " +
+    "retyping, and undeclared columns are refused") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_evolve").toString + "/t"
+    // era 1: (k, v)
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      .write.mode("append").parquet(dir)
+    // era 2: schema gained `score`
+    Seq((3L, "c", 0.5)).toDF("k", "v", "score")
+      .write.mode("append").parquet(dir)
+    val declared = StructType(Seq(
+      StructField("k", LongType), StructField("v", StringType),
+      StructField("score", DoubleType),
+      // declared but not yet written by ANY file
+      StructField("flags", LongType)))
+    val got = Pipeline.readEvolved(spark, dir, declared)
+    assert(got.columns.toSeq === Seq("k", "v", "score", "flags"))
+    val rows = got.orderBy("k")
+      .as[(Long, String, Option[Double], Option[Long])].collect().toSeq
+    assert(rows === Seq(
+      (1L, "a", None, None), (2L, "b", None, None),
+      (3L, "c", Some(0.5), None)))
+    // declared schema missing an on-disk column → refused
+    val e1 = intercept[IllegalArgumentException] {
+      Pipeline.readEvolved(spark, dir, StructType(declared.fields.take(2)))
+    }
+    assert(e1.getMessage.contains("undeclared column"))
+    // retyping a column → refused
+    val retyped = StructType(declared.fields.map(f =>
+      if (f.name == "score") f.copy(dataType = StringType) else f))
+    val e2 = intercept[IllegalArgumentException] {
+      Pipeline.readEvolved(spark, dir, retyped)
+    }
+    assert(e2.getMessage.contains("retyping"))
+  }
+
   test("compact rewrites to the planned file count without changing content") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_compact").toString + "/t"
