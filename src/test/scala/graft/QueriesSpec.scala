@@ -25,4 +25,17 @@ class QueriesSpec extends SparkSpec {
     }
     sqls.values.foreach(sql => assert(sql.trim.nonEmpty))
   }
+
+  test("EVERY declared query is oracle-checked — zero rows-only rows " +
+    "(the r8 full-coverage invariant; a new no-oracle query is a " +
+    "deliberate decision, not a default)") {
+    val missing = SparkEntry.all.collect {
+      case (name, d) if d.oracle.isEmpty => name
+    }
+    assert(missing.isEmpty,
+      s"queries without a DuckDB oracle: ${missing.mkString(", ")} — " +
+        "the full declared surface has been oracle-checked since r8 " +
+        "(envelope booleans for sketches, HUGEINT folds for media); " +
+        "add an oracle or document the regression in SURVEY §2.11")
+  }
 }
