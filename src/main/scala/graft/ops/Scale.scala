@@ -374,7 +374,7 @@ object Scale {
     val sorted = df.select(col(groupCol), col(valCol).cast("double"))
       .sort(col(groupCol), col(valCol))
     val offB = spark.sparkContext.broadcast((offsets, targets))
-    val picked = sorted.rdd.zipWithIndex.flatMap { case (row, gi) =>
+    val picked = sorted.rdd.zipWithIndex().flatMap { case (row, gi) =>
       val g = row.getString(0)
       val (offs, tgts) = offB.value
       val rn = gi - offs(g) + 1

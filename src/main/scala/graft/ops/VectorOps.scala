@@ -551,7 +551,7 @@ object VectorOps {
       val vd = transform($"v", x => x.cast("double"))
       val svec = aggregate(vd, lit(0.0), (acc, x) => acc + x)
       val bucketCol = (0 until NumPlanes).map { j =>
-        val plane = array(planes(j).map(lit): _*)
+        val plane = array(planes(j).toIndexedSeq.map(lit): _*)
         val d = aggregate(zip_with(vd, plane, (x, y) => x * y), lit(0.0),
           (acc, x) => acc + x)
         when(d - svec * lit(planeSums(j) / Dim) >= 0, lit(1L << j))
