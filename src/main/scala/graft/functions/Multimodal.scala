@@ -60,6 +60,30 @@ object Multimodal {
 
     def checksum(p: Array[Byte]): Long =
       p.foldLeft(0L)((a, b) => a * 131 + (b & 0xff))
+
+    /** Fake perceptual hash — the block-mean pHash shape on the stub
+      * payload: fold bytes into 64 positional buckets (bucket k =
+      * Σ bytes at positions ≡ k mod 64), set bit k iff its bucket sum
+      * exceeds the global mean (integer-exact: s_k·64 > total), and
+      * emit the 64 bits as four 16-bit band values — the banded form
+      * the Hamming-LSH candidate join keys on directly. A real pHash
+      * (DCT block means) swaps in here without touching the bands. */
+    def phash(p: Array[Byte]): Array[Int] = {
+      val sums = new Array[Long](64)
+      var tot = 0L
+      var i = 0
+      while (i < p.length) {
+        val v = (p(i) & 0xff).toLong
+        sums(i % 64) += v; tot += v; i += 1
+      }
+      val bands = new Array[Int](4)
+      var k = 0
+      while (k < 64) {
+        if (sums(k) * 64 > tot) bands(k / 16) |= 1 << (k % 16)
+        k += 1
+      }
+      bands
+    }
   }
 
   /** Deterministic synthetic media table (no external fixtures exist for
@@ -123,6 +147,20 @@ object Multimodal {
         }
       }
     }
+  }
+
+  /** Perceptual-hash bands → (media_id, band, bv): one row per 16-bit
+    * band, the exploded form the Hamming-LSH candidate join consumes.
+    * Narrow per-partition map — payloads never shuffle; only the four
+    * small band rows per item flow on. */
+  def phashBands(media: Dataset[Media]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { batch =>
+      batch.flatMap { m =>
+        val bands = Codec.phash(m.payload)
+        (0 until 4).iterator.map(b => (m.media_id, b.toLong, bands(b).toLong))
+      }
+    }.toDF("media_id", "band", "bv")
   }
 
   /** Feature extraction → (media_id, embedding) — the bridge into the

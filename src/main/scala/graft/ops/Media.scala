@@ -192,8 +192,73 @@ object Media {
       |                 ELSE cu END AS BIGINT) AS checksum
       |FROM c ORDER BY media_id, frame_no""".stripMargin)
 
+  /** Perceptual-hash near-dup for media — image dedup without decoding
+    * twice: 64-bit block-mean pHash per payload (computed executor-side
+    * from the real bytes, [[graft.functions.Multimodal.Codec.phash]]),
+    * banded into four 16-bit values, candidates = pairs sharing ≥1
+    * exact band (the Hamming-LSH equi-join — pigeonhole-complete for
+    * distance < 4), verified at Hamming ≤ 4 summed across bands via
+    * bit_count(xor). The media twin of q_dedup_simhash: same
+    * band→bucket→verify shape, so the 100 TB design carries over —
+    * payloads never shuffle (only 4 band rows per item), the candidate
+    * join is equi-keyed, and the verify runs on candidates only, never
+    * all pairs. Oracle replays the payload layout + pHash arithmetic
+    * in DuckDB integer ops (the q_media_decode HUGEINT discipline —
+    * here everything fits BIGINT: sums < 2⁶³, bands < 2¹⁶). */
+  private val mediaPhashDup = QueryDef(
+    (s, _) => {
+      import s.implicits._
+      val bands = Multimodal.phashBands(Multimodal.syntheticMedia(s, 200))
+      val cand = bands.as("a").join(bands.as("b"),
+          $"a.band" === $"b.band" && $"a.bv" === $"b.bv" &&
+            $"a.media_id" < $"b.media_id")
+        .select($"a.media_id".as("m1"), $"b.media_id".as("m2"))
+        .distinct()
+      cand.join(bands.as("x"), $"m1" === $"x.media_id")
+        .join(bands.as("y"),
+          $"m2" === $"y.media_id" && $"x.band" === $"y.band")
+        .groupBy($"m1", $"m2")
+        .agg(sum(expr("bit_count(x.bv ^ y.bv)")).cast("long").as("hamming"))
+        .filter($"hamming" <= 4)
+        .orderBy($"m1", $"m2")
+    },
+    """WITH m AS (SELECT range AS media_id FROM range(200)),
+      |d AS (SELECT media_id,
+      |        16 + (media_id % 8) * 4 AS w, 9 + (media_id % 5) * 3 AS h,
+      |        64 + (media_id % 32) * 4 AS blen FROM m),
+      |b AS (SELECT media_id,
+      |        list_concat(
+      |          [CAST(w // 256 AS BIGINT), CAST(w % 256 AS BIGINT),
+      |           CAST(h // 256 AS BIGINT), CAST(h % 256 AS BIGINT)],
+      |          list_transform(range(0, CAST(blen AS BIGINT)), i ->
+      |            CAST((media_id * 131 + i * 7) % 251 AS BIGINT))) AS bs
+      |      FROM d),
+      |bk AS (SELECT media_id, k,
+      |         list_sum(list_transform(
+      |           range(CAST(k AS BIGINT), CAST(len(bs) AS BIGINT), 64),
+      |           i -> bs[CAST(i AS INT) + 1])) AS s,
+      |         list_sum(bs) AS tot
+      |       FROM b CROSS JOIN (SELECT UNNEST(range(64)) AS k)),
+      |bands AS (SELECT media_id, k // 16 AS band,
+      |            CAST(SUM(CASE WHEN s * 64 > tot THEN 1 ELSE 0 END
+      |                     * (1::BIGINT << CAST(k % 16 AS INT))) AS BIGINT)
+      |              AS bv
+      |          FROM bk GROUP BY 1, 2),
+      |cand AS (SELECT DISTINCT a.media_id AS m1, b2.media_id AS m2
+      |         FROM bands a JOIN bands b2
+      |           ON a.band = b2.band AND a.bv = b2.bv
+      |          AND a.media_id < b2.media_id),
+      |h AS (SELECT m1, m2,
+      |        CAST(SUM(bit_count(xor(x.bv, y.bv))) AS BIGINT) AS hamming
+      |      FROM cand JOIN bands x ON x.media_id = m1
+      |                JOIN bands y ON y.media_id = m2 AND y.band = x.band
+      |      GROUP BY 1, 2)
+      |SELECT m1, m2, hamming FROM h WHERE hamming <= 4
+      |ORDER BY m1, m2""".stripMargin)
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q_media_decode" -> mediaDecode,
+    "q_media_phash_dup" -> mediaPhashDup,
     "q_media_resize" -> mediaResize,
     "q_media_frames" -> mediaFrames,
     "q_media_features" -> mediaFeatures)

@@ -1294,6 +1294,200 @@ object TextOps {
       |       CAST(ROUND(SUM(term), 4) AS DOUBLE) AS logprob
       |FROM r GROUP BY 1 ORDER BY doc_id""".stripMargin)
 
+  /** Stupid Backoff document scoring (Brants et al. 2007, "Large
+    * Language Models in Machine Translation") — the web-scale LM
+    * quality score that skips normalization so the model is just two
+    * count tables: S(w₂|w₁) = c(w₁w₂)/c(w₁·) when the bigram was seen
+    * in TRAINING, else 0.4·(c(w₂)+1)/T (unigram backoff; +1 keeps
+    * unseen words finite, the documented ε-floor). Training set =
+    * `doc_id % 25 = 0` (a 4% held-in sample — unlike q_bigram_logprob's
+    * self-trained add-1 model, ~⅓ of scored bigrams genuinely back
+    * off, so the backoff path is exercised, not decorative). Per doc:
+    * Σ ln S over its bigram stream, decimal-exact sum, 4-decimal round
+    * (the q_doc_logprob discipline), plus the backoff-term census.
+    *
+    * Scale: shares the memoized `doc_bigrams` stream with
+    * q_bigram_logprob (built once per session+dir); the trained model
+    * is a 4%-sample aggregate that BROADCASTS with its folded prefix
+    * totals — the corpus-sized bigram stream never shuffles for the
+    * scoring join. At web scale the sample rate holds the model tiny
+    * while T grows, exactly why Brants et al. dropped Kneser-Ney. */
+  private val backoffLogprob = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val bg = memoized(s, dir, "doc_bigrams") {
+        Tables.documents(s, dir)
+          .select($"doc_id", split($"text", " ").as("ws"))
+          .withColumn("n", size($"ws").cast("long"))
+          .filter($"n" >= 2)
+          .select($"doc_id", $"ws",
+            explode(sequence(lit(1L), $"n" - 1L)).as("i"))
+          .select($"doc_id",
+            expr("element_at(ws, int(i))").as("w1"),
+            expr("element_at(ws, int(i) + 1)").as("w2"))
+      }
+      val cb = bg.filter($"doc_id" % 25 === 0)
+        .groupBy($"w1", $"w2").agg(count(lit(1)).as("cb"))
+      val model = cb.join(
+        cb.groupBy($"w1").agg(sum($"cb").cast("long").as("cp")), "w1")
+      val cu = Tables.documents(s, dir).filter($"doc_id" % 25 === 0)
+        .select(explode(split($"text", " ")).as("w2"))
+        .groupBy($"w2").agg(count(lit(1)).as("cu"))
+      val tot = cu.agg(sum($"cu").cast("long").as("t"))
+      bg.join(broadcast(model), Seq("w1", "w2"), "left")
+        .join(broadcast(cu), Seq("w2"), "left")
+        .crossJoin(broadcast(tot))
+        .select($"doc_id",
+          when($"cb".isNotNull,
+            log($"cb".cast("double") / $"cp".cast("double")))
+            .otherwise(log(lit(0.4) *
+              (coalesce($"cu", lit(0L)) + 1L).cast("double") /
+              $"t".cast("double")))
+            .cast("decimal(28,10)").as("term"),
+          when($"cb".isNull, 1L).otherwise(0L).as("backed"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum($"backed").cast("long").as("n_backoff"),
+          Incremental.r4s(sum($"term")).as("logprob"))
+        .orderBy($"doc_id")
+    },
+    """WITH b AS (SELECT doc_id, string_split(text, ' ') AS ws,
+      |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+      |           FROM documents),
+      |bg AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+      |       FROM (SELECT doc_id, ws, UNNEST(generate_series(1, n - 1)) AS i
+      |             FROM b WHERE n >= 2)),
+      |cb AS (SELECT w1, w2, COUNT(*) AS cb FROM bg
+      |       WHERE doc_id % 25 = 0 GROUP BY 1, 2),
+      |cp AS (SELECT w1, CAST(SUM(cb) AS BIGINT) AS cp FROM cb GROUP BY 1),
+      |cu AS (SELECT w AS w2, COUNT(*) AS cu
+      |       FROM (SELECT UNNEST(string_split(text, ' ')) AS w
+      |             FROM documents WHERE doc_id % 25 = 0) GROUP BY 1),
+      |t AS (SELECT CAST(SUM(cu) AS BIGINT) AS t FROM cu),
+      |r AS (SELECT bg.doc_id,
+      |        CASE WHEN cb.cb IS NOT NULL
+      |             THEN CAST(LN(CAST(cb.cb AS DOUBLE) / CAST(cp.cp AS DOUBLE))
+      |                  AS DECIMAL(28,10))
+      |             ELSE CAST(LN(0.4 * CAST(COALESCE(cu.cu, 0) + 1 AS DOUBLE)
+      |                          / CAST(t.t AS DOUBLE)) AS DECIMAL(28,10))
+      |        END AS term,
+      |        CASE WHEN cb.cb IS NULL THEN 1 ELSE 0 END AS backed
+      |      FROM bg LEFT JOIN cb USING (w1, w2) LEFT JOIN cp USING (w1)
+      |              LEFT JOIN cu USING (w2) CROSS JOIN t)
+      |SELECT doc_id, COUNT(*) AS n_bigrams,
+      |       CAST(SUM(backed) AS BIGINT) AS n_backoff,
+      |       CAST(ROUND(SUM(term), 4) AS DOUBLE) AS logprob
+      |FROM r GROUP BY 1 ORDER BY doc_id""".stripMargin)
+
+  /** Segment-level dedup with reassembly — the C4 "three-sentence span"
+    * rule re-grounded on this corpus's flat word stream: split each doc
+    * into consecutive 10-word segments, keep exactly ONE occurrence of
+    * each distinct segment text corpus-wide (the lexicographically
+    * first (doc_id, seg_idx) — same deterministic keep-lowest rule as
+    * q_dedup_exact), drop the rest, and REASSEMBLE each doc from its
+    * surviving segments in order. Unlike q_dedup_substring (which only
+    * CENSUSES duplicated windows), this emits the post-dedup corpus —
+    * the operator whose output actually feeds training.
+    *
+    * Scale: segments shuffle once, keyed by segment text (at 100 TB,
+    * key by a 128-bit segment fingerprint to keep shuffle rows small —
+    * the q_dedup_exact note applies verbatim); reassembly is a per-doc
+    * hash aggregate over the surviving segment rows. No corpus-sized
+    * window, no all-pairs anything. */
+  private val dedupLines = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val segs = Tables.documents(s, dir)
+        .select($"doc_id", split($"text", " ").as("ws"))
+        .select($"doc_id", $"ws",
+          explode(sequence(lit(0L),
+            ceil(size($"ws") / lit(10.0)).cast("long") - 1L)).as("i"))
+        .select($"doc_id", $"i".as("seg_idx"),
+          array_join(slice($"ws", ($"i" * 10 + 1).cast("int"), lit(10)), " ")
+            .as("seg"))
+      val w = Window.partitionBy($"seg").orderBy($"doc_id", $"seg_idx")
+      segs.withColumn("rk", row_number().over(w))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_segs"),
+          sum(when($"rk" === 1, 1L).otherwise(0L)).cast("long").as("n_kept"),
+          array_join(
+            transform(
+              array_sort(collect_list(
+                when($"rk" === 1, struct($"seg_idx", $"seg")))),
+              x => x.getField("seg")), " ").as("retained"))
+        .select($"doc_id", $"n_segs", $"n_kept",
+          length($"retained").cast("long").as("retained_chars"), $"retained")
+        .orderBy($"doc_id")
+    },
+    """WITH s AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |segs AS (
+      |  SELECT doc_id, i AS seg_idx,
+      |         array_to_string(ws[(i*10+1):least((i+1)*10, len(ws))], ' ') AS seg
+      |  FROM (SELECT doc_id, ws,
+      |          UNNEST(range(0, CAST(ceil(len(ws)/10.0) AS BIGINT))) AS i
+      |        FROM s)),
+      |k AS (SELECT doc_id, seg_idx, seg,
+      |        ROW_NUMBER() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rk
+      |      FROM segs)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segs,
+      |       CAST(SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |       CAST(length(COALESCE(
+      |         string_agg(CASE WHEN rk = 1 THEN seg END, ' ' ORDER BY seg_idx),
+      |         '')) AS BIGINT) AS retained_chars,
+      |       COALESCE(string_agg(CASE WHEN rk = 1 THEN seg END,
+      |         ' ' ORDER BY seg_idx), '') AS retained
+      |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+
+  /** Per-doc n-gram novelty census — the data-curriculum signal: what
+    * fraction of a doc's distinct word trigrams appear here FIRST
+    * (min doc_id over the corpus owns the type)? Late near-duplicate
+    * and boilerplate docs score low; the leading docs score 1. Emits
+    * exact counts plus novelty in integer basis points
+    * (n_novel·10⁴ ÷ n_tri, floor) — the repo's division-free ratio
+    * discipline, immune to double-rounding ties.
+    *
+    * Scale: same first-occurrence decomposition as q_vocab_growth —
+    * one (trigram → min doc) hash aggregate, one distinct, one
+    * re-join keyed by trigram; nothing corpus-wide beyond the two
+    * trigram-keyed shuffles, no window over row data. */
+  private val ngramNovelty = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val tri = Tables.documents(s, dir)
+        .select($"doc_id", split($"text", " ").as("ws"))
+        .withColumn("n", size($"ws").cast("long"))
+        .filter($"n" >= 3)
+        .select($"doc_id", $"ws",
+          explode(sequence(lit(1L), $"n" - 2L)).as("i"))
+        .select($"doc_id", concat_ws(" ",
+          expr("element_at(ws, int(i))"),
+          expr("element_at(ws, int(i) + 1)"),
+          expr("element_at(ws, int(i) + 2)")).as("tg"))
+        .distinct()
+      val fo = tri.groupBy($"tg").agg(min($"doc_id").as("first_doc"))
+      tri.join(fo, "tg")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_tri"),
+          sum(when($"first_doc" === $"doc_id", 1L).otherwise(0L))
+            .cast("long").as("n_novel"))
+        .select($"doc_id", $"n_tri", $"n_novel",
+          floor($"n_novel" * 10000L / $"n_tri").cast("long").as("novelty_bp"))
+        .orderBy($"doc_id")
+    },
+    """WITH s AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |tri AS (SELECT DISTINCT doc_id,
+      |          ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS tg
+      |        FROM (SELECT doc_id, ws, UNNEST(range(1, len(ws) - 1)) AS i
+      |              FROM s WHERE len(ws) >= 3)),
+      |fo AS (SELECT tg, MIN(doc_id) AS first_doc FROM tri GROUP BY 1)
+      |SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tri,
+      |       CAST(SUM(CASE WHEN f.first_doc = t.doc_id THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS n_novel,
+      |       CAST(SUM(CASE WHEN f.first_doc = t.doc_id THEN 1 ELSE 0 END)
+      |            * 10000 // COUNT(*) AS BIGINT) AS novelty_bp
+      |FROM tri t JOIN fo f USING (tg) GROUP BY t.doc_id
+      |ORDER BY t.doc_id""".stripMargin)
+
   /** Deterministic training-shard assignment + balance audit: route each
     * document to one of 16 shards by Knuth multiplicative hashing
     * (doc_id · 2654435761 mod 2³², take the low 4 bits of the high
@@ -1592,6 +1786,9 @@ object TextOps {
     "q_lang_confusion" -> langConfusion,
     "q_shard_assign" -> shardAssign,
     "q_bigram_logprob" -> bigramLogprob,
+    "q_backoff_logprob" -> backoffLogprob,
+    "q_dedup_lines" -> dedupLines,
+    "q_ngram_novelty" -> ngramNovelty,
     "q_bpe_pairs" -> bpePairs,
     "q_blocklist_filter" -> blocklistFilter,
     "q_redact" -> redact,

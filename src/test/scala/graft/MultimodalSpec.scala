@@ -82,4 +82,47 @@ class MultimodalSpec extends SparkSpec {
     top.select($"cos").as[Double].collect()
       .foreach(c => assert(c >= -1.0000001 && c <= 1.0000001))
   }
+
+  test("pHash bands are 16-bit, deterministic, and the banded candidate " +
+    "join is pigeonhole-complete below the band count") {
+    val all = Multimodal.syntheticMedia(spark, 200).collect()
+    val hashes = all.map(m => m.media_id -> Codec.phash(m.payload)).toMap
+    hashes.values.foreach { bands =>
+      assert(bands.length === 4)
+      bands.foreach(b => assert(b >= 0 && b <= 0xffff))
+    }
+    // determinism: same payload → same hash
+    all.foreach(m => assert(Codec.phash(m.payload).toSeq ===
+      hashes(m.media_id).toSeq))
+    // pigeonhole: any pair with Hamming ≤ 3 differs in at most 3 of the
+    // 4 bands, so at least one band matches exactly → candidate found
+    val ids = all.map(_.media_id).sorted
+    for (a <- ids; b <- ids if a < b) {
+      val (ha, hb) = (hashes(a), hashes(b))
+      val ham = (0 until 4).map(i =>
+        java.lang.Integer.bitCount(ha(i) ^ hb(i))).sum
+      if (ham <= 3)
+        assert((0 until 4).exists(i => ha(i) == hb(i)), s"pair ($a,$b)")
+    }
+  }
+
+  test("q_media_phash_dup equals a driver brute-force of band-candidates " +
+    "verified at Hamming ≤ 4") {
+    import spark.implicits._
+    val all = Multimodal.syntheticMedia(spark, 200).collect()
+    val hashes = all.map(m => m.media_id -> Codec.phash(m.payload)).toMap
+    val ids = all.map(_.media_id).sorted
+    val expected = (for {
+      a <- ids; b <- ids if a < b
+      ha = hashes(a); hb = hashes(b)
+      if (0 until 4).exists(i => ha(i) == hb(i))
+      ham = (0 until 4).map(i =>
+        java.lang.Integer.bitCount(ha(i) ^ hb(i))).sum.toLong
+      if ham <= 4
+    } yield (a, b, ham)).sorted
+    val got = SparkEntry.all("q_media_phash_dup").fn(spark, sf)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
 }

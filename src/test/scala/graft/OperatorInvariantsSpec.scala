@@ -583,4 +583,70 @@ class OperatorInvariantsSpec extends SparkSpec {
       assert(train > 6000 && train < 9500, s"$src train=$train bp")
     }
   }
+
+  test("q_dedup_lines == driver recompute of the keep-first segment rule; " +
+    "kept mass equals the distinct-segment count") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect().sortBy(_._1)
+    // driver recompute: 10-word segments, keep lowest (doc_id, seg_idx)
+    val segs = docs.flatMap { case (id, text) =>
+      text.split(" ").grouped(10).zipWithIndex.map {
+        case (ws, i) => (id, i.toLong, ws.mkString(" "))
+      }
+    }
+    val keeper = segs.groupBy(_._3).map { case (seg, occ) =>
+      seg -> occ.map(o => (o._1, o._2)).min
+    }
+    val expected = docs.map { case (id, text) =>
+      val mine = segs.filter(_._1 == id)
+      val kept = mine.filter(s => keeper(s._3) == ((s._1, s._2)))
+      val retained = kept.sortBy(_._2).map(_._3).mkString(" ")
+      (id, mine.length.toLong, kept.length.toLong,
+        retained.length.toLong, retained)
+    }
+    val got = run("q_dedup_lines")
+      .as[(Long, Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(got.toSeq === expected.toSeq)
+    // every distinct segment survives exactly once corpus-wide
+    assert(got.map(_._3).sum === keeper.size.toLong)
+  }
+
+  test("q_backoff_logprob: training docs never back off; scores are " +
+    "negative log-masses with backoff bounded by the bigram count") {
+    import spark.implicits._
+    val rows = run("q_backoff_logprob")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, nBg, nBack, lp) =>
+      assert(nBack >= 0 && nBack <= nBg, s"doc $id")
+      assert(lp < 0.0, s"doc $id") // every term is ln of a mass < 1
+      // the model is trained ON doc_id % 25 == 0: those docs' bigrams
+      // are all in-model by construction — zero backoff terms
+      if (id % 25 == 0) assert(nBack === 0L, s"train doc $id backed off")
+    }
+    // the 4% train split leaves genuinely unseen bigrams — the backoff
+    // path must actually fire on the held-out mass
+    assert(rows.filter(_._1 % 25 != 0).map(_._3).sum > 0L)
+  }
+
+  test("q_ngram_novelty: the earliest doc is fully novel, novel mass " +
+    "sums to the distinct-trigram count, bp bounded") {
+    import spark.implicits._
+    val rows = run("q_ngram_novelty")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, nTri, nNovel, bp) =>
+      assert(nNovel >= 0 && nNovel <= nTri, s"doc $id")
+      assert(bp === nNovel * 10000 / nTri, s"doc $id")
+    }
+    assert(rows.head._4 === 10000L) // min doc_id owns all its trigrams
+    val distinctTris = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .flatMap { case (_, t) =>
+        val ws = t.split(" "); ws.indices.dropRight(2).map(i =>
+          s"${ws(i)} ${ws(i + 1)} ${ws(i + 2)}").distinct
+      }.distinct.length
+    assert(rows.map(_._3).sum === distinctTris.toLong)
+  }
 }
