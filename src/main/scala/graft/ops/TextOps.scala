@@ -1447,29 +1447,34 @@ object TextOps {
     * discipline, immune to double-rounding ties.
     *
     * Scale: same first-occurrence decomposition as q_vocab_growth —
-    * one (trigram → min doc) hash aggregate, one distinct, one
-    * re-join keyed by trigram; nothing corpus-wide beyond the two
-    * trigram-keyed shuffles, no window over row data. */
+    * and NO corpus-sized join: the distinct (doc, trigram) stream is
+    * memoized once, then n_tri comes from a doc-keyed aggregate and
+    * n_novel from (trigram → min doc) re-aggregated BY first_doc —
+    * two |docs|-row frames joined at |docs| size, instead of joining
+    * the full trigram stream back against its own first-occurrence
+    * table (which would shuffle the corpus twice more). */
   private val ngramNovelty = QueryDef(
     (s, dir) => {
       import s.implicits._
-      val tri = Tables.documents(s, dir)
-        .select($"doc_id", split($"text", " ").as("ws"))
-        .withColumn("n", size($"ws").cast("long"))
-        .filter($"n" >= 3)
-        .select($"doc_id", $"ws",
-          explode(sequence(lit(1L), $"n" - 2L)).as("i"))
-        .select($"doc_id", concat_ws(" ",
-          expr("element_at(ws, int(i))"),
-          expr("element_at(ws, int(i) + 1)"),
-          expr("element_at(ws, int(i) + 2)")).as("tg"))
-        .distinct()
-      val fo = tri.groupBy($"tg").agg(min($"doc_id").as("first_doc"))
-      tri.join(fo, "tg")
-        .groupBy($"doc_id")
-        .agg(count(lit(1)).as("n_tri"),
-          sum(when($"first_doc" === $"doc_id", 1L).otherwise(0L))
-            .cast("long").as("n_novel"))
+      val tri = memoized(s, dir, "doc_trigrams") {
+        Tables.documents(s, dir)
+          .select($"doc_id", split($"text", " ").as("ws"))
+          .withColumn("n", size($"ws").cast("long"))
+          .filter($"n" >= 3)
+          .select($"doc_id", $"ws",
+            explode(sequence(lit(1L), $"n" - 2L)).as("i"))
+          .select($"doc_id", concat_ws(" ",
+            expr("element_at(ws, int(i))"),
+            expr("element_at(ws, int(i) + 1)"),
+            expr("element_at(ws, int(i) + 2)")).as("tg"))
+          .distinct()
+      }
+      val perDoc = tri.groupBy($"doc_id").agg(count(lit(1)).as("n_tri"))
+      val novel = tri.groupBy($"tg").agg(min($"doc_id").as("doc_id"))
+        .groupBy($"doc_id").agg(count(lit(1)).as("n_novel"))
+      perDoc.join(novel, Seq("doc_id"), "left")
+        .select($"doc_id", $"n_tri",
+          coalesce($"n_novel", lit(0L)).cast("long").as("n_novel"))
         .select($"doc_id", $"n_tri", $"n_novel",
           floor($"n_novel" * 10000L / $"n_tri").cast("long").as("novelty_bp"))
         .orderBy($"doc_id")

@@ -447,7 +447,86 @@ object Windows {
       |FROM att WHERE event_type = 'purchase'
       |GROUP BY 1 ORDER BY 1""".stripMargin)
 
+  /** SAX discretization of the per-type daily series (Lin et al. 2003,
+    * "A Symbolic Representation of Time Series") — the front door to
+    * motif mining and symbolic anomaly matching: each (event_type, day)
+    * mean (the exact r4a mean, q_daily_avg's discipline) is assigned a
+    * quartile symbol a–d WITHIN its type via ntile(4) ordered by
+    * (value, day). Empirical-quantile breakpoints rather than the
+    * Gaussian table — distribution-free, and exact integer rank
+    * arithmetic both engines implement identically (ANSI ntile:
+    * equal buckets, remainder to the front).
+    *
+    * Scale: the window runs per event_type over DAYS (|days| rows per
+    * partition after the daily aggregate) — aggregated frames only,
+    * never raw events; the fact table contributes one two-phase
+    * grouped mean. */
+  private val saxSymbols = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val daily = Tables.events(s, dir)
+        .groupBy($"event_type", to_date($"ts").as("date"))
+        .agg(Incremental.r4a(sum($"value".cast("decimal(28,10)")),
+          count(lit(1))).as("avg_value"))
+      val w = Window.partitionBy($"event_type")
+        .orderBy($"avg_value", $"date")
+      daily.withColumn("bin", ntile(4).over(w).cast("long"))
+        .withColumn("symbol",
+          element_at(lit(Array("a", "b", "c", "d")), $"bin".cast("int")))
+        .select($"event_type", $"date", $"avg_value", $"bin", $"symbol")
+        .orderBy($"event_type", $"date")
+    },
+    """WITH d AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS date,
+      |         FLOOR(CAST(CAST(CAST(ROUND(SUM(CAST(value AS DECIMAL(28,10))), 6) AS DECIMAL(24,6)) * 1000000 AS BIGINT) AS DOUBLE) / (COUNT(*) * 100.0) + 0.5) / 10000.0 AS avg_value
+      |  FROM events GROUP BY 1, 2)
+      |SELECT event_type, date, avg_value,
+      |       CAST(NTILE(4) OVER (PARTITION BY event_type
+      |              ORDER BY avg_value, date) AS BIGINT) AS bin,
+      |       CASE NTILE(4) OVER (PARTITION BY event_type
+      |              ORDER BY avg_value, date)
+      |            WHEN 1 THEN 'a' WHEN 2 THEN 'b' WHEN 3 THEN 'c'
+      |            ELSE 'd' END AS symbol
+      |FROM d ORDER BY event_type, date""".stripMargin)
+
+  /** Top entry paths — the sequence-mining census funnels don't give
+    * you: each user's first three event types in event order, joined
+    * '>'-delimited, counted across users, top-20 by (users desc, path).
+    * The q_funnel ordering idiom (event_id, the deterministic arrival
+    * key) — never raw ns timestamps.
+    *
+    * Scale: rn ≤ 3 over the user window is a WindowGroupLimit — the
+    * per-user top-k prunes BEFORE the full sort materializes; the path
+    * assembly aggregates ≤3 rows per user; the path census then
+    * aggregates |users| rows; the top-20 is TakeOrderedAndProject. */
+  private val eventPaths = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"event_id")
+      Tables.events(s, dir)
+        .select($"user_id", $"event_id", $"event_type")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 3)
+        .groupBy($"user_id")
+        .agg(array_join(transform(
+          array_sort(collect_list(struct($"rn", $"event_type"))),
+          x => x.getField("event_type")), ">").as("path"))
+        .groupBy($"path").agg(count(lit(1)).as("n_users"))
+        .orderBy($"n_users".desc, $"path")
+        .limit(20)
+    },
+    """WITH r AS (SELECT user_id, event_type,
+      |             ROW_NUMBER() OVER (PARTITION BY user_id
+      |               ORDER BY event_id) AS rn
+      |           FROM events),
+      |p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+      |      FROM r WHERE rn <= 3 GROUP BY 1)
+      |SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users FROM p GROUP BY 1
+      |ORDER BY n_users DESC, path LIMIT 20""".stripMargin)
+
   val defs: Seq[(String, QueryDef)] = Seq(
+    "q_sax_symbols" -> saxSymbols,
+    "q_event_paths" -> eventPaths,
     "q_window_count_distinct" -> windowCountDistinct,
     "q_attribution" -> attribution,
     "q_markov_transition" -> markovTransition,

@@ -649,4 +649,38 @@ class OperatorInvariantsSpec extends SparkSpec {
       }.distinct.length
     assert(rows.map(_._3).sum === distinctTris.toLong)
   }
+
+  test("q_sax_symbols: quartile bins are near-equal per type, symbols " +
+    "follow bins, and bin order follows the (value, date) order") {
+    import spark.implicits._
+    val rows = run("q_sax_symbols")
+      .as[(String, java.sql.Date, Double, Long, String)].collect()
+    assert(rows.nonEmpty)
+    val symbolFor = Map(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d")
+    rows.foreach { case (t, _, _, bin, sym) =>
+      assert(bin >= 1 && bin <= 4, t)
+      assert(sym === symbolFor(bin), t)
+    }
+    rows.groupBy(_._1).foreach { case (t, rs) =>
+      // ANSI ntile: bucket sizes differ by at most 1, remainder first
+      val sizes = rs.groupBy(_._4).view.mapValues(_.length).toMap
+      assert(sizes.values.max - sizes.values.min <= 1, t)
+      // bins are monotone in the (value, date) sort the window declares
+      val sorted = rs.sortBy(r => (r._3, r._2.toString))
+      assert(sorted.map(_._4).toSeq === sorted.map(_._4).toSeq.sorted, t)
+    }
+  }
+
+  test("q_event_paths == driver recompute of first-3-event paths") {
+    import spark.implicits._
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select($"user_id", $"event_id", $"event_type")
+      .as[(Long, Long, String)].collect()
+    val expected = ev.groupBy(_._1).map { case (_, rows) =>
+      rows.sortBy(_._2).take(3).map(_._3).mkString(">")
+    }.groupBy(identity).map { case (p, occ) => (p, occ.size.toLong) }
+      .toSeq.sortBy { case (p, n) => (-n, p) }.take(20)
+    val got = run("q_event_paths").as[(String, Long)].collect().toSeq
+    assert(got === expected)
+  }
 }
