@@ -23,8 +23,12 @@ object ScaleProbe {
     val factors = if (args.isEmpty) Seq(1, 2, 4, 8) else args.toSeq.map(_.toInt)
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val ops = Seq("q_tpch_q1", "q_daily_avg", "q_dedup_exact", "q_dedup_lsh",
-      "q_sim_topk", "q_bm25_topk", "q_link_predict")
+    // override the flagship set with SPARK_GRAFT_PROBE_OPS=q_a,q_b to
+    // probe new operators without re-running the standing list
+    val ops = sys.env.get("SPARK_GRAFT_PROBE_OPS")
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(Seq("q_tpch_q1", "q_daily_avg", "q_dedup_exact",
+        "q_dedup_lsh", "q_sim_topk", "q_bm25_topk", "q_link_predict"))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -232,8 +232,16 @@ object VectorOps {
     * and centroids come from an offline k-means refinement. */
   /** Verified embedding near-dup pairs (ida < idb, exact cos ≥ 0.35 on
     * the IVF candidate set) — dedup_embed's stage-2 output, extracted
-    * so q_semantic_clusters can ride the same lineage. */
-  private def semanticPairs(s: SparkSession, dir: String): DataFrame = {
+    * so q_semantic_clusters can ride the same lineage, and MEMOIZED per
+    * (session, dir): two consumers (the pair query and the CC labels
+    * builder) would otherwise each re-run the probe + verify joins —
+    * the lshCandidates discipline applied to the embedding tier. */
+  private def semanticPairs(s: SparkSession, dir: String): DataFrame =
+    sessionMemo(s, s"semanticPairs|$dir") {
+      semanticPairsBuild(s, dir).persist()
+    }
+
+  private def semanticPairsBuild(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val (b0, dotf) = base(s, dir)
     val cents = b0.filter($"vec_id" < 10)
@@ -1316,7 +1324,47 @@ object VectorOps {
       |       ROUND(mmr, 4) AS mmr
       |FROM allsel ORDER BY qid, step""".stripMargin)
 
+  /** One PCA power-iteration step — the distributed linear-algebra
+    * primitive that completes the ML-step family (q_kmeans_step,
+    * q_logreg_grad, q_pagerank_step): u = Xᵀ(X·v₀) over the embedding
+    * matrix X, the matvec pair every power/Lanczos solver repeats to
+    * reach the leading right singular vector. v₀ is the exact uniform
+    * seed 1/8·𝟙 (1/√64 — binary-exact, both engines multiply the same
+    * double), scores sᵢ = eᵢ·v₀ stay in sequential-fold double (the
+    * q_media_features cos parity), and the recombination Σᵢ sᵢ·eᵢⱼ is
+    * a per-dimension decimal-exact sum (the q_kmeans_step centroid
+    * discipline).
+    *
+    * Scale: one narrow pass computes sᵢ per row (no shuffle), one
+    * posexplode + 64-key two-phase aggregate recombines — the matrix
+    * never materializes and nothing row-sized shuffles; each further
+    * iteration is the same two jobs with v₀ broadcast (here v₀ is a
+    * literal, so the step is fully self-contained). */
+  private val pcaPower = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      Tables.spread(Tables.embeddings(s, dir), "vec_id")
+        .select(vcol($"embedding").as("v"))
+        .withColumn("s",
+          aggregate($"v", lit(0.0), (acc, x) => acc + x) * lit(0.125))
+        .select($"s", posexplode($"v"))
+        .groupBy(($"pos" + 1).cast("long").as("pos"))
+        .agg(Incremental.r4s(sum(($"s" * $"col").cast("decimal(28,10)")))
+          .as("comp"),
+          count(lit(1)).as("n"))
+        .orderBy($"pos")
+    },
+    """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+      |           FROM embeddings),
+      |s AS (SELECT vec_id, ve, list_sum(ve) * 0.125 AS s FROM v),
+      |e AS (SELECT CAST(i.i AS BIGINT) AS pos, s * ve[i.i] AS x
+      |      FROM s CROSS JOIN (SELECT UNNEST(range(1, 65)) AS i) i)
+      |SELECT pos, CAST(ROUND(SUM(CAST(x AS DECIMAL(28,10))), 4) AS DOUBLE) AS comp,
+      |       COUNT(*) AS n
+      |FROM e GROUP BY 1 ORDER BY pos""".stripMargin)
+
   val defs: Seq[(String, QueryDef)] = Seq(
+    "q_pca_power" -> pcaPower,
     "q_semantic_clusters" -> semanticClusters,
     "q_mmr_diversify" -> mmrDiversify,
     "q_mrr_eval" -> mrrEval,

@@ -671,6 +671,30 @@ class OperatorInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("q_pca_power == driver matvec recompute with the exact decimal " +
+    "term discipline") {
+    import spark.implicits._
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+    val dim = vecs.head._2.length
+    val sums = Array.fill(dim)(BigDecimal(0))
+    vecs.foreach { case (_, e) =>
+      val v = e.map(_.toDouble)
+      val s = v.foldLeft(0.0)(_ + _) * 0.125
+      var j = 0
+      while (j < dim) {
+        sums(j) += BigDecimal(s * v(j)).setScale(10, BigDecimal.RoundingMode.HALF_UP)
+        j += 1
+      }
+    }
+    val expected = sums.zipWithIndex.map { case (acc, j) =>
+      (j + 1L, acc.setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        vecs.length.toLong)
+    }.toSeq
+    val got = run("q_pca_power").as[(Long, Double, Long)].collect().toSeq
+    assert(got === expected)
+  }
+
   test("q_event_paths == driver recompute of first-3-event paths") {
     import spark.implicits._
     val ev = spark.read.parquet(s"$sf/events.parquet")
