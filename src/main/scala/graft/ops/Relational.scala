@@ -940,6 +940,58 @@ object Relational {
       |                      WHERE o_totalprice > 400000)
       |ORDER BY c.c_custkey""".stripMargin)
 
+  /** Recursive CTE through the SQL surface (Spark 4's UnionLoop — the
+    * iterative-until-empty plan SQL:1999 recursion lowers to):
+    * ancestor-chain walk over the implicit binary-key hierarchy
+    * (parent(k) = k/8 — a deterministic hierarchy derived purely from
+    * the fixture keys; base 8 keeps the loop at ⌈log₈ max-key⌉ ≈ 6
+    * sequential steps, since each UnionLoop iteration is one Spark
+    * job and job-launch latency, not data, is the per-step cost at
+    * fixture scale), rolled up into a per-depth census with an
+    * exact decimal balance sum — each step an Exchange-free narrow
+    * pass over the frontier — the
+    * shape org-chart / BOM / graph-reachability queries take at scale
+    * (frontier shrinks or holds, never multiplies, because every node
+    * has exactly one parent).
+    *
+    * The engine runs WITH RECURSIVE end to end (UnionLoopExec executes
+    * the loop); DuckDB replays the identical recursion. Integer-only
+    * recursion state (node, cur, steps) — nothing rounding-sensitive
+    * accumulates across iterations; the one decimal sum happens once
+    * at the final rollup. */
+  private val recursiveCte = QueryDef(
+    (s, dir) => {
+      Tables.customer(s, dir).createOrReplaceTempView("customer_rec")
+      s.sql(
+        """WITH RECURSIVE anc AS (
+          |  SELECT c_custkey AS node, c_custkey AS cur, 0 AS steps
+          |  FROM customer_rec
+          |  UNION ALL
+          |  SELECT node, cur DIV 8, steps + 1 FROM anc WHERE cur > 1
+          |)
+          |SELECT CAST(steps AS BIGINT) AS depth,
+          |       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+          |       MIN(node) AS min_node, MAX(node) AS max_node,
+          |       CAST(ROUND(SUM(CAST(b.c_acctbal AS DECIMAL(28,10))), 4)
+          |            AS DOUBLE) AS bal_sum
+          |FROM anc JOIN customer_rec b ON anc.node = b.c_custkey
+          |WHERE cur <= 1
+          |GROUP BY 1 ORDER BY 1""".stripMargin)
+    },
+    """WITH RECURSIVE anc AS (
+      |  SELECT c_custkey AS node, c_custkey AS cur, 0 AS steps FROM customer
+      |  UNION ALL
+      |  SELECT node, cur // 8, steps + 1 FROM anc WHERE cur > 1
+      |)
+      |SELECT CAST(steps AS BIGINT) AS depth,
+      |       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+      |       MIN(node) AS min_node, MAX(node) AS max_node,
+      |       CAST(ROUND(SUM(CAST(b.c_acctbal AS DECIMAL(28,10))), 4)
+      |            AS DOUBLE) AS bal_sum
+      |FROM anc JOIN customer b ON anc.node = b.c_custkey
+      |WHERE cur <= 1
+      |GROUP BY 1 ORDER BY 1""".stripMargin)
+
   /** Correlated LATERAL table subquery (§2.3 SQL surface beyond
     * q_subquery's scalar/IN forms): top-2 orders per customer, stated
     * as a per-row derived TABLE — the "for each row, run this
@@ -1715,6 +1767,7 @@ object Relational {
     "q_grouping_sets" -> groupingSets,
     "q_map_funcs" -> mapFuncs,
     "q_subquery" -> subquery,
+    "q_recursive_cte" -> recursiveCte,
     "q_lateral" -> lateral,
     "q_scan_project" -> scanProject,
     "q_filter_pred" -> filterPred,

@@ -695,6 +695,28 @@ class OperatorInvariantsSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("q_recursive_cte: depth census matches the closed form " +
+    "floor(log2 key) and the plan recurses natively (UnionLoop)") {
+    import spark.implicits._
+    val keys = spark.read.parquet(s"$sf/customer.parquet")
+      .select($"c_custkey").as[Long].collect()
+    // recompute each key's walk directly: steps of k /= 8 until ≤ 1
+    def depth(k: Long): Long = {
+      var (cur, steps) = (k, 0L)
+      while (cur > 1) { cur /= 8; steps += 1 }
+      steps
+    }
+    val expected = keys.groupBy(depth).view.mapValues(_.length.toLong).toMap
+    val df = run("q_recursive_cte")
+    val got = df.select($"depth", $"n_nodes").as[(Long, Long)]
+      .collect().toMap
+    assert(got === expected)
+    // the recursion must execute as Spark's native loop operator, not
+    // some unrolled approximation
+    val logical = df.queryExecution.analyzed.toString
+    assert(logical.contains("UnionLoop"), logical.take(2000))
+  }
+
   test("q_event_paths == driver recompute of first-3-event paths") {
     import spark.implicits._
     val ev = spark.read.parquet(s"$sf/events.parquet")
