@@ -1203,12 +1203,23 @@ object TextOps {
     * (|vocab| rows out); the pair explode and aggregate run on the
     * word-TYPE table (|vocab|·avg_len rows), never on the corpus —
     * each BPE merge iteration re-runs only this cheap second stage. */
+  /** Corpus word-type frequencies `(word, f)` — the tiny table every
+    * BPE iteration re-reads. Memoized: q_bpe_pairs and q_bpe_merge
+    * share one build, exactly how a real BPE trainer keeps the
+    * word-frequency dict resident across its merge loop. */
+  private def wordFreq(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    import s.implicits._
+    memoized(s, dir, "wordFreq") {
+      Tables.documents(s, dir)
+        .select(explode(split($"text", " ")).as("word"))
+        .groupBy($"word").agg(count(lit(1)).as("f"))
+    }
+  }
+
   private val bpePairs = QueryDef(
     (s, dir) => {
       import s.implicits._
-      val wf = Tables.documents(s, dir)
-        .select(explode(split($"text", " ")).as("word"))
-        .groupBy($"word").agg(count(lit(1)).as("f"))
+      val wf = wordFreq(s, dir)
       wf.filter(length($"word") >= 2)
         .select($"word", $"f",
           explode(sequence(lit(1), length($"word") - 1)).as("i"))
@@ -1229,6 +1240,70 @@ object TextOps {
       |       CAST(COUNT(*) AS BIGINT) AS n_positions
       |FROM p GROUP BY 1, 2
       |ORDER BY pair_count DESC, c1, c2 LIMIT 50""".stripMargin)
+
+  /** One BPE merge ITERATION applied end to end — the step q_bpe_pairs
+    * only counts for (Sennrich et al. 2016, Algorithm 1): pick the
+    * argmax pair under q_bpe_pairs' exact ordering (count desc, c1,
+    * c2), rewrite every word type with the merged symbol (greedy
+    * left-to-right non-overlapping — `replace` semantics on BOTH
+    * engines, which is precisely BPE's scan order), then recount
+    * adjacent-token pairs over the rewritten corpus. The merged symbol
+    * travels as `chr(1)` (absent from any text) and is rendered back
+    * to its character sequence on emit, so the output's top-20
+    * post-merge pair table shows the merged token competing as a unit
+    * — rows like (merged_pair, t2) appearing in round 2's candidates.
+    *
+    * Scale: both stages run on the memoized word-TYPE table
+    * (|vocab| rows), never the corpus; the argmax pair rides as a
+    * 1-row broadcast into the rewrite — each additional merge
+    * iteration at 100 TB costs |vocab|-scale work plus one broadcast,
+    * which is why fast trainers loop exactly this dataflow. */
+  private val bpeMerge = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val wf = wordFreq(s, dir)
+      val top = wf.filter(length($"word") >= 2)
+        .select($"word", $"f",
+          explode(sequence(lit(1), length($"word") - 1)).as("i"))
+        .select(expr("substr(word, i, 1)").as("c1"),
+          expr("substr(word, i + 1, 1)").as("c2"), $"f")
+        .groupBy($"c1", $"c2").agg(sum($"f").as("pc"))
+        .orderBy($"pc".desc, $"c1", $"c2").limit(1)
+        .select(concat($"c1", $"c2").as("pair"))
+      wf.crossJoin(broadcast(top))
+        .select($"pair", $"f", expr("replace(word, pair, chr(1))").as("mw"))
+        .filter(length($"mw") >= 2)
+        .select($"pair", $"f",
+          explode(sequence(lit(1), length($"mw") - 1)).as("i"), $"mw")
+        .select($"pair", expr("substr(mw, i, 1)").as("t1r"),
+          expr("substr(mw, i + 1, 1)").as("t2r"), $"f")
+        .groupBy($"pair", $"t1r", $"t2r")
+        .agg(sum($"f").cast("long").as("pair_count"),
+          count(lit(1)).as("n_positions"))
+        .select($"pair".as("merged_pair"),
+          expr("replace(t1r, chr(1), pair)").as("t1"),
+          expr("replace(t2r, chr(1), pair)").as("t2"),
+          $"pair_count", $"n_positions")
+        .orderBy($"pair_count".desc, $"t1", $"t2")
+        .limit(20)
+    },
+    """WITH w AS (SELECT UNNEST(string_split(text, ' ')) AS word FROM documents),
+      |wf AS (SELECT word, COUNT(*) AS f FROM w GROUP BY 1),
+      |p AS (SELECT substr(word, i, 1) AS c1, substr(word, i + 1, 1) AS c2, f
+      |      FROM (SELECT word, f, UNNEST(generate_series(1, length(word) - 1)) AS i
+      |            FROM wf WHERE length(word) >= 2)),
+      |top AS (SELECT c1 || c2 AS pair FROM p GROUP BY c1, c2
+      |        ORDER BY SUM(f) DESC, c1, c2 LIMIT 1),
+      |m AS (SELECT pair, f, replace(word, pair, chr(1)) AS mw FROM wf, top),
+      |q AS (SELECT pair, substr(mw, i, 1) AS t1r, substr(mw, i + 1, 1) AS t2r, f
+      |      FROM (SELECT pair, mw, f, UNNEST(generate_series(1, length(mw) - 1)) AS i
+      |            FROM m WHERE length(mw) >= 2))
+      |SELECT pair AS merged_pair, replace(t1r, chr(1), pair) AS t1,
+      |       replace(t2r, chr(1), pair) AS t2,
+      |       CAST(SUM(f) AS BIGINT) AS pair_count,
+      |       CAST(COUNT(*) AS BIGINT) AS n_positions
+      |FROM q GROUP BY pair, t1r, t2r
+      |ORDER BY pair_count DESC, t1, t2 LIMIT 20""".stripMargin)
 
   /** Bigram LM document score — the CCNet-style language-model quality
     * filter one order up from q_doc_logprob's unigram variant: per doc,
@@ -1795,6 +1870,7 @@ object TextOps {
     "q_dedup_lines" -> dedupLines,
     "q_ngram_novelty" -> ngramNovelty,
     "q_bpe_pairs" -> bpePairs,
+    "q_bpe_merge" -> bpeMerge,
     "q_blocklist_filter" -> blocklistFilter,
     "q_redact" -> redact,
     "q_doc_chunks" -> docChunks,

@@ -418,6 +418,46 @@ class OperatorSpec extends SparkSpec {
     assert(got === exp)
   }
 
+  test("bpe merge: argmax pair applied greedily, pairs recounted over merged tokens") {
+    import spark.implicits._
+    val words = graft.util.Tables.documents(spark, sf)
+      .select(split($"text", " ").as("w")).collect()
+      .flatMap(_.getSeq[String](0))
+    val wf = words.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    // argmax pair under q_bpe_pairs' exact ordering (overlapping counts)
+    val pairCounts = scala.collection.mutable.Map.empty[(String, String), Long]
+    wf.foreach { case (w, f) =>
+      if (w.length >= 2) w.sliding(2).foreach { p =>
+        val k = (p.substring(0, 1), p.substring(1, 2))
+        pairCounts(k) = pairCounts.getOrElse(k, 0L) + f
+      }
+    }
+    val (bc1, bc2) = pairCounts.toSeq
+      .sortBy { case ((c1, c2), pc) => (-pc, c1, c2) }.head._1
+    val pair = bc1 + bc2
+    // greedy left-to-right merge (String.replace = SQL replace semantics),
+    // then recount pairs over the merged token sequences
+    val agg = scala.collection.mutable.Map.empty[(String, String), (Long, Long)]
+    wf.foreach { case (w, f) =>
+      val mw = w.replace(pair, "")
+      if (mw.length >= 2) mw.sliding(2).foreach { p =>
+        val k = (p.substring(0, 1), p.substring(1, 2))
+        val (c, n) = agg.getOrElse(k, (0L, 0L))
+        agg(k) = (c + f, n + 1)
+      }
+    }
+    def render(t: String) = t.replace("", pair)
+    val exp = agg.toSeq
+      .map { case ((t1, t2), (pc, np)) => (pair, render(t1), render(t2), pc, np) }
+      .sortBy { case (_, t1, t2, pc, _) => (-pc, t1, t2) }.take(20)
+    val got = SparkEntry.all("q_bpe_merge").fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got === exp)
+    // the merged symbol competes as a unit: it shows up in round 2's pairs
+    assert(got.exists(r => r._2 == pair || r._3 == pair))
+  }
+
   test("blocklist filter: hits reconcile with a driver-side count and " +
     "keep ⟺ zero hits") {
     import spark.implicits._
