@@ -27,7 +27,15 @@ object Relational {
   // ---------------------------------------------------------------- scans
 
   /** Scan + project + derived literal column (reference energy_etl.py:70,:100
-    * — the `load_timestamp` constant becomes a deterministic literal). */
+    * — the `load_timestamp` constant becomes a deterministic literal).
+    *
+    * The ORDER BY covers EVERY emitted non-constant column: the fixture
+    * has duplicate (l_orderkey, l_linenumber) pairs (it is synthetic,
+    * not TPC-H-unique), and a LIMIT over a non-total order is a
+    * nondeterministic ROW SELECTION — Spark's per-partition top-k heaps
+    * and DuckDB's single-stream sort picked different survivors at
+    * sf0.1 until the tie-break was total (caught by the r8 sf0.1 oracle
+    * tier; sf0.01 agreed by luck). */
   private val scanProject = QueryDef(
     (s, dir) => {
       import s.implicits._
@@ -38,12 +46,14 @@ object Relational {
           $"l_extendedprice",
           $"l_returnflag")
         .withColumn("load_date", to_date(lit("2026-01-01")))
-        .orderBy($"l_orderkey", $"l_linenumber")
+        .orderBy($"l_orderkey", $"l_linenumber", $"l_extendedprice", $"l_returnflag")
         .limit(100)
     },
     """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
       |       l_extendedprice, l_returnflag, DATE '2026-01-01' AS load_date
-      |FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin)
+      |FROM lineitem
+      |ORDER BY l_orderkey, l_linenumber, l_extendedprice, l_returnflag
+      |LIMIT 100""".stripMargin)
 
   /** Compound predicates: BETWEEN / IN / NOT / AND / OR / equality plus a
     * timestamp range (reference :55,:65; generalized §2.2). */

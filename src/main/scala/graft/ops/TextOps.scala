@@ -91,44 +91,63 @@ object TextOps {
       |FROM documents ORDER BY doc_id""".stripMargin)
 
   /** Quality scoring: length / token stats / stopword ratio / distinct-word
-    * ratio → a deterministic composite score (training-data filter shape). */
+    * ratio → a deterministic composite score (training-data filter shape).
+    *
+    * Every emitted ratio is a ratio of COUNTS — an exact rational — so
+    * the 4-decimal rounding runs entirely in BIGINT (half-up via
+    * `(2a·10⁴ + b) div 2b`) with ONE final IEEE division by 1e4: the
+    * r4a discipline. Double ROUND diverged between the engines at an
+    * exact .00005 boundary at sf0.1 (quality .49875 → Spark .4988,
+    * DuckDB .4987 — the binary value sits just under the half), which
+    * the sf0.01 fixture never exposed. The composite collapses to one
+    * rational too: min(n,20)·(n−stop)·distinct / (20·n²). */
   private val textQuality = QueryDef(
     (s, dir) => {
       import s.implicits._
       val stop = Seq("the", "a", "of", "and", "to", "in", "is")
       val words = split($"text", " ")
-      val nTok = size(words).cast("double")
-      val nStop = size(filter(words, w => w.isInCollection(stop))).cast("double")
-      val nDistinct = size(array_distinct(words)).cast("double")
+      val nL = size(words).cast("long")
+      val stopL = size(filter(words, w => w.isInCollection(stop))).cast("long")
+      val distL = size(array_distinct(words)).cast("long")
+      // exact half-up round(a/b, 4) for BIGINT a ≥ 0, b > 0: integer
+      // arithmetic to the 1e-4 grid, one IEEE division at the end
+      def ratio4(a: Column, b: Column): Column = {
+        val num = a * lit(20000L) + b
+        val den = b * lit(2L)
+        (((num - pmod(num, den)) / den).cast("long").cast("double") / lit(1e4))
+      }
       Tables.spread(Tables.documents(s, dir), "doc_id")
         .select(
           $"doc_id", $"lang",
-          size(words).cast("long").as("n_tokens"),
-          round((length($"text").cast("double") / nTok), 4).as("avg_tok_len"),
-          round(nStop / nTok, 4).as("stopword_ratio"),
-          round(nDistinct / nTok, 4).as("distinct_ratio"),
-          round(
-            when(nTok > 20, lit(1.0)).otherwise(nTok / 20.0) *
-              (lit(1.0) - nStop / nTok) * (nDistinct / nTok), 4).as("quality"))
+          nL.as("n_tokens"),
+          ratio4(length($"text").cast("long"), nL).as("avg_tok_len"),
+          ratio4(stopL, nL).as("stopword_ratio"),
+          ratio4(distL, nL).as("distinct_ratio"),
+          ratio4(least(nL, lit(20L)) * (nL - stopL) * distL,
+            nL * nL * lit(20L)).as("quality"))
         .orderBy($"doc_id")
     },
     """WITH b AS (
       |  SELECT doc_id, lang, text,
       |         string_split(text, ' ') AS words,
-      |         CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
       |  FROM documents),
       |c AS (
       |  SELECT doc_id, lang, text, n_tok,
       |         CAST(len(list_filter(words,
-      |           w -> w IN ('the','a','of','and','to','in','is'))) AS DOUBLE) AS n_stop,
-      |         CAST(len(list_distinct(words)) AS DOUBLE) AS n_distinct
+      |           w -> w IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS n_stop,
+      |         CAST(len(list_distinct(words)) AS BIGINT) AS n_distinct
       |  FROM b)
-      |SELECT doc_id, lang, CAST(n_tok AS BIGINT) AS n_tokens,
-      |       ROUND(CAST(length(text) AS DOUBLE) / n_tok, 4) AS avg_tok_len,
-      |       ROUND(n_stop / n_tok, 4) AS stopword_ratio,
-      |       ROUND(n_distinct / n_tok, 4) AS distinct_ratio,
-      |       ROUND((CASE WHEN n_tok > 20 THEN 1.0 ELSE n_tok / 20.0 END)
-      |             * (1.0 - n_stop / n_tok) * (n_distinct / n_tok), 4) AS quality
+      |SELECT doc_id, lang, n_tok AS n_tokens,
+      |       CAST((2 * CAST(length(text) AS BIGINT) * 10000 + n_tok)
+      |            // (2 * n_tok) AS DOUBLE) / 1e4 AS avg_tok_len,
+      |       CAST((2 * n_stop * 10000 + n_tok) // (2 * n_tok) AS DOUBLE) / 1e4
+      |         AS stopword_ratio,
+      |       CAST((2 * n_distinct * 10000 + n_tok) // (2 * n_tok) AS DOUBLE) / 1e4
+      |         AS distinct_ratio,
+      |       CAST((2 * least(n_tok, 20) * (n_tok - n_stop) * n_distinct * 10000
+      |             + 20 * n_tok * n_tok)
+      |            // (2 * 20 * n_tok * n_tok) AS DOUBLE) / 1e4 AS quality
       |FROM c ORDER BY doc_id""".stripMargin)
 
   /** Language ID via character-trigram profiles (SURVEY.md §2.9 "n-gram
