@@ -56,7 +56,13 @@ object Relational {
       |LIMIT 100""".stripMargin)
 
   /** Compound predicates: BETWEEN / IN / NOT / AND / OR / equality plus a
-    * timestamp range (reference :55,:65; generalized §2.2). */
+    * timestamp range (reference :55,:65; generalized §2.2).
+    *
+    * Presentation sort covers every emitted column: (l_orderkey,
+    * l_linenumber) is NOT unique in the synthetic fixture, and the
+    * driver compare is row-order-sensitive — tied rows only agreed
+    * between the engines by both sorts happening to be input-stable.
+    * Total order removes the luck (same hardening as q_scan_project). */
   private val filterPred = QueryDef(
     (s, dir) => {
       import s.implicits._
@@ -73,7 +79,8 @@ object Relational {
           $"l_linenumber".cast("long").as("l_linenumber"),
           to_date($"l_shipdate").as("ship_date"),
           $"l_quantity", $"l_discount", $"l_tax")
-        .orderBy($"l_orderkey", $"l_linenumber")
+        .orderBy($"l_orderkey", $"l_linenumber", $"ship_date",
+          $"l_quantity", $"l_discount", $"l_tax")
     },
     """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
       |       CAST(l_shipdate AS DATE) AS ship_date, l_quantity, l_discount, l_tax
@@ -81,7 +88,7 @@ object Relational {
       |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1996-12-31 23:59:59'
       |  AND l_returnflag IN ('A','N') AND NOT (l_discount < 0.02)
       |  AND (l_quantity > 45 OR l_tax = 0.0)
-      |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+      |ORDER BY l_orderkey, l_linenumber, ship_date, l_quantity, l_discount, l_tax""".stripMargin)
 
   // ------------------------------------------------------------ aggregates
 
