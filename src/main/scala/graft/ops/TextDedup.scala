@@ -642,6 +642,116 @@ object TextDedup {
        |       CAST(length(text) AS BIGINT) AS n_chars_m
        |FROM documents ORDER BY doc_id""".stripMargin)
 
+  /** Robust-winnowing document sketch (Schleimer et al. 2003 §3 — the
+    * MOSS fingerprint selection; the guaranteed-density complement to
+    * [[fingerprint]]'s whole-text hash and q_dedup_substring's full
+    * window-hash stream): hash every 3-word gram with the shared
+    * base-31 polynomial mod P (exactly replayable in the oracle, which
+    * a 64-bit xxhash selection would not be — winnowing depends on hash
+    * ORDER, not just equality), then for each sliding window of
+    * W=4 consecutive gram hashes keep the RIGHTMOST MINIMUM, and
+    * deduplicate the picks. Ties and the rightmost rule are decided in
+    * pure integer arithmetic by packing (hash, position) into one
+    * BIGINT: `h·2²⁰ − p` makes the window MIN the (min-hash,
+    * max-position) pick, and the pack decodes exactly.
+    *
+    * The winnow guarantee: any shared substring of ≥ W+k−1 = 6 words
+    * between two documents yields at least one IDENTICAL selected
+    * fingerprint in both sketches, at ~2/(W+1) the stream's size —
+    * which is why plagiarism/overlap detectors join on winnowed
+    * sketches instead of full gram streams. Emitted per doc: gram and
+    * window counts, selected-sketch size, density in basis points of
+    * the window count, and a mod-P fold of the selected hashes (pins
+    * the exact selected SET, not just its size).
+    *
+    * Scale: per-doc work is narrow (explode to m gram rows, ONE
+    * doc-keyed window pass ordered by position — embarrassingly
+    * parallel across docs, no corpus-wide shuffle beyond the doc-keyed
+    * aggregate); the sketch downstream is what near-dup joins bucket
+    * on, document-frequency-capped like every other banded family
+    * here. */
+  private val winnowFingerprint = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val C = 1048576L // position packing radix: 2^20 >> max gram count
+      val docs = Tables.documents(s, dir)
+      val w = split($"text", " ")
+      val m = greatest(size(w) - 2, lit(0)) // 3-word grams
+      val grams = when(m > 0,
+        transform(sequence(lit(1), m), i => array_join(slice(w, i, lit(3)), " ")))
+        .otherwise(array().cast("array<string>"))
+      val ex = Tables.spread(docs, "doc_id")
+        .select($"doc_id", m.as("m"), posexplode(grams).as(Seq("p0", "g")))
+        .select($"doc_id", $"m", ($"p0" + 1).as("p"),
+          aggregate(
+            sequence(lit(1), length($"g")),
+            lit(0L),
+            (acc, j) => (acc * 31L + ascii($"g".substr(j, lit(1))).cast("long")) % P)
+            .as("h"))
+      val win = Window.partitionBy($"doc_id").orderBy($"p")
+        .rowsBetween(Window.currentRow, 3)
+      val sel = ex
+        .withColumn("pack", min($"h" * C - $"p").over(win))
+        .filter($"p" <= $"m" - 3) // full W=4 windows only
+        .select($"doc_id", $"pack").distinct()
+        .select($"doc_id", expr(s"(pack + ${C - 1}) div $C").as("hsel"))
+      val per = sel.groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_selected"),
+          (sum($"hsel") % P).as("sketch_fold"))
+      docs.select($"doc_id", m.as("n_grams"),
+          greatest(m - 3, lit(0)).as("n_windows"))
+        .join(per, Seq("doc_id"), "left")
+        .select($"doc_id",
+          $"n_grams".cast("long").as("n_grams"),
+          $"n_windows".cast("long").as("n_windows"),
+          coalesce($"n_selected", lit(0L)).as("n_selected"),
+          when($"n_windows" > 0,
+            expr("coalesce(n_selected, 0) * 10000 div n_windows"))
+            .otherwise(lit(0L)).cast("long").as("density_bp"),
+          coalesce($"sketch_fold", lit(0L)).as("sketch_fold"))
+        .orderBy($"doc_id")
+    },
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |g AS (
+       |  SELECT doc_id, greatest(len(w) - 2, 0) AS m,
+       |         list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+       |                        i -> array_to_string(w[i:i+2], ' ')) AS grams
+       |  FROM t),
+       |ex AS (
+       |  SELECT doc_id, m, i AS p, grams[i] AS gr
+       |  FROM (SELECT doc_id, m, grams,
+       |               UNNEST(range(1, greatest(m, 0) + 1)) AS i FROM g)),
+       |h AS (
+       |  SELECT doc_id, m, p,
+       |         list_reduce(
+       |           list_prepend(CAST(0 AS BIGINT),
+       |             list_transform(string_split(gr, ''),
+       |                            c -> CAST(ascii(c) AS BIGINT))),
+       |           (acc, c) -> (acc * 31 + c) % $P) AS hh
+       |  FROM ex),
+       |wm AS (
+       |  SELECT doc_id, m, p,
+       |         min(hh * 1048576 - p) OVER (PARTITION BY doc_id ORDER BY p
+       |           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS pack
+       |  FROM h),
+       |sel AS (SELECT DISTINCT doc_id, pack FROM wm WHERE p <= m - 3),
+       |per AS (
+       |  SELECT doc_id, COUNT(*) AS n_selected,
+       |         SUM((pack + 1048575) // 1048576) % $P AS sketch_fold
+       |  FROM sel GROUP BY 1),
+       |gm AS (SELECT doc_id, greatest(len(w) - 2, 0) AS n_grams FROM t)
+       |SELECT gm.doc_id,
+       |       CAST(n_grams AS BIGINT) AS n_grams,
+       |       CAST(greatest(n_grams - 3, 0) AS BIGINT) AS n_windows,
+       |       CAST(COALESCE(n_selected, 0) AS BIGINT) AS n_selected,
+       |       CAST(CASE WHEN n_grams - 3 > 0
+       |            THEN COALESCE(n_selected, 0) * 10000 // (n_grams - 3)
+       |            ELSE 0 END AS BIGINT) AS density_bp,
+       |       CAST(COALESCE(sketch_fold, 0) AS BIGINT) AS sketch_fold
+       |FROM gm LEFT JOIN per ON gm.doc_id = per.doc_id
+       |ORDER BY gm.doc_id""".stripMargin)
+
   /** Character-n-gram Jaccard near-dup (the remaining dedup family next
     * to word-shingle MinHash/LSH, SimHash and embedding-cosine) — the
     * two-stage contract: candidates come from the word-shingle
@@ -1325,5 +1435,6 @@ object TextDedup {
     "q_dedup_ngram" -> dedupNgram,
     "q_dedup_simhash" -> simhash,
     "q_dedup_consensus" -> dedupConsensus,
-    "q_text_fingerprint" -> fingerprint)
+    "q_text_fingerprint" -> fingerprint,
+    "q_winnow_fingerprint" -> winnowFingerprint)
 }

@@ -458,6 +458,40 @@ class OperatorSpec extends SparkSpec {
     assert(got.exists(r => r._2 == pair || r._3 == pair))
   }
 
+  test("winnow fingerprint: sketch matches a driver-side robust-winnow " +
+    "recompute (rightmost min per window, distinct picks)") {
+    import spark.implicits._
+    val P = 1000000007L
+    def polyHash(s: String): Long =
+      s.foldLeft(0L)((acc, c) => (acc * 31L + c.toLong) % P)
+    val docs = graft.util.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val exp = docs.map { case (id, text) =>
+      val w = text.split(" ", -1)
+      val m = math.max(w.length - 2, 0)
+      val hs = (0 until m).map(i => polyHash(w.slice(i, i + 3).mkString(" ")))
+      val nWin = math.max(m - 3, 0)
+      // robust winnowing, W=4: rightmost minimum per window, dedup picks
+      val picks = (0 until nWin).map { j =>
+        val win = (j until j + 4).map(p => (hs(p), p))
+        win.minBy { case (h, p) => (h, -p) } // min hash, rightmost
+      }.distinct
+      val fold = if (picks.isEmpty) 0L else picks.map(_._1).sum % P
+      val dens = if (nWin > 0) picks.size.toLong * 10000 / nWin else 0L
+      (id, m.toLong, nWin.toLong, picks.size.toLong, dens, fold)
+    }.sortBy(_._1).toSeq
+    val got = SparkEntry.all("q_winnow_fingerprint").fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got === exp)
+    // the winnow guarantee bites: density lands in (0, 10000] and below
+    // the full stream for real docs, near the 2/(W+1)=4000bp expectation
+    val dens = got.filter(_._3 > 0).map(_._5)
+    assert(dens.nonEmpty && dens.forall(d => d > 0 && d <= 10000))
+    assert(dens.count(d => d >= 2000 && d <= 8000) * 10 >= dens.size * 9)
+  }
+
   test("blocklist filter: hits reconcile with a driver-side count and " +
     "keep ⟺ zero hits") {
     import spark.implicits._
