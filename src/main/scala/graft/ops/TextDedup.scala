@@ -790,14 +790,25 @@ object TextDedup {
     * join shuffles only sketch rows (never text), and the per-pair
     * aggregate is two-phase. At 100 TB this is a bucketed join on
     * hsel, identical in shape to [[lshCandidates]]. */
-  private val winnowOverlap = QueryDef(
-    (s, dir) => {
-      import s.implicits._
+  /** The df-capped distinct hash sketch — memoized separately from
+    * [[winnowSketch]] because the overlap query references it FOUR
+    * times (df filter, both self-join sides, sizes): without the
+    * persist each reference replays the distinct + cap lineage. */
+  private def winnowRare(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    memoized(s, dir, "winnowRare") {
       val sk = winnowSketch(s, dir).select($"doc_id", $"hsel").distinct()
-      val rare = sk.join(
+      sk.join(
         sk.groupBy($"hsel").agg(count(lit(1)).as("df")).filter($"df" <= 10)
           .select($"hsel"),
         "hsel")
+    }
+  }
+
+  private val winnowOverlap = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val rare = winnowRare(s, dir)
       val sizes = rare.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
       rare.select($"hsel", $"doc_id".as("da"))
         .join(rare.select($"hsel", $"doc_id".as("db")), "hsel")
