@@ -1009,6 +1009,53 @@ object Relational {
       |WHERE cur <= 1
       |GROUP BY 1 ORDER BY 1""".stripMargin)
 
+  /** Declarative SQL UDFs (Spark 4 `CREATE FUNCTION … RETURN expr` —
+    * the remaining UDF surface next to the codegen Catalyst
+    * Expressions, typed Aggregators and the lambda-HOF usage): a
+    * scalar tiering function used INSIDE the grouping key, and an
+    * integer basis-points share composed over an aggregate-in-window.
+    * The engine point: Catalyst INLINES SQL UDFs into the plan as
+    * expression macros — unlike a JVM/Python UDF there is no opaque
+    * call boundary, so whole-stage codegen, constant folding and
+    * pushdown all see through them; the 100 TB advice is "SQL UDF >
+    * native Expression > JVM UDF" for anything expressible. The
+    * oracle replays the same expressions inline (the registration API
+    * is Spark surface; the semantics are plain SQL). */
+  private val sqlUdf = QueryDef(
+    (s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("orders_su")
+      s.sql(
+        """CREATE OR REPLACE TEMPORARY FUNCTION order_tier(p DOUBLE)
+          |RETURNS STRING
+          |RETURN CASE WHEN p >= 300000 THEN 'high'
+          |            WHEN p >= 150000 THEN 'mid' ELSE 'low' END""".stripMargin)
+      s.sql(
+        """CREATE OR REPLACE TEMPORARY FUNCTION share_bp(a BIGINT, b BIGINT)
+          |RETURNS BIGINT
+          |RETURN CASE WHEN b > 0 THEN a * 10000 DIV b ELSE 0 END""".stripMargin)
+      s.sql(
+        """SELECT o_orderstatus, order_tier(o_totalprice) AS tier,
+          |       CAST(COUNT(*) AS BIGINT) AS n,
+          |       share_bp(COUNT(*),
+          |         SUM(COUNT(*)) OVER (PARTITION BY o_orderstatus)) AS tier_bp
+          |FROM orders_su
+          |GROUP BY o_orderstatus, order_tier(o_totalprice)
+          |ORDER BY o_orderstatus, tier""".stripMargin)
+    },
+    """SELECT o_orderstatus,
+      |       CASE WHEN o_totalprice >= 300000 THEN 'high'
+      |            WHEN o_totalprice >= 150000 THEN 'mid' ELSE 'low' END AS tier,
+      |       CAST(COUNT(*) AS BIGINT) AS n,
+      |       CAST(CASE WHEN SUM(COUNT(*)) OVER (PARTITION BY o_orderstatus) > 0
+      |            THEN COUNT(*) * 10000
+      |                 // SUM(COUNT(*)) OVER (PARTITION BY o_orderstatus)
+      |            ELSE 0 END AS BIGINT) AS tier_bp
+      |FROM orders
+      |GROUP BY o_orderstatus,
+      |         CASE WHEN o_totalprice >= 300000 THEN 'high'
+      |              WHEN o_totalprice >= 150000 THEN 'mid' ELSE 'low' END
+      |ORDER BY o_orderstatus, tier""".stripMargin)
+
   /** Correlated LATERAL table subquery (§2.3 SQL surface beyond
     * q_subquery's scalar/IN forms): top-2 orders per customer, stated
     * as a per-row derived TABLE — the "for each row, run this
@@ -1785,6 +1832,7 @@ object Relational {
     "q_map_funcs" -> mapFuncs,
     "q_subquery" -> subquery,
     "q_recursive_cte" -> recursiveCte,
+    "q_sql_udf" -> sqlUdf,
     "q_lateral" -> lateral,
     "q_scan_project" -> scanProject,
     "q_filter_pred" -> filterPred,

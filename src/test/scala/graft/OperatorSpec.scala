@@ -458,6 +458,25 @@ class OperatorSpec extends SparkSpec {
     assert(got.exists(r => r._2 == pair || r._3 == pair))
   }
 
+  test("sql udf: Catalyst inlines the functions (no opaque call boundary) " +
+    "and per-status shares telescope to 10000 bp") {
+    val df = SparkEntry.all("q_sql_udf").fn(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF") && !plan.toLowerCase.contains("pythonudf"),
+      plan)
+    val rows = df.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // floor division loses < 1 bp per tier: per-status sum in [9998, 10000]
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      val tot = g.map(_._4).sum
+      assert(tot <= 10000 && tot >= 10000 - g.length,
+        s"tier_bp sum $tot over ${g.length} tiers")
+    }
+    // the UDF-in-grouping-key tiers partition the orders exactly
+    val n = spark.read.parquet(s"$sf/orders.parquet").count()
+    assert(rows.map(_._3).sum === n)
+  }
+
   test("winnow fingerprint: sketch matches a driver-side robust-winnow " +
     "recompute (rightmost min per window, distinct picks)") {
     import spark.implicits._
