@@ -105,6 +105,20 @@ object Pipeline {
       .select(sinkSchema.fields.map(f => col(f.name).cast(f.dataType).as(f.name))
         .toIndexedSeq: _*)
 
+    // The load report rides the write itself (df.observe): executors
+    // collect the named metrics AS the write runs, so counting the
+    // appended rows costs ZERO extra scans — the pre-r8 implementation
+    // re-read the sink after the write to count, a full extra read of
+    // the loaded partition per run. The same observation carries the
+    // load's date span and source-event coverage for operational
+    // logging, all from the single pass.
+    val obs = org.apache.spark.sql.Observation()
+    val audited = daily.observe(obs,
+      count(lit(1)).as("rows_loaded"),
+      coalesce(sum(col("n")), lit(0L)).as("events_covered"),
+      min(col("date")).as("first_date"),
+      max(col("date")).as("last_date"))
+
     if (overwritePartitions) {
       // dynamic mode replaces ONLY the partitions present in `daily`
       // (an empty delta touches nothing); static overwrite would drop
@@ -112,18 +126,17 @@ object Pipeline {
       val key = "spark.sql.sources.partitionOverwriteMode"
       val prev = spark.conf.get(key, "static")
       spark.conf.set(key, "dynamic")
-      try daily.write
+      try audited.write
         .partitionBy("date")
         .mode(SaveMode.Overwrite)
         .parquet(sinkDir)
       finally spark.conf.set(key, prev)
     } else
-      daily.write
+      audited.write
         .partitionBy("date")
         .mode(SaveMode.Append)
         .parquet(sinkDir)
-    spark.read.parquet(sinkDir)
-      .filter(col("load_date") === lit(loadDate)).count()
+    obs.get("rows_loaded").asInstanceOf[Long]
   }
 
   /** Key-level MERGE (upsert) into the date-partitioned sink — the one

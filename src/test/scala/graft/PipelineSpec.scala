@@ -96,6 +96,22 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("empty delta: observed load report returns 0 and touches nothing") {
+    val sink = Files.createTempDirectory("graft_empty").toString + "/t"
+    val n1 = Pipeline.runIncremental(spark,
+      events(Seq(("2024-01-02 01:00:00", "SE1", 1.0))),
+      "zone", sink, Date.valueOf("2024-01-03"))
+    assert(n1 === 1)
+    // all source rows at or below the watermark → nothing to load, and
+    // the rows-loaded observation (collected during the write pass
+    // itself — no post-write sink re-read) reports exactly 0
+    val n2 = Pipeline.runIncremental(spark,
+      events(Seq(("2024-01-01 01:00:00", "SE1", 99.0))),
+      "zone", sink, Date.valueOf("2024-01-04"))
+    assert(n2 === 0)
+    assert(spark.read.parquet(sink).count() === 1)
+  }
+
   test("sink enforces the declared schema") {
     val sink = Files.createTempDirectory("graft_sink2").toString + "/t"
     Pipeline.runIncremental(spark, events(Seq(("2024-01-01 01:00:00", "SE1", 1.0))),
