@@ -49,6 +49,29 @@ object Sources {
       .option("columnNameOfCorruptRecord", "_corrupt")
       .json(path)
 
+  /** Read CSV files with an explicit schema and a quarantine column —
+    * the delimited-file twin of [[readJsonFiles]], same PERMISSIVE
+    * contract: rows whose fields fail to parse against the declared
+    * types land with `_corrupt` populated (the raw line) instead of
+    * failing the job. `header` defaults true (the common export
+    * shape); parsing is per-record and narrow, so quarantine costs no
+    * second read of a 100 TB input.
+    *
+    * Caveat (applies to [[readJsonFiles]] too — Spark's file-source
+    * contract): a query that references ONLY `_corrupt` (e.g. a bare
+    * quarantine count) is rejected on the raw scan
+    * (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — cache or persist the parsed
+    * frame first, or select a data column alongside. */
+  def readCsvFiles(spark: SparkSession, path: String, schema: StructType,
+                   header: Boolean = true, delimiter: String = ","): DataFrame =
+    spark.read
+      .schema(schema.add("_corrupt", StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .option("header", header.toString)
+      .option("delimiter", delimiter)
+      .csv(path)
+
   /** A source partition (e.g. a (zone, day) fetch) that exhausted its
     * retries and was skipped. */
   final case class FailedPartition(key: String, attempts: Int, lastError: String)

@@ -27,6 +27,30 @@ class SourcesAggregatesSpec extends SparkSpec {
     assert(bad.columns.toSeq === Seq("raw_record"))
   }
 
+  test("readCsvFiles quarantines type-mismatched rows, keeps the rest") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv")
+    java.nio.file.Files.writeString(dir.resolve("a.csv"),
+      """zone,value
+        |SE1,1.5
+        |SE2,not_a_number
+        |SE3,3.0
+        |""".stripMargin)
+    // cache before corrupt-column-only queries (Spark disallows them
+    // on the raw file scan — see the readCsvFiles scaladoc)
+    val df = Sources.readCsvFiles(spark, dir.toString, schema).cache()
+    val good = df.filter($"_corrupt".isNull)
+    val bad = df.filter($"_corrupt".isNotNull)
+    assert(good.count() === 2)
+    assert(good.select(sum($"value")).as[Double].head() === 4.5)
+    // the quarantined row keeps its raw line for replay, and its
+    // parseable columns survive alongside
+    assert(bad.count() === 1)
+    val b = bad.select($"zone", $"_corrupt").head()
+    assert(b.getString(0) === "SE2")
+    assert(b.getString(1).contains("not_a_number"))
+  }
+
   test("jsonStrict fails fast on malformed input") {
     import spark.implicits._
     val raw = Seq("""{"zone":"SE1","value":}""").toDF("body")
