@@ -1223,35 +1223,41 @@ object TextDedup {
     * O(√|E|) instead of O(d²); all three joins are equi-joins (no
     * pair-enumeration beyond actual wedges), riding the memoized LSH
     * candidate lineage. */
-  private val triangleCount = QueryDef(
-    (s, dir) => {
-      import s.implicits._
-      val pairs = lshCandidates(s, dir)
-      val edges = pairs.select($"da".as("u"), $"db".as("v"))
-        .unionByName(pairs.select($"db".as("u"), $"da".as("v")))
-      val deg = edges.groupBy($"u").agg(count(lit(1)).as("dg"))
-      val withDeg = pairs
-        .join(deg.select($"u".as("ka"), $"dg".as("dga")), $"da" === $"ka")
-        .join(deg.select($"u".as("kb"), $"dg".as("dgb")), $"db" === $"kb")
-      // da < db already, so a degree tie orients low-id → high-id
-      val aFirst = $"dga" < $"dgb" || ($"dga" === $"dgb" && $"da" < $"db")
-      val oe = withDeg.select(
-        when(aFirst, $"da").otherwise($"db").as("u"),
-        when(aFirst, $"db").otherwise($"da").as("v"),
-        when(aFirst, $"dgb").otherwise($"dga").as("dv"))
-      val e1 = oe.select($"u", $"v".as("a"), $"dv".as("da1"))
-      val e2 = oe.select($"u".as("u2"), $"v".as("b"), $"dv".as("db1"))
-      val tri = e1.join(e2, $"u" === $"u2" &&
-          ($"da1" < $"db1" || ($"da1" === $"db1" && $"a" < $"b")))
-        .join(oe.select($"u".as("u3"), $"v".as("v3")),
-          $"a" === $"u3" && $"b" === $"v3")
-        .select($"u", $"a", $"b")
-      tri.select(explode(array($"u", $"a", $"b")).as("doc_id"))
-        .groupBy($"doc_id")
-        .agg(count(lit(1)).as("triangles"))
-        .orderBy($"doc_id")
-    },
-    oracleLshCandidates + """,
+  /** Degree-ordered-oriented triangle enumeration over the near-dup
+    * candidate graph — the shared kernel behind [[triangleCount]] and
+    * [[clusteringCoeff]]. Returns one row (u, a, b) per triangle. The
+    * orientation (each edge directed low-degree → high-degree, id
+    * tiebreak) bounds per-vertex wedge fan-out at O(√E) — the skew
+    * armor discussed on q_triangle_count. */
+  private def orientedTriangles(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = lshCandidates(s, dir)
+    val edges = pairs.select($"da".as("u"), $"db".as("v"))
+      .unionByName(pairs.select($"db".as("u"), $"da".as("v")))
+    val deg = edges.groupBy($"u").agg(count(lit(1)).as("dg"))
+    val withDeg = pairs
+      .join(deg.select($"u".as("ka"), $"dg".as("dga")), $"da" === $"ka")
+      .join(deg.select($"u".as("kb"), $"dg".as("dgb")), $"db" === $"kb")
+    // da < db already, so a degree tie orients low-id → high-id
+    val aFirst = $"dga" < $"dgb" || ($"dga" === $"dgb" && $"da" < $"db")
+    val oe = withDeg.select(
+      when(aFirst, $"da").otherwise($"db").as("u"),
+      when(aFirst, $"db").otherwise($"da").as("v"),
+      when(aFirst, $"dgb").otherwise($"dga").as("dv"))
+    val e1 = oe.select($"u", $"v".as("a"), $"dv".as("da1"))
+    val e2 = oe.select($"u".as("u2"), $"v".as("b"), $"dv".as("db1"))
+    e1.join(e2, $"u" === $"u2" &&
+        ($"da1" < $"db1" || ($"da1" === $"db1" && $"a" < $"b")))
+      .join(oe.select($"u".as("u3"), $"v".as("v3")),
+        $"a" === $"u3" && $"b" === $"v3")
+      .select($"u", $"a", $"b")
+  }
+
+  /** Oracle CTE chain mirroring [[orientedTriangles]]: appends to
+    * [[oracleLshCandidates]] and ends in `tri(x, y, z)` plus the
+    * symmetric-edge degree table `dg(u, dg)`. */
+  private val oracleTriangles = oracleLshCandidates + """,
       |e AS (SELECT da AS u, db AS v FROM cand
       |      UNION ALL SELECT db AS u, da AS v FROM cand),
       |dg AS (SELECT u, COUNT(*) AS dg FROM e GROUP BY 1),
@@ -1268,11 +1274,72 @@ object TextDedup {
       |        FROM oe e1
       |        JOIN oe e2 ON e1.u = e2.u
       |             AND (e1.dv < e2.dv OR (e1.dv = e2.dv AND e1.v < e2.v))
-      |        JOIN oe e3 ON e3.u = e1.v AND e3.v = e2.v),
+      |        JOIN oe e3 ON e3.u = e1.v AND e3.v = e2.v)""".stripMargin
+
+  private val triangleCount = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      orientedTriangles(s, dir)
+        .select(explode(array($"u", $"a", $"b")).as("doc_id"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("triangles"))
+        .orderBy($"doc_id")
+    },
+    oracleTriangles + """,
       |n AS (SELECT x AS doc_id FROM tri
       |      UNION ALL SELECT y FROM tri
       |      UNION ALL SELECT z FROM tri)
       |SELECT doc_id, COUNT(*) AS triangles FROM n GROUP BY 1 ORDER BY 1""".stripMargin)
+
+  /** Local clustering coefficient per node of the near-dup candidate
+    * graph — the "how clique-like is this doc's duplicate
+    * neighborhood" score that separates template-spam clusters (lcc
+    * → 1: everything duplicates everything, collapse the whole
+    * cluster) from hub-like false-positive LSH buckets (high degree,
+    * lcc → 0: verify pairwise before collapsing). For every node of
+    * degree ≥ 2:
+    *   lcc = round(2·triangles(v) / (deg(v)·(deg(v)−1)), 4)
+    * with triangles(v) from the SAME oriented enumeration as
+    * q_triangle_count (each triangle credits all three corners) and
+    * deg(v) from the symmetric edge set. Both operands are exact
+    * integers, so the single double division + round-4 is
+    * engine-exact.
+    *
+    * Scale: everything here is [[orientedTriangles]] (wedge fan-out
+    * O(√E) per vertex) plus two tiny keyed aggregates and one
+    * node-keyed left join — no new pair space, no new shuffle class;
+    * at 100 TB cost is the triangle pass it already shares (and
+    * memoized lshCandidates amortizes the LSH lineage). */
+  private val clusteringCoeff = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val pairs = lshCandidates(s, dir)
+      val deg = pairs.select($"da".as("doc_id"))
+        .unionByName(pairs.select($"db".as("doc_id")))
+        .groupBy($"doc_id").agg(count(lit(1)).as("degree"))
+      val tri = orientedTriangles(s, dir)
+        .select(explode(array($"u", $"a", $"b")).as("doc_id"))
+        .groupBy($"doc_id").agg(count(lit(1)).as("triangles"))
+      deg.filter($"degree" >= 2)
+        .join(tri, Seq("doc_id"), "left_outer")
+        .select($"doc_id", $"degree",
+          coalesce($"triangles", lit(0L)).as("triangles"))
+        .withColumn("lcc", round(
+          (lit(2L) * $"triangles").cast("double") /
+            ($"degree" * ($"degree" - lit(1L))).cast("double"), 4))
+        .orderBy($"doc_id")
+    },
+    oracleTriangles + """,
+      |n AS (SELECT x AS doc_id FROM tri
+      |      UNION ALL SELECT y FROM tri
+      |      UNION ALL SELECT z FROM tri),
+      |tc AS (SELECT doc_id, COUNT(*) AS triangles FROM n GROUP BY 1)
+      |SELECT dg.u AS doc_id, dg.dg AS degree,
+      |       COALESCE(tc.triangles, 0) AS triangles,
+      |       ROUND(CAST(2 * COALESCE(tc.triangles, 0) AS DOUBLE)
+      |             / CAST(dg.dg * (dg.dg - 1) AS DOUBLE), 4) AS lcc
+      |FROM dg LEFT JOIN tc ON tc.doc_id = dg.u
+      |WHERE dg.dg >= 2 ORDER BY doc_id""".stripMargin)
 
   /** Degree distribution of the near-dup candidate graph — the sanity
     * histogram read before any graph pass (a fat tail here predicts
@@ -1505,6 +1572,7 @@ object TextDedup {
     "q_dedup_by_source" -> dedupBySource,
     "q_dedup_incremental" -> dedupIncremental,
     "q_triangle_count" -> triangleCount,
+    "q_clustering_coeff" -> clusteringCoeff,
     "q_degree_hist" -> degreeHist,
     "q_sim_report" -> simReport,
     "q_dedup_containment" -> dedupContainment,

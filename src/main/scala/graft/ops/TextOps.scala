@@ -3,7 +3,7 @@ package graft.ops
 import graft.QueryDef
 import graft.functions.Sketches
 import graft.util.Tables
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -385,36 +385,42 @@ object TextOps {
     * (T, D) totals are a 3-row broadcast and a 1-row cross join; the
     * final per-doc agg is two-phase and TakeOrderedAndProject keeps the
     * top-20 without a global sort. */
-  private val bm25TopK = QueryDef(
-    (s, dir) => {
-      import s.implicits._
-      val terms = Seq("join", "vector", "dup")
-      val docs = Tables.spread(Tables.documents(s, dir), "doc_id")
-      val dl = docs.select($"doc_id",
-        size(split($"text", " ")).cast("long").as("dl"))
-      val totals = dl.agg(sum($"dl").as("t"), count(lit(1)).as("nd"))
-      val tf = docs
-        .select($"doc_id", explode(split($"text", " ")).as("word"))
-        .filter($"word".isInCollection(terms))
-        .groupBy($"doc_id", $"word").agg(count(lit(1)).as("tf"))
-      val df_ = tf.groupBy($"word").agg(count(lit(1)).as("df"))
-      tf.join(broadcast(df_), "word")
-        .join(dl, "doc_id")
-        .crossJoin(broadcast(totals))
-        .select($"doc_id",
-          (log((lit(2L) * $"nd" + lit(2L)).cast("double") /
-               (lit(2L) * $"df" + lit(1L)).cast("double")) *
-            (lit(22L) * $"t" * $"tf").cast("double") /
-            (lit(10L) * $"t" * $"tf" + lit(3L) * $"t" +
-              lit(9L) * $"dl" * $"nd").cast("double"))
-            .cast("decimal(28,10)").as("term"))
-        .groupBy($"doc_id")
-        .agg(count(lit(1)).as("n_hits"),
-          Incremental.r4s(sum($"term")).as("bm25"))
-        .orderBy($"bm25".desc, $"doc_id")
-        .limit(20)
-    },
-    """WITH d AS (SELECT doc_id,
+  /** Shared BM25 scoring lineage (exact-decimal, pre-rounding): per-doc
+    * (doc_id, n_hits, bm25x) over the fixed query-term set, where bm25x
+    * is the EXACT decimal(28,10) per-term sum described on [[bm25TopK]]
+    * — the rank-grade value [[bm25TopK]] rounds for presentation and
+    * q_hybrid_rrf (VectorOps) ranks on directly. */
+  private[ops] def bm25Scores(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val terms = Seq("join", "vector", "dup")
+    val docs = Tables.spread(Tables.documents(s, dir), "doc_id")
+    val dl = docs.select($"doc_id",
+      size(split($"text", " ")).cast("long").as("dl"))
+    val totals = dl.agg(sum($"dl").as("t"), count(lit(1)).as("nd"))
+    val tf = docs
+      .select($"doc_id", explode(split($"text", " ")).as("word"))
+      .filter($"word".isInCollection(terms))
+      .groupBy($"doc_id", $"word").agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy($"word").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df_), "word")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(totals))
+      .select($"doc_id",
+        (log((lit(2L) * $"nd" + lit(2L)).cast("double") /
+             (lit(2L) * $"df" + lit(1L)).cast("double")) *
+          (lit(22L) * $"t" * $"tf").cast("double") /
+          (lit(10L) * $"t" * $"tf" + lit(3L) * $"t" +
+            lit(9L) * $"dl" * $"nd").cast("double"))
+          .cast("decimal(28,10)").as("term"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_hits"), sum($"term").as("bm25x"))
+  }
+
+  /** Oracle CTE chain for [[bm25Scores]] (no WITH prefix, so callers can
+    * splice it after other preludes): ends in
+    * `lexall(doc_id, n_hits, bm25x)` — the exact decimal sum. */
+  private[ops] val oracleBm25Ctes =
+    """d AS (SELECT doc_id,
       |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
       |           FROM documents),
       |k AS (SELECT CAST(SUM(dl) AS BIGINT) AS t, COUNT(*) AS nd FROM d),
@@ -431,10 +437,21 @@ object TextOps {
       |                     AS DOUBLE)
       |           AS DECIMAL(28,10)) AS term
       |       FROM tf JOIN df USING (word)
-      |       JOIN d ON tf.doc_id = d.doc_id CROSS JOIN k)
-      |SELECT doc_id, COUNT(*) AS n_hits,
-      |       CAST(ROUND(SUM(term), 4) AS DOUBLE) AS bm25
-      |FROM sc GROUP BY 1 ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin)
+      |       JOIN d ON tf.doc_id = d.doc_id CROSS JOIN k),
+      |lexall AS (SELECT doc_id, COUNT(*) AS n_hits, SUM(term) AS bm25x
+      |           FROM sc GROUP BY 1)""".stripMargin
+
+  private val bm25TopK = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      bm25Scores(s, dir)
+        .select($"doc_id", $"n_hits", Incremental.r4s($"bm25x").as("bm25"))
+        .orderBy($"bm25".desc, $"doc_id")
+        .limit(20)
+    },
+    "WITH " + oracleBm25Ctes + """
+      |SELECT doc_id, n_hits, CAST(ROUND(bm25x, 4) AS DOUBLE) AS bm25
+      |FROM lexall ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin)
 
   /** Deterministic train/val/test split census — the leakage-safe
     * corpus partitioning every training run does before mixing: each

@@ -1363,7 +1363,88 @@ object VectorOps {
       |       COUNT(*) AS n
       |FROM e GROUP BY 1 ORDER BY pos""".stripMargin)
 
+  /** Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al. 2009)
+    * — the RAG-era fusion of the two retrieval arms this engine already
+    * serves: the LEXICAL arm ranks documents by exact-decimal BM25
+    * ([[TextOps.bm25Scores]], terms "join"/"vector"/"dup") and the
+    * SEMANTIC arm ranks them by cosine against the vec_id-0 query
+    * embedding (doc_id ≡ vec_id in the fixture, by construction). Each
+    * arm keeps its global top-100 (total order: score desc, id), and
+    * RRF fuses with k = 60:
+    *   rrf = Σ_arm round(10⁶ / (60 + rank_arm)),  absent arm → 0
+    * — each arm's term rounded to an exact integer FIRST (the
+    * q_link_predict AA discipline) so the sum is order-independent and
+    * engine-exact; 10⁶/(60+r) never lands on a .5 boundary except
+    * r = 68 (7812.5), where Spark HALF_UP and DuckDB half-away agree
+    * for positive values. Top-20 by (rrf desc, doc_id).
+    *
+    * Determinism: BM25 ranks compare exact decimals; cosine ranks ride
+    * the q_sim_topk-proven identical float64 chain; ranks and rrf are
+    * integers thereafter. A doc missing from one arm keeps a NULL rank
+    * in that column (both engines) and contributes 0 to the fusion.
+    *
+    * Scale: each arm is TakeOrderedAndProject(100) — no global sort,
+    * no rank computed over unbounded data; the rank window then runs
+    * over a ≤100-row bounded set (single partition by construction,
+    * the 1-row-broadcast class of exception). The fusion is a
+    * full-outer join of two ≤100-row frames (AQE broadcasts), so at
+    * 100 TB the only heavy work is the two arms' own scans — each
+    * already audited under q_bm25_topk / q_sim_topk. */
+  private val hybridRrf = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val (b0, dotf) = base(s, dir)
+      val q = b0.filter($"vec_id" === 0)
+        .select($"v".as("qv"), $"nm".as("qn"))
+      val semTop = b0.filter($"vec_id" =!= 0)
+        .crossJoin(broadcast(q))
+        .select($"vec_id".as("doc_id"),
+          (dotf($"qv", $"v") / ($"qn" * $"nm")).as("cos"))
+        .orderBy($"cos".desc, $"doc_id").limit(100)
+      val semRank = semTop.withColumn("r_sem",
+          row_number().over(Window.orderBy($"cos".desc, $"doc_id"))
+            .cast("long"))
+        .select($"doc_id", $"r_sem")
+      val lexTop = TextOps.bm25Scores(s, dir)
+        .orderBy($"bm25x".desc, $"doc_id").limit(100)
+      val lexRank = lexTop.withColumn("r_lex",
+          row_number().over(Window.orderBy($"bm25x".desc, $"doc_id"))
+            .cast("long"))
+        .select($"doc_id", $"r_lex")
+      def term(c: Column): Column = coalesce(
+        round(lit(1000000.0) / (lit(60L) + c), 0).cast("long"), lit(0L))
+      lexRank.join(semRank, Seq("doc_id"), "full_outer")
+        .select($"doc_id", $"r_lex", $"r_sem",
+          (term($"r_lex") + term($"r_sem")).as("rrf"))
+        .orderBy($"rrf".desc, $"doc_id").limit(20)
+    },
+    oracleBase + ",\n" + TextOps.oracleBm25Ctes + """,
+      |qv AS (SELECT ve, nm FROM n WHERE vec_id = 0),
+      |semall AS (SELECT n.vec_id AS doc_id,
+      |                  list_sum(list_transform(list_zip(n.ve, qv.ve),
+      |                                          p -> p[1]*p[2]))
+      |                    / (n.nm * qv.nm) AS cos
+      |           FROM n CROSS JOIN qv WHERE n.vec_id <> 0),
+      |sem AS (SELECT doc_id, r_sem FROM (
+      |          SELECT doc_id, CAST(ROW_NUMBER() OVER (
+      |            ORDER BY cos DESC, doc_id) AS BIGINT) AS r_sem
+      |          FROM semall) WHERE r_sem <= 100),
+      |lex AS (SELECT doc_id, r_lex FROM (
+      |          SELECT doc_id, CAST(ROW_NUMBER() OVER (
+      |            ORDER BY bm25x DESC, doc_id) AS BIGINT) AS r_lex
+      |          FROM lexall) WHERE r_lex <= 100),
+      |f AS (SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+      |             r_lex, r_sem,
+      |             COALESCE(CAST(ROUND(1000000.0 / (60 + r_lex))
+      |                           AS BIGINT), 0)
+      |           + COALESCE(CAST(ROUND(1000000.0 / (60 + r_sem))
+      |                           AS BIGINT), 0) AS rrf
+      |      FROM lex FULL JOIN sem ON lex.doc_id = sem.doc_id)
+      |SELECT doc_id, r_lex, r_sem, rrf FROM f
+      |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin)
+
   val defs: Seq[(String, QueryDef)] = Seq(
+    "q_hybrid_rrf" -> hybridRrf,
     "q_pca_power" -> pcaPower,
     "q_semantic_clusters" -> semanticClusters,
     "q_mmr_diversify" -> mmrDiversify,

@@ -729,4 +729,95 @@ class OperatorInvariantsSpec extends SparkSpec {
     val got = run("q_event_paths").as[(String, Long)].collect().toSeq
     assert(got === expected)
   }
+
+  test("q_clustering_coeff == brute-force lcc from the candidate edges") {
+    import spark.implicits._
+    val edges = run("q_dedup_lsh").as[(Long, Long)].collect().toSet
+    val adj = edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val expected = adj.collect { case (v, nb) if nb.size >= 2 =>
+      val tri = nb.toSeq.combinations(2)
+        .count { case Seq(a, b) => adj(a).contains(b) }
+      val lcc = BigDecimal(2L * tri) / BigDecimal(nb.size.toLong * (nb.size - 1))
+      (v, nb.size.toLong, tri.toLong,
+        lcc.setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSeq.sortBy(_._1)
+    val got = run("q_clustering_coeff")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got === expected)
+    // the score means what it claims: lcc ∈ [0, 1], and a node whose
+    // neighborhood is a clique scores exactly 1
+    assert(got.forall(r => r._4 >= 0.0 && r._4 <= 1.0))
+    got.filter(r => r._3 == r._2 * (r._2 - 1) / 2)
+      .foreach(r => assert(r._4 === 1.0, s"node ${r._1}"))
+  }
+
+  test("q_hybrid_rrf == driver recompute of both arms + integer RRF") {
+    import spark.implicits._
+    // lexical arm: exact-decimal BM25 (the q_bm25_topk formula)
+    val docs = graft.util.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val dls = docs.map { case (id, t) => id -> t.split(" ", -1).length.toLong }.toMap
+    val bigT = dls.values.sum; val bigD = docs.length.toLong
+    val terms = Seq("join", "vector", "dup")
+    val tf = for {
+      (id, t) <- docs; w <- terms
+      n = t.split(" ", -1).count(_ == w).toLong if n > 0
+    } yield (id, w, n)
+    val dfc = tf.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val bm25 = tf.groupBy(_._1).view.mapValues { rows =>
+      rows.map { case (id, w, n) =>
+        val s = math.log((2 * bigD + 2).toDouble / (2 * dfc(w) + 1).toDouble) *
+          (22L * bigT * n).toDouble /
+          (10L * bigT * n + 3L * bigT + 9L * dls(id) * bigD).toDouble
+        BigDecimal(java.math.BigDecimal.valueOf(s)
+          .setScale(10, java.math.RoundingMode.HALF_UP))
+      }.sum
+    }.toMap
+    val lexRank = bm25.toSeq.sortBy { case (id, x) => (-x, id) }.take(100)
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    // semantic arm: cosine vs vec 0, left-to-right float64 accumulation
+    val vecs = graft.util.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+      .map { case (id, e) => id -> e.map(_.toDouble).toArray }.toMap
+    def nrm(v: Array[Double]) = math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x))
+    val qv = vecs(0L); val qn = nrm(qv)
+    val semRank = vecs.toSeq.filter(_._1 != 0L).map { case (id, v) =>
+      val dot = qv.zip(v).foldLeft(0.0)((a, p) => a + p._1 * p._2)
+      id -> dot / (qn * nrm(v))
+    }.sortBy { case (id, c) => (-c, id) }.take(100)
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    def rrfTerm(r: Option[Long]): Long = r.fold(0L)(x =>
+      BigDecimal(java.math.BigDecimal.valueOf(1000000.0 / (60 + x))
+        .setScale(0, java.math.RoundingMode.HALF_UP)).toLong)
+    val expected = (lexRank.keySet ++ semRank.keySet).toSeq.map { id =>
+      (id, lexRank.get(id), semRank.get(id),
+        rrfTerm(lexRank.get(id)) + rrfTerm(semRank.get(id)))
+    }.sortBy { case (id, _, _, s) => (-s, id) }.take(20)
+    val got = run("q_hybrid_rrf").collect().map { r =>
+      (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        r.getLong(3))
+    }.toSeq
+    assert(got === expected)
+    // fusion bites: the winning docs draw from BOTH arms on this fixture
+    assert(got.exists(_._2.isDefined) && got.exists(_._3.isDefined))
+  }
+
+  test("q_join_salted == the plain unsalted join census (salt is invisible)") {
+    import spark.implicits._
+    val li = graft.util.Tables.lineitem(spark, sf)
+    val ord = graft.util.Tables.orders(spark, sf)
+    val expected = li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        round(sum(($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+          .cast("decimal(28,10)")), 4).cast("double").as("rev"))
+      .orderBy($"o_orderpriority")
+      .as[(String, Long, Double)].collect().toSeq
+    val got = run("q_join_salted").as[(String, Long, Double)].collect().toSeq
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
 }
