@@ -1475,7 +1475,64 @@ object Joins {
       |FROM pairs JOIN pp x ON pa = x.pk JOIN pp y ON pb = y.pk
       |ORDER BY jac_bp DESC, pa, pb LIMIT 100""".stripMargin)
 
+  /** Targeted salted join — the explicit hot-key skew armor for
+    * fact⋈fact joins (the production pattern behind AQE's skew-join,
+    * portable to the cases AQE can't rewrite: required output
+    * partitioning above the join, storage-partitioned reads, streaming
+    * micro-batches). Mechanics:
+    *   1. DETECT: per-key counts on the probe side; keys ≥ the hot
+    *      threshold become the broadcast hot set H (at 100 TB this
+    *      pre-agg is replaced by a sample or the q_heavy_hitters CMS
+    *      census — H is always tiny, it's the whole point of "hot").
+    *   2. SALT the probe side: rows of hot keys get salt =
+    *      pmod(l_linenumber, R) (any per-row value works — it only
+    *      spreads), cold keys salt 0 — so the hot key's rows land in R
+    *      different reduce tasks instead of one straggler.
+    *   3. REPLICATE the build side: hot keys explode ×R (one copy per
+    *      salt), cold keys ×1 — replication is paid ONLY on |H| keys.
+    *   4. Join on (key, salt): every probe row meets exactly the one
+    *      build copy carrying its salt, so the result is provably
+    *      row-identical to the plain join — which is exactly what the
+    *      oracle checks (plain join + aggregate, no salt anywhere).
+    * R=8 here; the knob trades |H|·R build-row replication for R-way
+    * parallelism on each hot key. Membership tests against H are
+    * broadcast hash joins (null-safe: H carries no nulls by
+    * construction). The post-join census aggregates by priority, so
+    * the salt never leaks into results. */
+  private val joinSalted = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val R = 8
+      val li = Tables.lineitem(s, dir)
+        .select($"l_orderkey", $"l_linenumber", $"l_extendedprice", $"l_discount")
+      val hot = li.groupBy($"l_orderkey").agg(count(lit(1)).as("n"))
+        .filter($"n" >= 6).select($"l_orderkey".as("hk"))
+      val probe = li.join(broadcast(hot), $"l_orderkey" === $"hk", "left_outer")
+        .select($"l_orderkey", $"l_extendedprice", $"l_discount",
+          when($"hk".isNotNull, pmod($"l_linenumber", lit(R)))
+            .otherwise(lit(0)).cast("int").as("salt"))
+      val build = Tables.orders(s, dir)
+        .select($"o_orderkey", $"o_orderpriority")
+        .join(broadcast(hot), $"o_orderkey" === $"hk", "left_outer")
+        .select($"o_orderkey", $"o_orderpriority",
+          explode(when($"hk".isNotNull, sequence(lit(0), lit(R - 1)))
+            .otherwise(array(lit(0)))).as("salt"))
+      probe.join(build,
+          $"l_orderkey" === $"o_orderkey" && probe("salt") === build("salt"))
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          Incremental.r4s(sum(($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+            .cast("decimal(28,10)"))).as("rev"))
+        .orderBy($"o_orderpriority")
+    },
+    """SELECT o_orderpriority, COUNT(*) AS n,
+      |       CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+      |                           AS DECIMAL(28,10))), 4) AS DOUBLE) AS rev
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+
   val defs: Seq[(String, QueryDef)] = Seq(
+    "q_join_salted" -> joinSalted,
     "q_basket_lift" -> basketLift,
     "q_item_similarity" -> itemSimilarity,
     "q_bloom_join" -> bloomJoin,

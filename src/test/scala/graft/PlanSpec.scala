@@ -477,4 +477,13 @@ class PlanSpec extends SparkSpec {
       "join keys must NOT be shuffled — bucketed layout provides the " +
         "partitioning\n" + p.take(4000))
   }
+
+  test("q_join_salted: the fact join runs on (key, salt) and the hot-set " +
+    "membership probes are broadcast") {
+    val p = plan("q_join_salted")
+    // the main join's shuffle carries the salt next to the key — the
+    // hot key's rows spread over R reduce tasks instead of one straggler
+    assert(p.contains("salt"), p.take(4000))
+    assert(p.contains("BroadcastHashJoin"), p.take(4000))
+  }
 }
