@@ -1204,33 +1204,26 @@ object TextDedup {
       |WHERE GREATEST(ROUND(inter / la, 4), ROUND(inter / lb, 4)) >= 0.5
       |ORDER BY da, db""".stripMargin)
 
-  /** Per-document triangle count over the near-dup candidate graph —
-    * the local clustering signal (a doc in many triangles sits inside a
-    * dense template cluster; a bridge doc touches triangles rarely).
-    * Complements q_pagerank_step (global centrality) and
-    * q_cluster_stats (component sizes) on the same edge set.
-    *
-    * Algorithm: degree-ordered orientation (Cohen 2009 / the MapReduce
-    * node-iterator++): orient every undirected edge from its
-    * lexicographically smaller (degree, id) endpoint, enumerate each
-    * wedge at its lowest vertex, and close it against the oriented edge
-    * set. Every triangle is counted EXACTLY once, at its minimum-degree
-    * vertex.
-    *
-    * Scale: this orientation is the skew armor — a celebrity node of
-    * degree d contributes O(d) oriented out-edges only if it is the
-    * SMALLEST-degree endpoint, bounding per-node wedge fan-out by
-    * O(√|E|) instead of O(d²); all three joins are equi-joins (no
-    * pair-enumeration beyond actual wedges), riding the memoized LSH
-    * candidate lineage. */
   /** Degree-ordered-oriented triangle enumeration over the near-dup
     * candidate graph — the shared kernel behind [[triangleCount]] and
-    * [[clusteringCoeff]]. Returns one row (u, a, b) per triangle. The
+    * [[clusteringCoeff]]. Algorithm: degree-ordered orientation (Cohen
+    * 2009 / the MapReduce node-iterator++): orient every undirected
+    * edge from its lexicographically smaller (degree, id) endpoint,
+    * enumerate each wedge at its lowest vertex, and close it against
+    * the oriented edge set — every triangle lands EXACTLY once, at its
+    * minimum-degree vertex. A celebrity node of degree d contributes
+    * O(d) oriented out-edges only if it is the SMALLEST-degree
+    * endpoint, and all three joins are equi-joins (no pair enumeration
+    * beyond actual wedges). Returns one row (u, a, b) per triangle. The
     * orientation (each edge directed low-degree → high-degree, id
     * tiebreak) bounds per-vertex wedge fan-out at O(√E) — the skew
-    * armor discussed on q_triangle_count. */
+    * armor discussed on q_triangle_count. Memoized per (session, dir)
+    * like the LSH lineage it rides: the enumeration pass runs once and
+    * both consumers aggregate from the cached (u, a, b) frame — which
+    * holds one row per ACTUAL triangle, the same order of magnitude as
+    * the verified-pair cache it sits next to. */
   private def orientedTriangles(s: org.apache.spark.sql.SparkSession,
-      dir: String): DataFrame = {
+      dir: String): DataFrame = memoized(s, dir, "orientedTriangles") {
     import s.implicits._
     val pairs = lshCandidates(s, dir)
     val edges = pairs.select($"da".as("u"), $"db".as("v"))
@@ -1276,6 +1269,12 @@ object TextDedup {
       |             AND (e1.dv < e2.dv OR (e1.dv = e2.dv AND e1.v < e2.v))
       |        JOIN oe e3 ON e3.u = e1.v AND e3.v = e2.v)""".stripMargin
 
+  /** Per-document triangle count over the near-dup candidate graph —
+    * the local clustering signal (a doc in many triangles sits inside a
+    * dense template cluster; a bridge doc touches triangles rarely).
+    * Complements q_pagerank_step (global centrality) and
+    * q_cluster_stats (component sizes) on the same edge set; the
+    * enumeration itself is the memoized [[orientedTriangles]] kernel. */
   private val triangleCount = QueryDef(
     (s, dir) => {
       import s.implicits._
