@@ -87,6 +87,34 @@ object Streams {
         col("purchase_id"), col("c_ts"), col("p_ts"), col("amount"))
   }
 
+  /** Stream-static enrichment join (SURVEY.md §2.10) — the streaming
+    * twin of every fact⋈dim broadcast in ops/Joins: each micro-batch of
+    * the stream joins the STATIC dim frame. The static side carries no
+    * watermark and no join state — Spark re-plans the join per batch
+    * (broadcasting a small dim), and because the dim is re-read from its
+    * source each micro-batch, a dim REFRESH (new parquet files in the
+    * dim dir) is picked up without restarting the query — the
+    * slowly-changing-dim pattern at streaming speed. LEFT OUTER keeps
+    * stream rows with no dim match ('unknown' segment), which is the
+    * only outer direction stream-static supports. Output: per
+    * (day, segment) counts and sums under the usual watermark bound.
+    * Scale: state is the windowed aggregate only (keyed by
+    * day×|segments|); the join itself is stateless. */
+  def enrichWithDim(
+      events: DataFrame,
+      dim: DataFrame, // static (user_id, segment)
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .join(broadcast(dim), Seq("user_id"), "left_outer")
+      .select(col("ts"),
+        coalesce(col("segment"), lit("unknown")).as("segment"),
+        col("value"))
+      .groupBy(window(col("ts"), "1 day"), col("segment"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("day_start"), col("segment"),
+        col("n"), col("sum_value"))
+
   /** Always-on polling ingest — the reference's SCHEDULED fetch loop
     * (cron → energy_etl.py run) as a live streaming query: a rate
     * source fires ticks, and foreachBatch runs the caller's

@@ -501,4 +501,31 @@ class StreamingSpec extends SparkSpec {
       case None => spark.conf.unset(providerKey)
     }
   }
+
+  test("stream-static enrichment join == the batch join, with unmatched " +
+    "stream rows kept (left outer)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "segment")
+    val events = Seq(
+      Event(1, ts("2024-01-01 10:00:00"), 1, "click", 10.0),
+      Event(2, ts("2024-01-01 12:00:00"), 2, "click", 5.0),
+      Event(3, ts("2024-01-01 13:00:00"), 1, "click", 2.0),
+      Event(4, ts("2024-01-01 14:00:00"), 9, "click", 1.0), // no dim row
+      Event(5, ts("2024-01-02 09:00:00"), 2, "click", 4.0))
+    val in = MemoryStream[Event]
+    // arbitrary micro-batch slicing must not change the result
+    val rows = runBatches(in, Streams.enrichWithDim(in.toDF(), dim),
+      OutputMode.Complete,
+      Seq(events.take(2), events.slice(2, 4), events.drop(4)))
+    val got = rows.map(r => (r.getAs[Timestamp]("day_start"),
+      r.getAs[String]("segment"), r.getAs[Long]("n"),
+      r.getAs[Double]("sum_value"))).toSet
+    val expected = Set(
+      (ts("2024-01-01 00:00:00"), "gold", 2L, 12.0),
+      (ts("2024-01-01 00:00:00"), "basic", 1L, 5.0),
+      (ts("2024-01-01 00:00:00"), "unknown", 1L, 1.0),
+      (ts("2024-01-02 00:00:00"), "basic", 1L, 4.0))
+    assert(got === expected)
+  }
 }
