@@ -75,11 +75,20 @@ object ScaleProbe {
       }.reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$dir/events.parquet")
       val li = spark.read.parquet(s"$base/lineitem.parquet")
-      val okShift = li.agg(max($"l_orderkey")).head().getLong(0) + 1
+      val ord = spark.read.parquet(s"$base/orders.parquet")
+      // ONE shared shift for both sides so every replicated lineitem
+      // still finds its order — the join selectivity is scale-invariant
+      val okShift = math.max(
+        li.agg(max($"l_orderkey")).head().getLong(0),
+        ord.agg(max($"o_orderkey")).head().getLong(0)) + 1
       (0 until n).map { i =>
         li.withColumn("l_orderkey", $"l_orderkey" + lit(i * okShift))
       }.reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      (0 until n).map { i =>
+        ord.withColumn("o_orderkey", $"o_orderkey" + lit(i * okShift))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
       dir
     }
 
