@@ -219,5 +219,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) =>
         org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(children(0), children(1))))
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    // custom logical nodes are opaque to Catalyst's own pushdown — this
+    // rule (operator-optimization fixed point) relocates filters through
+    // AsOfJoin so the standard rules can carry them into the scans
+    ext.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsOfJoin)
   }
 }

@@ -157,6 +157,74 @@ case class AsOfJoinExec(
     copy(left = newLeft, right = newRight)
 }
 
+/** Optimizer rule (the injectOptimizerRule tier, registered via
+  * GraftExtensions): predicate pushdown through [[AsOfJoin]]. A custom
+  * logical node is OPAQUE to Catalyst's own PushDownPredicates — without
+  * this rule, any filter written above an as-of join sits above it
+  * forever and the parquet scans read everything; at 100 TB that is the
+  * difference between scanning a partition and scanning the lake.
+  *
+  * Two safe moves, both proven by the operator's semantics (output =
+  * every left row + attached-or-null right columns; the attachment of a
+  * left row depends only on that row's (key, time) and the right side):
+  *
+  *  1. A deterministic conjunct referencing only LEFT attributes
+  *     commutes with the join — filtering left rows before attachment
+  *     keeps exactly the same rows with identical attachments. (Only
+  *     the deterministic PREFIX of the conjunction moves, matching
+  *     PushDownPredicates' evaluation-order discipline.)
+  *  2. A pushed-left conjunct whose ONLY reference is the left KEY
+  *     also transfers to the right side with leftKey := rightKey
+  *     substituted: right rows only ever attach to left rows with an
+  *     EQUAL key, so right rows whose key fails the predicate can never
+  *     attach to a surviving left row. The original stays on the left;
+  *     the transfer additionally prunes the right scan.
+  *
+  * The rule joins the operator-optimization fixed point, so standard
+  * pushdown carries the relocated filters the rest of the way into the
+  * scans (PushedFilters — pinned in AsOfJoinSpec). */
+object PushFilterThroughAsOfJoin
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+  import org.apache.spark.sql.catalyst.expressions.{And, AttributeSet}
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, aj: AsOfJoin) =>
+      val (deterministic, rest0) =
+        splitConjunctivePredicates(cond).span(_.deterministic)
+      val (leftOnly, keep) =
+        deterministic.partition(_.references.subsetOf(aj.left.outputSet))
+      if (leftOnly.isEmpty) f
+      else {
+        // transfer is restricted to non-floating-point keys: ±0.0
+        // compare equal under the exec's ordering while a predicate can
+        // still distinguish them (same reason Spark normalizes floats
+        // before join-key constraint propagation)
+        val floatKey = aj.leftKey.dataType match {
+          case org.apache.spark.sql.types.DoubleType |
+               org.apache.spark.sql.types.FloatType => true
+          case _ => false
+        }
+        val keyTransfers = aj.leftKey match {
+          case lk: Attribute if aj.rightKey.deterministic && !floatKey =>
+            leftOnly.filter(c => c.references.nonEmpty &&
+                c.references.subsetOf(AttributeSet(lk)))
+              .map(_.transform {
+                case a: Attribute if a.semanticEquals(lk) => aj.rightKey
+              })
+          case _ => Nil
+        }
+        val newLeft = Filter(leftOnly.reduce(And), aj.left)
+        val newRight = keyTransfers.reduceOption(And)
+          .map(Filter(_, aj.right)).getOrElse(aj.right)
+        val newJoin = aj.copy(left = newLeft, right = newRight)
+        (keep ++ rest0).reduceOption(And)
+          .map(Filter(_, newJoin)).getOrElse(newJoin)
+      }
+  }
+}
+
 /** Planner strategy mapping the logical node to the exec (registered via
   * GraftExtensions.injectPlannerStrategy — see functions package). */
 object AsOfJoinStrategy extends SparkStrategy {

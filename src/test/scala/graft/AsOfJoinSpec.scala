@@ -129,4 +129,42 @@ class AsOfJoinSpec extends SparkSpec {
     assert(r2.length === 2)
     assert(r2.forall(_.isNullAt(1)))
   }
+
+  test("PushFilterThroughAsOfJoin: left-only filters reach the left scan, " +
+    "key predicates transfer to the right side") {
+    import spark.implicits._
+    val e = Tables.events(spark, sf).select($"event_id", $"user_id", $"ts")
+    val o = Tables.orders(spark, sf)
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate")
+    val filtered = AsOfJoinApi.asof(e, o,
+        e("user_id"), o("o_custkey"), e("ts"), o("o_orderdate"),
+        tieBreak = Seq(o("o_orderkey")))
+      .filter($"user_id" === 7L && $"event_id" > 100L)
+    val opt = filtered.queryExecution.optimizedPlan
+    // both conjuncts moved below the custom node …
+    import org.apache.spark.sql.catalyst.plans.logical.Filter
+    import graft.plans.AsOfJoin
+    val aj = opt.collectFirst { case j: AsOfJoin => j }
+    assert(aj.isDefined, opt.toString)
+    assert(opt.collectFirst {
+      case Filter(_, _: AsOfJoin) => true }.isEmpty,
+      "no filter may remain above the as-of join\n" + opt)
+    // … the key predicate ALSO prunes the right side
+    val rightFiltered = aj.get.right.collectFirst {
+      case f: Filter => f.condition.toString }
+    assert(rightFiltered.exists(_.contains("o_custkey")),
+      s"right side not pruned: ${aj.get.right}")
+    // and the physical left scan carries pushed filters
+    val phys = filtered.queryExecution.executedPlan.toString
+    assert(phys.contains("PushedFilters: [IsNotNull(user_id)") ||
+      phys.contains("EqualTo(user_id,7)"), phys)
+    // results are identical to filtering the oracle-pinned formulation
+    val expected = SparkEntry.all("q_join_asof").fn(spark, sf)
+      .filter($"user_id" === 7L && $"event_id" > 100L)
+      .select($"event_id", $"asof_orderkey").orderBy($"event_id").collect()
+    val got = filtered
+      .select($"event_id", $"o_orderkey".as("asof_orderkey"))
+      .orderBy($"event_id").collect()
+    assert(got.toSeq === expected.toSeq)
+  }
 }
