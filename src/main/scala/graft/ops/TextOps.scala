@@ -1893,7 +1893,64 @@ object TextOps {
       |FROM occ o LEFT JOIN ty t ON o.bucket = t.bucket
       |ORDER BY o.bucket""".stripMargin)
 
+  /** Zipf's-law fit over the word-frequency table — the power-law twin
+    * of q_vocab_growth's Heaps' law (the two standard corpus-statistics
+    * sign-offs): OLS slope of ln(frequency) on ln(rank) over the
+    * top-1000 word types (the head, where Zipf holds; the tail bends
+    * and would bias the fit). A healthy natural-language corpus reads
+    * slope ≈ −1; template spam reads much flatter.
+    *
+    * Determinism (the q_autocorr discipline): ranks and counts are
+    * exact integers under the TOTAL (f desc, word) order; each ln is
+    * one correctly-rounded libm call quantized to 1e-6-unit BIGINTs via
+    * floor(v·10⁶ + 0.5) on bit-identical doubles; all four moment sums
+    * are exact decimal/HUGEINT arithmetic; the slope emits in integer
+    * basis points via ONE integer division with both operands kept
+    * POSITIVE (numerator flipped, sign restored after) so truncating
+    * DIV and floor `//` agree.
+    *
+    * Scale: the corpus-sized work is the memoized wordFreq aggregate
+    * (shared with the BPE family); the head extraction is
+    * TakeOrderedAndProject(1000) — no global sort — and the rank window
+    * + moment aggregate run over the bounded 1000-row frame. */
+  private val zipfFit = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val top = wordFreq(s, dir).orderBy($"f".desc, $"word").limit(1000)
+      top
+        .withColumn("r", row_number()
+          .over(Window.orderBy($"f".desc, $"word")).cast("long"))
+        .select(
+          expr("CAST(FLOOR(ln(CAST(r AS DOUBLE)) * 1000000 + 0.5) " +
+            "AS DECIMAL(19,0))").as("x"),
+          expr("CAST(FLOOR(ln(CAST(f AS DOUBLE)) * 1000000 + 0.5) " +
+            "AS DECIMAL(19,0))").as("y"))
+        .agg(count(lit(1)).cast("decimal(19,0)").as("n"),
+          sum($"x").as("sx"), sum($"y").as("sy"),
+          sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"))
+        .selectExpr("CAST(n AS BIGINT) AS n_points",
+          "CAST(-((10000 * (sx * sy - n * sxy)) DIV (n * sxx - sx * sx)) " +
+            "AS BIGINT) AS slope_bp")
+    },
+    """WITH w AS (SELECT UNNEST(string_split(text, ' ')) AS word FROM documents),
+      |wf AS (SELECT word, COUNT(*) AS f FROM w GROUP BY 1),
+      |top AS (SELECT word, f FROM wf ORDER BY f DESC, word LIMIT 1000),
+      |rk AS (SELECT f, CAST(ROW_NUMBER() OVER (ORDER BY f DESC, word)
+      |                 AS BIGINT) AS r FROM top),
+      |q AS (SELECT CAST(FLOOR(ln(CAST(r AS DOUBLE)) * 1000000 + 0.5)
+      |               AS HUGEINT) AS x,
+      |             CAST(FLOOR(ln(CAST(f AS DOUBLE)) * 1000000 + 0.5)
+      |               AS HUGEINT) AS y
+      |      FROM rk),
+      |s AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(x) AS sx,
+      |             SUM(y) AS sy, SUM(x*y) AS sxy, SUM(x*x) AS sxx FROM q)
+      |SELECT CAST(n AS BIGINT) AS n_points,
+      |       CAST(-((10000 * (sx * sy - n * sxy)) // (n * sxx - sx * sx))
+      |            AS BIGINT) AS slope_bp
+      |FROM s""".stripMargin)
+
   val defs: Seq[(String, QueryDef)] = Seq(
+    "q_zipf_fit" -> zipfFit,
     "q_vocab_growth" -> vocabGrowth,
     "q_sample_weighted" -> sampleWeighted,
     "q_filter_funnel" -> filterFunnel,

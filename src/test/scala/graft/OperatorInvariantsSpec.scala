@@ -805,6 +805,30 @@ class OperatorInvariantsSpec extends SparkSpec {
     assert(got.exists(_._2.isDefined) && got.exists(_._3.isDefined))
   }
 
+  test("q_zipf_fit == driver OLS recompute in the same quantized ln space") {
+    import spark.implicits._
+    val wf = graft.util.Tables.documents(spark, sf)
+      .select(explode(split($"text", " ")).as("word"))
+      .groupBy($"word").agg(count(lit(1)).as("f"))
+      .as[(String, Long)].collect()
+    val top = wf.sortBy { case (w, f) => (-f, w) }.take(1000)
+    val pts = top.zipWithIndex.map { case ((_, f), i) =>
+      (BigInt(math.floor(math.log((i + 1).toDouble) * 1e6 + 0.5).toLong),
+        BigInt(math.floor(math.log(f.toDouble) * 1e6 + 0.5).toLong))
+    }
+    val n = BigInt(pts.length)
+    val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    // numerator flipped positive so BigInt truncation == engine DIV
+    val slopeBp = -((BigInt(10000) * (sx * sy - n * sxy)) / (n * sxx - sx * sx))
+    val row = run("q_zipf_fit").as[(Long, Long)].collect().head
+    assert(row._1 === pts.length.toLong)
+    assert(row._2 === slopeBp.toLong)
+    // Zipf direction: the head of a word-frequency table slopes DOWN
+    assert(row._2 < 0L)
+  }
+
   test("q_join_salted == the plain unsalted join census (salt is invisible)") {
     import spark.implicits._
     val li = graft.util.Tables.lineitem(spark, sf)
