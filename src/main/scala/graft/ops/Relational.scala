@@ -788,6 +788,54 @@ object Relational {
       |FROM customer LEFT JOIN spend ON c_custkey = o_custkey
       |ORDER BY c_custkey""".stripMargin)
 
+  /** Error-safe expression surface — Spark's try_* family (try_cast /
+    * try_divide / try_add), the row-level complement of the source-level
+    * quarantine in sources/Sources: at 100 TB a single malformed value
+    * must yield NULL (and a count in the census), never a failed 6-hour
+    * job or a silently-wrong ANSI-off wraparound. Bad rows are
+    * synthesized DETERMINISTICALLY (an 'x' prefix on event_id ≡ 0 mod 7;
+    * a zero divisor on ≡ 0 mod 5; an int64 overflow on every positive
+    * event_id), and the ENGINE computes the census through the try_*
+    * functions while the ORACLE states the ground truth as explicit
+    * CASE arithmetic — so the hash match verifies the functions' exact
+    * null-on-error semantics, not just both engines sharing a quirk.
+    * floor(value·100) keeps the string payloads integer-exact on both
+    * engines (a raw double→string render would diverge). */
+  private val tryFuncs = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir).select($"event_id", $"value")
+        .withColumn("v100", floor($"value" * 100).cast("long"))
+        .withColumn("sraw", concat(
+          when($"event_id" % 7 === 0, lit("x")).otherwise(lit("")),
+          $"v100".cast("string")))
+        .select(
+          expr("try_cast(sraw AS BIGINT)").as("c"),
+          expr("try_divide(CAST(10000 AS DOUBLE), " +
+            "CAST(event_id % 5 AS DOUBLE))").as("d"),
+          expr(s"try_add(${Long.MaxValue}L, event_id)").as("a"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(when($"c".isNull, 1L).otherwise(0L)).cast("long").as("n_bad_cast"),
+          sum($"c").cast("long").as("sum_good_cast"),
+          sum(when($"d".isNull, 1L).otherwise(0L)).cast("long").as("n_div_null"),
+          sum(when($"a".isNull, 1L).otherwise(0L)).cast("long")
+            .as("n_overflow_null"))
+    },
+    """WITH e AS (SELECT event_id,
+      |                  CAST(FLOOR(value * 100) AS BIGINT) AS v100
+      |           FROM events)
+      |SELECT COUNT(*) AS n_rows,
+      |       CAST(SUM(CASE WHEN event_id % 7 = 0 THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS n_bad_cast,
+      |       CAST(SUM(CASE WHEN event_id % 7 <> 0 THEN v100 END)
+      |            AS BIGINT) AS sum_good_cast,
+      |       CAST(SUM(CASE WHEN event_id % 5 = 0 THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS n_div_null,
+      |       CAST(SUM(CASE WHEN event_id > 0 THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS n_overflow_null
+      |FROM e""".stripMargin)
+
   /** JSON extraction: get_json_object + from_json→MapType access over the
     * events.props payload (reference :67,:69 JSON parse generalized; §2.8). */
   private val jsonExtract = QueryDef(
@@ -1858,6 +1906,7 @@ object Relational {
     "q_date_funcs" -> dateFuncs,
     "q_math_funcs" -> mathFuncs,
     "q_null_funcs" -> nullFuncs,
+    "q_try_funcs" -> tryFuncs,
     "q_json_extract" -> jsonExtract,
     "q_array_funcs" -> arrayFuncs)
 }

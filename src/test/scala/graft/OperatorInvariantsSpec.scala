@@ -805,6 +805,23 @@ class OperatorInvariantsSpec extends SparkSpec {
     assert(got.exists(_._2.isDefined) && got.exists(_._3.isDefined))
   }
 
+  test("q_try_funcs: every null comes from exactly the planted defect class") {
+    import spark.implicits._
+    val ev = graft.util.Tables.events(spark, sf)
+      .select($"event_id", $"value").as[(Long, Double)].collect()
+    val expected = (
+      ev.length.toLong,
+      ev.count(_._1 % 7 == 0).toLong,
+      ev.filter(_._1 % 7 != 0).map(e => math.floor(e._2 * 100).toLong).sum,
+      ev.count(_._1 % 5 == 0).toLong,
+      ev.count(_._1 > 0).toLong)
+    val got = run("q_try_funcs")
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(got === expected)
+    // the defect classes genuinely fire on this fixture
+    assert(got._2 > 0 && got._4 > 0 && got._5 > 0)
+  }
+
   test("q_zipf_fit == driver OLS recompute in the same quantized ln space") {
     import spark.implicits._
     val wf = graft.util.Tables.documents(spark, sf)
