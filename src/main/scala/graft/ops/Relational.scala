@@ -1057,6 +1057,44 @@ object Relational {
       |WHERE cur <= 1
       |GROUP BY 1 ORDER BY 1""".stripMargin)
 
+  /** Spark 4 SQL scripting (`BEGIN … END` with DECLARE/WHILE/SET —
+    * SQL/PSM control flow executed BY THE ENGINE, each iteration one
+    * planned query): a driver-style search loop stated entirely in SQL —
+    * double a price threshold until fewer than 100 orders exceed it
+    * (the classic "find the cutoff" calibration every curation
+    * pipeline runs before a filter). The scripting variable carries
+    * only exact BIGINTs (thresholds 100·2^k are exactly representable
+    * as doubles, so the o_totalprice comparison can't ulp-flip), and
+    * the loop is ⌈log₂(max/100)⌉ ≈ 12 tiny aggregate jobs — the same
+    * loopable-BSP cost class as q_pagerank_step. The oracle replays
+    * the fixed point declaratively: the min k over a generated series
+    * whose count drops under the floor — pinning that the procedural
+    * and declarative statements of the same fixed point agree. */
+  private val sqlScript = QueryDef(
+    (s, dir) => {
+      s.conf.set("spark.sql.scripting.enabled", "true")
+      Tables.orders(s, dir).createOrReplaceTempView("orders_ss")
+      s.sql(
+        """BEGIN
+          |  DECLARE thr BIGINT = 100;
+          |  DECLARE n BIGINT = 9223372036854775807;
+          |  WHILE n >= 100 DO
+          |    SET thr = thr * 2;
+          |    SET n = (SELECT COUNT(*) FROM orders_ss
+          |             WHERE o_totalprice > thr);
+          |  END WHILE;
+          |  SELECT thr AS threshold, n AS n_above;
+          |END""".stripMargin)
+    },
+    """WITH ks AS (SELECT CAST(k AS BIGINT) AS k FROM range(1, 41) t(k)),
+      |c AS (SELECT k, 100 * (CAST(1 AS BIGINT) << k) AS thr FROM ks),
+      |cnt AS (SELECT k, thr,
+      |               (SELECT COUNT(*) FROM orders o
+      |                WHERE o.o_totalprice > c.thr) AS n
+      |        FROM c)
+      |SELECT thr AS threshold, n AS n_above
+      |FROM cnt WHERE n < 100 ORDER BY k LIMIT 1""".stripMargin)
+
   /** Declarative SQL UDFs (Spark 4 `CREATE FUNCTION … RETURN expr` —
     * the remaining UDF surface next to the codegen Catalyst
     * Expressions, typed Aggregators and the lambda-HOF usage): a
@@ -1881,6 +1919,7 @@ object Relational {
     "q_subquery" -> subquery,
     "q_recursive_cte" -> recursiveCte,
     "q_sql_udf" -> sqlUdf,
+    "q_sql_script" -> sqlScript,
     "q_lateral" -> lateral,
     "q_scan_project" -> scanProject,
     "q_filter_pred" -> filterPred,

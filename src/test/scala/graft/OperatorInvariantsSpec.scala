@@ -805,6 +805,21 @@ class OperatorInvariantsSpec extends SparkSpec {
     assert(got.exists(_._2.isDefined) && got.exists(_._3.isDefined))
   }
 
+  test("q_sql_script: the procedural loop lands on the declarative fixed point") {
+    import spark.implicits._
+    val prices = graft.util.Tables.orders(spark, sf)
+      .select($"o_totalprice").as[Double].collect()
+    val (thr, n) = Iterator.iterate(100L)(_ * 2).drop(1)
+      .map(t => (t, prices.count(_ > t).toLong))
+      .find(_._2 < 100L).get
+    val row = run("q_sql_script").as[(Long, Long)].collect().head
+    assert(row === ((thr, n)))
+    // loop semantics: a power-of-two multiple of the seed, count under
+    // the floor at the landing threshold
+    assert(row._1 % 100L == 0L && java.lang.Long.bitCount(row._1 / 100L) == 1)
+    assert(row._2 < 100L)
+  }
+
   test("q_try_funcs: every null comes from exactly the planted defect class") {
     import spark.implicits._
     val ev = graft.util.Tables.events(spark, sf)
