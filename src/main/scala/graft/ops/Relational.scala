@@ -855,6 +855,46 @@ object Relational {
       |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_map
       |FROM events ORDER BY event_id""".stripMargin)
 
+  /** XML surface (to_xml / from_xml / xpath_long) — the remaining
+    * semi-structured lane next to JSON (q_json_extract), VARIANT
+    * (q_variant_json) and the quarantining CSV/JSON file sources: web
+    * corpora arrive as markup, and the engine must parse it
+    * distributed, not in a driver loop. The fixture carries no XML, so
+    * the engine ROUND-TRIPS: each event renders to an XML row
+    * (to_xml), is parsed back both structurally (from_xml with an
+    * explicit schema) and by path (xpath_long), and the census pins
+    * per-type counts, the exact integer sum of the parsed payload, and
+    * that every row survived the round trip bit-exactly. The oracle
+    * states the same census from the ORIGINAL columns — a hash match
+    * proves parse(render(x)) ≡ x over the whole table on integer/string
+    * payloads (doubles are deliberately excluded: float rendering is
+    * engine-specific, the q_profile rule). */
+  private val xmlExtract = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      Tables.spread(Tables.events(s, dir), "event_id")
+        .select($"event_id", $"event_type",
+          get_json_object($"props", "$.k").cast("long").as("k"))
+        .select($"event_id", $"event_type", $"k",
+          expr("to_xml(named_struct('id', event_id, 'type', event_type, " +
+            "'k', k))").as("x"))
+        .select($"event_id", $"event_type", $"k",
+          expr("from_xml(x, 'id BIGINT, type STRING, k BIGINT')").as("p"),
+          expr("xpath_long(x, '/ROW/id')").as("xid"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum($"p.k").cast("long").as("sum_k"),
+          sum(when($"p.id" === $"event_id" && $"p.type" === $"event_type" &&
+              $"p.k" === $"k" && $"xid" === $"event_id", 1L)
+            .otherwise(0L)).cast("long").as("n_roundtrip_ok"))
+        .orderBy($"event_type")
+    },
+    """SELECT event_type, COUNT(*) AS n,
+      |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+      |            AS BIGINT) AS sum_k,
+      |       COUNT(*) AS n_roundtrip_ok
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
+
   /** Array functions over the embeddings vectors: size / element_at / slice /
     * transform / aggregate (§2.8, §2.9). Elements cast to double BEFORE any
     * arithmetic on both sides so float32-vs-float64 accumulation matches. */
@@ -1947,5 +1987,6 @@ object Relational {
     "q_null_funcs" -> nullFuncs,
     "q_try_funcs" -> tryFuncs,
     "q_json_extract" -> jsonExtract,
+    "q_xml_extract" -> xmlExtract,
     "q_array_funcs" -> arrayFuncs)
 }

@@ -805,6 +805,21 @@ class OperatorInvariantsSpec extends SparkSpec {
     assert(got.exists(_._2.isDefined) && got.exists(_._3.isDefined))
   }
 
+  test("XML round trip survives markup metacharacters (escaping is real)") {
+    import spark.implicits._
+    val nasty = Seq((1L, """<b>&"'</b> </ROW> ]]>"""), (2L, "plain"),
+      (3L, "tab\tand\nnewline"))
+    val df = nasty.toDF("id", "s")
+      .select($"id", $"s",
+        expr("from_xml(to_xml(named_struct('id', id, 's', s)), " +
+          "'id BIGINT, s STRING')").as("p"))
+      .select($"id", $"s", $"p.id".as("pid"), $"p.s".as("ps"))
+      .as[(Long, String, Long, String)].collect().toSeq
+    df.foreach { case (id, s, pid, ps) =>
+      assert(pid === id); assert(ps === s, s"payload mangled for id=$id")
+    }
+  }
+
   test("q_sql_script: the procedural loop lands on the declarative fixed point") {
     import spark.implicits._
     val prices = graft.util.Tables.orders(spark, sf)
