@@ -186,6 +186,50 @@ object Relational {
       |FROM orders WHERE o_custkey IS NOT NULL
       |GROUP BY 1 ORDER BY 1""".stripMargin)
 
+  /** Mergeable-sketch columns (Spark 4 DataSketches HLL:
+    * hll_sketch_agg → hll_union_agg → hll_sketch_estimate) — the
+    * pre-aggregate-then-merge pattern that makes incremental distinct
+    * counting possible at 100 TB: each (type, day) partition reduces to
+    * a ~KB binary sketch ONCE, and any later rollup (per type here; per
+    * week/month/anything in production) merges sketches instead of
+    * re-scanning raw rows — the additive-reaggregation property plain
+    * COUNT(DISTINCT) fundamentally lacks. Differs from q_agg_approx
+    * (approx_count_distinct) exactly in that the sketch is a VALUE:
+    * storable, unionable, re-estimable.
+    *
+    * Oracle contract (the q_agg_approx technique): the estimate is
+    * engine-specific, so the output carries the exact distinct count
+    * plus the accuracy contract as a boolean pinned to literal TRUE —
+    * |merged-estimate − exact| · 10 < exact (5× the ~1.6% rsd of the
+    * default lgK=12 sketch), with the estimate floored to integer
+    * before the all-BIGINT comparison. A register-merge bug in the
+    * union reds the driver gate. */
+  private val hllUnion = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val daily = Tables.events(s, dir)
+        .select($"event_type", to_date($"ts").as("d"),
+          $"user_id")
+        .groupBy($"event_type", $"d")
+        .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+      val merged = daily.groupBy($"event_type")
+        .agg(expr("CAST(FLOOR(hll_sketch_estimate(hll_union_agg(sk))) " +
+          "AS BIGINT)").as("est"), count(lit(1)).as("n_days"))
+      val exact = Tables.events(s, dir)
+        .groupBy($"event_type")
+        .agg(countDistinct($"user_id").as("exact_users"))
+      merged.join(exact, Seq("event_type"))
+        .select($"event_type", $"n_days", $"exact_users",
+          (abs($"est" - $"exact_users") * 10 < $"exact_users")
+            .as("merged_within_5rsd"))
+        .orderBy($"event_type")
+    },
+    """SELECT event_type,
+      |       COUNT(DISTINCT CAST(ts AS DATE)) AS n_days,
+      |       COUNT(DISTINCT user_id) AS exact_users,
+      |       TRUE AS merged_within_5rsd
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
+
   /** Conditional + argmin/argmax aggregates (§2.4): count_if, bool_or /
     * bool_and, max_by / min_by, median. The max_by/min_by ordering key
     * is the UNIQUE o_orderkey so the picked row is deterministic — both
@@ -1968,6 +2012,7 @@ object Relational {
     "q_agg_distinct" -> aggDistinct,
     "q_quantile_approx" -> quantileApprox,
     "q_agg_approx" -> aggApprox,
+    "q_hll_union" -> hllUnion,
     "q_rollup" -> rollup,
     "q_cube" -> cube,
     "q_percentile" -> percentile,

@@ -805,6 +805,24 @@ class OperatorInvariantsSpec extends SparkSpec {
     assert(got.exists(_._2.isDefined) && got.exists(_._3.isDefined))
   }
 
+  test("q_hll_union: union of per-day sketches == one whole-table sketch " +
+    "(HLL registers depend only on the value SET)") {
+    import spark.implicits._
+    val e = graft.util.Tables.events(spark, sf)
+    val whole = e.groupBy($"event_type")
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id))").as("est"))
+      .as[(String, Long)].collect().toMap
+    val merged = e.groupBy($"event_type", to_date($"ts").as("d"))
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+      .groupBy($"event_type")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+      .as[(String, Long)].collect().toMap
+    assert(merged === whole)
+    // and the declared query's envelope boolean is genuinely TRUE
+    val rows = run("q_hll_union").collect()
+    assert(rows.nonEmpty && rows.forall(_.getAs[Boolean]("merged_within_5rsd")))
+  }
+
   test("XML round trip survives markup metacharacters (escaping is real)") {
     import spark.implicits._
     val nasty = Seq((1L, """<b>&"'</b> </ROW> ]]>"""), (2L, "plain"),
