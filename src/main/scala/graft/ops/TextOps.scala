@@ -1949,7 +1949,43 @@ object TextOps {
       |            AS BIGINT) AS slope_bp
       |FROM s""".stripMargin)
 
+  /** Engine-native mergeable top-k sketch (Spark 4
+    * approx_top_k_accumulate → _combine → _estimate) — the built-in
+    * twin of the custom CMS heavy-hitters UDAF (q_heavy_hitters), and
+    * the same pre-aggregate-then-merge shape as q_hll_union: each lang
+    * partition accumulates a bounded frequent-items state once, the
+    * rollup COMBINES states instead of re-scanning tokens. On this
+    * fixture the tracked capacity exceeds the vocabulary, so the
+    * estimates are provably exact — emitted as the q_agg_approx-style
+    * boolean (sketch count ≡ exact count per top-20 word) the oracle
+    * pins to literal TRUE; the words themselves order by the exact
+    * total (f desc, word) so ties can't flap the hash. A combine bug
+    * or tracking regression reds the driver gate. */
+  private val topkSketch = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val parts = Tables.documents(s, dir)
+        .select($"lang", explode(split($"text", " ")).as("word"))
+        .groupBy($"lang")
+        .agg(expr("approx_top_k_accumulate(word, 1000)").as("st"))
+      val est = parts
+        .agg(expr("approx_top_k_estimate(approx_top_k_combine(st), 100)")
+          .as("top"))
+        .select(explode($"top").as("e"))
+        .select($"e.item".as("word"), $"e.count".cast("long").as("est"))
+      wordFreq(s, dir).orderBy($"f".desc, $"word").limit(20)
+        .join(est, Seq("word"), "left_outer")
+        .select($"word", $"f".as("exact_count"),
+          ($"est".isNotNull && $"est" === $"f").as("sketch_exact"))
+        .orderBy($"exact_count".desc, $"word")
+    },
+    """WITH w AS (SELECT UNNEST(string_split(text, ' ')) AS word FROM documents),
+      |wf AS (SELECT word, COUNT(*) AS f FROM w GROUP BY 1)
+      |SELECT word, f AS exact_count, TRUE AS sketch_exact
+      |FROM wf ORDER BY exact_count DESC, word LIMIT 20""".stripMargin)
+
   val defs: Seq[(String, QueryDef)] = Seq(
+    "q_topk_sketch" -> topkSketch,
     "q_zipf_fit" -> zipfFit,
     "q_vocab_growth" -> vocabGrowth,
     "q_sample_weighted" -> sampleWeighted,

@@ -805,6 +805,25 @@ class OperatorInvariantsSpec extends SparkSpec {
     assert(got.exists(_._2.isDefined) && got.exists(_._3.isDefined))
   }
 
+  test("q_topk_sketch: combined per-lang states == one whole-corpus sketch") {
+    import spark.implicits._
+    val words = graft.util.Tables.documents(spark, sf)
+      .select($"lang", explode(split($"text", " ")).as("word"))
+    val whole = words
+      .agg(expr("approx_top_k_estimate(approx_top_k_accumulate(word, 1000), 100)").as("t"))
+      .select(explode($"t").as("e"))
+      .select($"e.item", $"e.count").as[(String, Long)].collect().toMap
+    val combined = words.groupBy($"lang")
+      .agg(expr("approx_top_k_accumulate(word, 1000)").as("st"))
+      .agg(expr("approx_top_k_estimate(approx_top_k_combine(st), 100)").as("t"))
+      .select(explode($"t").as("e"))
+      .select($"e.item", $"e.count").as[(String, Long)].collect().toMap
+    assert(combined === whole)
+    val rows = run("q_topk_sketch").collect()
+    assert(rows.length === 20)
+    assert(rows.forall(_.getAs[Boolean]("sketch_exact")))
+  }
+
   test("q_hll_union: union of per-day sketches == one whole-table sketch " +
     "(HLL registers depend only on the value SET)") {
     import spark.implicits._
