@@ -1968,7 +1968,13 @@ object TextOps {
         .select($"lang", explode(split($"text", " ")).as("word"))
         .groupBy($"lang")
         .agg(expr("approx_top_k_accumulate(word, 1000)").as("st"))
-      val est = parts
+      // coalesce(1) is load-bearing, not cosmetic: Spark 4.1.2's
+      // ApproxTopKCombine.serialize MatchErrors on an EMPTY partial
+      // buffer (genSketchSerDe sees a null item type), so any empty
+      // partition of this frame kills the job once AQE's coalescing is
+      // off (Bench/QTimer config). The frame is |langs| KB-scale
+      // sketch states, so one partition is also simply the right plan.
+      val est = parts.coalesce(1)
         .agg(expr("approx_top_k_estimate(approx_top_k_combine(st), 100)")
           .as("top"))
         .select(explode($"top").as("e"))
