@@ -148,6 +148,53 @@ object Streams {
       }
       .start()
 
+  /** Streaming → lakehouse upsert sink: foreachBatch +
+    * [[graft.etl.Pipeline.upsert]]. foreachBatch is AT-LEAST-ONCE (a
+    * crashed micro-batch replays under the same batchId), so the
+    * end-to-end exactly-once guarantee comes from the WRITE being
+    * idempotent: each batch compacts to the LATEST reading per
+    * (date, group_key) — last (ts, event_id) wins, the CDC
+    * current-state shape — and the upsert REPLACES those keys, so a
+    * replayed batch converges to the identical sink state instead of
+    * duplicating (the reference's append-duplication hole, closed at
+    * the streaming tier; same mechanism as Pipeline.runIncremental's
+    * dynamic partition overwrite). Replacement semantics require the
+    * event-time-ordered batch contract [[attribution]] documents — a
+    * later batch for a key carries later-or-equal event time.
+    * The sink write is |touched keys|-scale per batch, never
+    * |rows|-scale; state is the checkpoint only (the join-free
+    * aggregate runs inside each batch). */
+  def upsertSink(
+      events: DataFrame,
+      sinkDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          graft.etl.Pipeline.upsert(batch.sparkSession,
+            latestPerKey(batch), sinkDir)
+          ()
+        }
+      }
+      .start()
+
+  /** The per-batch compaction [[upsertSink]] writes: latest value per
+    * (date, group_key=event_type), ties broken by event_id — exposed so
+    * tests (and replay audits) can apply the identical transform to a
+    * static frame. */
+  def latestPerKey(batch: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(to_date(col("ts")), col("event_type"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    batch
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(to_date(col("ts")).as("date"),
+        col("event_type").as("group_key"),
+        col("event_id").as("latest_event_id"), col("value"))
+  }
+
   /** Per-user running state via typed flatMapGroupsWithState: emits one
     * row per input event carrying the user's running count and mean —
     * the custom-state surface (KeyValueGroupedDataset, SURVEY.md §2.10).

@@ -502,6 +502,40 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("upsertSink: micro-batched stream converges to the batch state, " +
+    "and a replayed batch is a no-op (idempotent exactly-once)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sink = java.nio.file.Files.createTempDirectory("graft_us").toString + "/sink"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_us_ck").toString
+    val events = Seq(
+      Event(1, ts("2024-01-01 10:00:00"), 1, "click", 10.0),
+      Event(2, ts("2024-01-01 12:00:00"), 1, "click", 20.0), // later click same day
+      Event(3, ts("2024-01-01 13:00:00"), 2, "view", 5.0),
+      Event(4, ts("2024-01-02 09:00:00"), 1, "click", 7.0),
+      Event(5, ts("2024-01-02 11:00:00"), 2, "click", 9.0)) // replaces day-2 click
+    val in = MemoryStream[Event]
+    val q = Streams.upsertSink(in.toDF(), sink, ckpt)
+    try {
+      Seq(events.take(2), events.slice(2, 4), events.drop(4))
+        .foreach { b => in.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    def state() = spark.read.parquet(sink)
+      .select($"date".cast("string"), $"group_key", $"latest_event_id", $"value")
+      .as[(String, String, Long, Double)].collect().toSet
+    val expected = Streams.latestPerKey(events.toDF())
+      .select($"date".cast("string"), $"group_key", $"latest_event_id", $"value")
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(state() === expected)
+    assert(expected.contains(("2024-01-01", "click", 2L, 20.0))) // later won
+    assert(expected.contains(("2024-01-02", "click", 5L, 9.0)))  // cross-batch replace
+    // crash-replay: re-apply the LAST micro-batch's write verbatim —
+    // the sink state must not change (this is the exactly-once claim)
+    graft.etl.Pipeline.upsert(spark,
+      Streams.latestPerKey(events.drop(4).toDF()), sink)
+    assert(state() === expected)
+  }
+
   test("stream-static enrichment join == the batch join, with unmatched " +
     "stream rows kept (left outer)") {
     import spark.implicits._
