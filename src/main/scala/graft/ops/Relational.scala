@@ -1837,6 +1837,64 @@ object Relational {
     * users, converted users per cohort); p̂s and the pooled-variance z
     * are a short fixed chain of IEEE ops on identical operands, rounded
     * to 4 decimals. One distinct-user aggregate + one 2-row rollup. */
+  /** Difference-in-differences estimator (the quasi-experimental twin
+    * of q_ab_test's two-proportion z): treatment = odd user_id, period
+    * split at 2024-01-16, outcome = event value. Per event type:
+    *   did = (ȳ_treat,post − ȳ_treat,pre) − (ȳ_ctrl,post − ȳ_ctrl,pre)
+    * Every mean is the r4a exact-numerator form (decimal sum → exact
+    * 1e-6-unit BIGINT → one IEEE division → half-up to 4 decimals), so
+    * all four operands are bit-identical doubles on both engines and
+    * the two subtraction chains are fully-specified IEEE ops — the did
+    * column is engine-exact without any further rounding. One grouped
+    * aggregate over (type, treated, post) = |types|·4 cells, then a
+    * tiny conditional pivot; the fact table shuffles once. */
+  private val diffInDiff = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val cells = Tables.events(s, dir)
+        .select($"event_type",
+          ($"user_id" % 2 === 1).as("treated"),
+          (to_date($"ts") >= lit("2024-01-16")).as("post"),
+          $"value")
+        .groupBy($"event_type", $"treated", $"post")
+        .agg(Incremental.r4a(sum($"value".cast("decimal(28,10)")),
+          count(lit(1))).as("m"), count(lit(1)).as("n"))
+      def cell(t: Boolean, p: Boolean, c: String) =
+        max(when($"treated" === t && $"post" === p, col(c)))
+      cells.groupBy($"event_type")
+        .agg(
+          cell(false, false, "m").as("ctrl_pre"),
+          cell(false, true, "m").as("ctrl_post"),
+          cell(true, false, "m").as("treat_pre"),
+          cell(true, true, "m").as("treat_post"),
+          sum($"n").as("n_events"))
+        .select($"event_type", $"ctrl_pre", $"ctrl_post",
+          $"treat_pre", $"treat_post", $"n_events",
+          (($"treat_post" - $"treat_pre") - ($"ctrl_post" - $"ctrl_pre"))
+            .as("did"))
+        .orderBy($"event_type")
+    },
+    """WITH cells AS (
+      |  SELECT event_type,
+      |         user_id % 2 = 1 AS treated,
+      |         CAST(ts AS DATE) >= DATE '2024-01-16' AS post,
+      |         FLOOR(CAST(CAST(CAST(ROUND(SUM(CAST(value AS DECIMAL(28,10))), 6)
+      |                   AS DECIMAL(24,6)) * 1000000 AS BIGINT) AS DOUBLE)
+      |               / (COUNT(*) * 100.0) + 0.5) / 10000.0 AS m,
+      |         COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2, 3)
+      |SELECT event_type,
+      |       MAX(CASE WHEN NOT treated AND NOT post THEN m END) AS ctrl_pre,
+      |       MAX(CASE WHEN NOT treated AND post THEN m END) AS ctrl_post,
+      |       MAX(CASE WHEN treated AND NOT post THEN m END) AS treat_pre,
+      |       MAX(CASE WHEN treated AND post THEN m END) AS treat_post,
+      |       CAST(SUM(n) AS BIGINT) AS n_events,
+      |       (MAX(CASE WHEN treated AND post THEN m END)
+      |        - MAX(CASE WHEN treated AND NOT post THEN m END))
+      |       - (MAX(CASE WHEN NOT treated AND post THEN m END)
+      |          - MAX(CASE WHEN NOT treated AND NOT post THEN m END)) AS did
+      |FROM cells GROUP BY 1 ORDER BY 1""".stripMargin)
+
   private val abTest = QueryDef(
     (s, dir) => {
       import s.implicits._
@@ -1995,6 +2053,7 @@ object Relational {
     "q_variant_json" -> variantJson,
     "q_collation" -> collation,
     "q_ab_test" -> abTest,
+    "q_diff_in_diff" -> diffInDiff,
     "q_listagg" -> listagg,
     "q_fk_check" -> fkCheck,
     "q_ks_test" -> ksTest,

@@ -805,6 +805,32 @@ class OperatorInvariantsSpec extends SparkSpec {
     assert(got.exists(_._2.isDefined) && got.exists(_._3.isDefined))
   }
 
+  test("q_diff_in_diff == driver recompute of the four r4a cell means") {
+    import spark.implicits._
+    val ev = graft.util.Tables.events(spark, sf)
+      .select($"event_type", $"user_id", to_date($"ts").cast("string"), $"value")
+      .as[(String, Long, String, Double)].collect()
+    def r4a(vals: Seq[Double]): Double = {
+      val s = vals.map(v => BigDecimal(java.math.BigDecimal.valueOf(v))
+        .setScale(10)).sum
+      val num = s.setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .*(BigDecimal(1000000)).toLongExact.toDouble
+      math.floor(num / (vals.size * 100.0) + 0.5) / 1e4
+    }
+    val expected = ev.groupBy(_._1).map { case (t, rows) =>
+      def m(tr: Boolean, po: Boolean) = r4a(rows.collect {
+        case (_, u, d, v) if (u % 2 == 1) == tr && (d >= "2024-01-16") == po => v
+      }.toSeq)
+      val (cp, cq, tp, tq) = (m(false, false), m(false, true),
+        m(true, false), m(true, true))
+      t -> ((cp, cq, tp, tq, rows.size.toLong, (tq - tp) - (cq - cp)))
+    }
+    val got = run("q_diff_in_diff")
+      .as[(String, Double, Double, Double, Double, Long, Double)]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7))).toMap
+    assert(got === expected)
+  }
+
   test("q_topk_sketch: combined per-lang states == one whole-corpus sketch") {
     import spark.implicits._
     val words = graft.util.Tables.documents(spark, sf)
