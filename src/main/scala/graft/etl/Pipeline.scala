@@ -227,6 +227,68 @@ object Pipeline {
     n
   }
 
+  /** Row-level keyed DELETE (the GDPR / right-to-be-forgotten verb —
+    * the one write primitive [[upsert]] doesn't express, since an
+    * upsert needs a replacement row): removes every sink row whose
+    * `keyCols` match a row of `keys`, rewriting ONLY the partitions
+    * that contain matches (copy-on-write via the same staging +
+    * dynamic-partition-overwrite commit as [[upsert]]); untouched
+    * partitions keep their files as-is. The affected-partition set
+    * comes from the SINK side — a deletion request typically knows the
+    * key, not which partitions hold it. Partitions left EMPTY by the
+    * delete are removed explicitly after the commit: dynamic partition
+    * overwrite only replaces partitions present in the staged frame, so
+    * an all-rows-deleted partition would otherwise silently keep its
+    * old files — the classic dynamic-overwrite delete pitfall, pinned
+    * in PipelineSpec. Idempotent: re-applying the same delete finds no
+    * matches and is a no-op. Returns the number of rows deleted. */
+  def deleteKeys(
+      spark: SparkSession,
+      keys: DataFrame,
+      sinkDir: String,
+      keyCols: Seq[String] = Seq("group_key"),
+      partitionCol: String = "date",
+      maxPartitions: Int = 10000): Long = {
+    val sink = spark.read.parquet(sinkDir)
+    val keyFrame = keys.select(keyCols.map(col): _*).distinct()
+    val hit = sink.join(keyFrame, keyCols.toIndexedSeq, "left_semi")
+    val affected = hit.select(col(partitionCol)).distinct()
+      .limit(maxPartitions + 1).collect().map(_.get(0))
+    require(affected.length <= maxPartitions,
+      s"delete touches >$maxPartitions $partitionCol partitions — " +
+        "that is a table rewrite; split the request")
+    if (affected.isEmpty) return 0L
+    val existing = sink.filter(col(partitionCol).isin(affected.toIndexedSeq: _*))
+    val before = existing.count()
+    val keep = existing.join(keyFrame, keyCols.toIndexedSeq, "left_anti")
+    val staging = s"$sinkDir/.delete_staging"
+    keep.write.mode(SaveMode.Overwrite).parquet(staging)
+    val staged = spark.read.parquet(staging)
+    val confKey = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.get(confKey, "static")
+    spark.conf.set(confKey, "dynamic")
+    try {
+      if (!staged.isEmpty)
+        staged.write.partitionBy(partitionCol)
+          .mode(SaveMode.Overwrite).parquet(sinkDir)
+    } finally spark.conf.set(confKey, prev)
+    // partitions the delete emptied never appear in the staged frame —
+    // dynamic overwrite leaves their files behind; drop them explicitly
+    val survivors = staged.select(col(partitionCol)).distinct()
+      .collect().map(_.get(0)).toSet
+    def rm(f: java.io.File): Unit = {
+      val kids = f.listFiles()
+      if (kids != null) kids.foreach(rm)
+      f.delete(): Unit
+    }
+    affected.filterNot(survivors.contains).foreach { p =>
+      rm(new java.io.File(s"$sinkDir/$partitionCol=$p"))
+    }
+    val deleted = before - staged.count()
+    rm(new java.io.File(staging))
+    deleted
+  }
+
   /** Idempotent-consumer read over the append-only sink: the reference's
     * WRITE_APPEND can duplicate a (date, group) on re-run after a partial
     * failure (energy_etl.py:103-107 — no merge); readers recover

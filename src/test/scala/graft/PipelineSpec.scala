@@ -421,4 +421,40 @@ class PipelineSpec extends SparkSpec {
     assert(rows(d3) === exp3)
     assert(!new java.io.File(d3 + ".compact_old").exists())
   }
+
+  test("deleteKeys: copy-on-write of matching partitions only, emptied " +
+    "partitions removed, idempotent replay") {
+    import spark.implicits._
+    val sink = Files.createTempDirectory("graft_del").toString + "/t"
+    val day1 = events(Seq(
+      ("2024-01-01 01:00:00", "SE1", 10.0), ("2024-01-01 02:00:00", "SE2", 20.0),
+      ("2024-01-02 01:00:00", "SE1", 30.0), ("2024-01-02 02:00:00", "SE3", 40.0),
+      ("2024-01-03 01:00:00", "SE9", 70.0)))
+    Pipeline.runIncremental(spark, day1, "zone", sink, Date.valueOf("2024-01-04"))
+    def state() = spark.read.parquet(sink)
+      .select(col("date").cast("string"), col("group_key"))
+      .as[(String, String)].collect().toSet
+    assert(state().size === 5)
+    val untouchedFiles = new java.io.File(s"$sink/date=2024-01-03")
+      .listFiles().map(_.getName).toSet
+
+    // the GDPR request: forget SE1 everywhere
+    val n = Pipeline.deleteKeys(spark, Seq("SE1").toDF("group_key"), sink)
+    assert(n === 2)
+    assert(state() === Set(("2024-01-01", "SE2"), ("2024-01-02", "SE3"),
+      ("2024-01-03", "SE9")))
+    // the partition with no matches was never rewritten
+    assert(new java.io.File(s"$sink/date=2024-01-03")
+      .listFiles().map(_.getName).toSet === untouchedFiles)
+
+    // replay is a no-op
+    assert(Pipeline.deleteKeys(spark, Seq("SE1").toDF("group_key"), sink) === 0L)
+    assert(state().size === 3)
+
+    // the dynamic-overwrite pitfall: deleting a partition's LAST rows
+    // must remove the partition directory, not silently keep old files
+    assert(Pipeline.deleteKeys(spark, Seq("SE9").toDF("group_key"), sink) === 1L)
+    assert(!new java.io.File(s"$sink/date=2024-01-03").exists())
+    assert(state() === Set(("2024-01-01", "SE2"), ("2024-01-02", "SE3")))
+  }
 }
