@@ -545,6 +545,67 @@ object Incremental {
     * Scale: one two-phase daily rollup (map-side combine crushes the
     * fact table to |types|·|days| rows), then lag windows over tiny
     * per-type series — the window input is already aggregate-sized. */
+  /** One-sided CUSUM drift detector over the per-type daily event
+    * counts (Page 1954) — the SEQUENTIAL member of the drift family
+    * (q_psi / q_ks_test / q_mad_outliers are batch two-sample tests;
+    * CUSUM accumulates evidence day by day and is what a monitoring
+    * loop actually pages on). The textbook recursion
+    *   S_t = max(0, S_{t-1} + (x_t − target))
+    * is not window-expressible, but its reflected-walk identity is:
+    *   S_t = P_t − min_{j ≤ t} P_j,  P_t = Σ (x_j − target)
+    * — one cumulative sum plus one running min, both over the SAME
+    * (type)-keyed day-ordered window: a single shuffle, no recursion,
+    * no driver loop. Exactness: x_t = the day's event count (integer),
+    * target = first-7-day mean count scaled away as a rational
+    * (everything ×7: d_t = 7·n_t − N₇), so P, min and S are exact
+    * BIGINTs; the bp normalization is one integer division of positive
+    * operands. Scale: input is the |types × days| daily rollup, never
+    * raw events; the baseline is a broadcast |types|-row frame. */
+  private val cusum = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val daily = Tables.events(s, dir)
+        .groupBy($"event_type", to_date($"ts").as("date"))
+        .agg(count(lit(1)).as("n"))
+      val base = daily
+        .withColumn("rk", row_number()
+          .over(Window.partitionBy($"event_type").orderBy($"date")))
+        .filter($"rk" <= 7)
+        .groupBy($"event_type").agg(sum($"n").as("n7"))
+      val w = Window.partitionBy($"event_type").orderBy($"date")
+      daily.join(broadcast(base), "event_type")
+        .withColumn("d", lit(7L) * $"n" - $"n7")
+        .withColumn("p", sum($"d").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("pmin", least(min($"p")
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)), lit(0L)))
+        .select($"event_type", $"date", $"n",
+          ($"p" - $"pmin").as("cusum7"),
+          expr("(10000 * (p - pmin)) DIV n7").as("cusum_bp"))
+        .orderBy($"event_type", $"date")
+    },
+    """WITH d AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS date, COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |b AS (
+      |  SELECT event_type, CAST(SUM(n) AS BIGINT) AS n7 FROM (
+      |    SELECT event_type, n,
+      |           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY date) AS rk
+      |    FROM d) WHERE rk <= 7 GROUP BY 1),
+      |p AS (
+      |  SELECT d.event_type, d.date, d.n,
+      |         SUM(7 * d.n - b.n7) OVER (PARTITION BY d.event_type
+      |           ORDER BY d.date ROWS UNBOUNDED PRECEDING) AS p,
+      |         b.n7
+      |  FROM d JOIN b ON d.event_type = b.event_type)
+      |SELECT event_type, date, n,
+      |       CAST(p - LEAST(MIN(p) OVER (PARTITION BY event_type
+      |              ORDER BY date ROWS UNBOUNDED PRECEDING), 0)
+      |            AS BIGINT) AS cusum7,
+      |       CAST((10000 * (p - LEAST(MIN(p) OVER (PARTITION BY event_type
+      |              ORDER BY date ROWS UNBOUNDED PRECEDING), 0))) // n7
+      |            AS BIGINT) AS cusum_bp
+      |FROM p ORDER BY event_type, date""".stripMargin)
+
   private val ewma = QueryDef(
     (s, dir) => {
       import s.implicits._
@@ -955,6 +1016,7 @@ object Incremental {
     "q_compaction_plan" -> compactionPlan,
     "q_pop_growth" -> popGrowth,
     "q_ewma" -> ewma,
+    "q_cusum" -> cusum,
     "q_cdc_merge" -> cdcMerge,
     "q_skew_profile" -> skewProfile,
     "q_daily_avg" -> dailyAvg,

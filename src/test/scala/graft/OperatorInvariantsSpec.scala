@@ -805,6 +805,30 @@ class OperatorInvariantsSpec extends SparkSpec {
     assert(got.exists(_._2.isDefined) && got.exists(_._3.isDefined))
   }
 
+  test("q_cusum == the textbook max(0, S + d) recursion replayed driver-side") {
+    import spark.implicits._
+    val daily = graft.util.Tables.events(spark, sf)
+      .groupBy($"event_type", to_date($"ts").as("d"))
+      .agg(count(lit(1)).as("n"))
+      .select($"event_type", $"d".cast("string"), $"n")
+      .as[(String, String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).sortBy(_._1)).toMap
+    val expected = daily.flatMap { case (t, days) =>
+      val n7 = days.take(7).map(_._2).sum
+      var sAcc = 0L
+      days.toSeq.map { case (d, n) =>
+        sAcc = math.max(0L, sAcc + (7L * n - n7))
+        (t, d, n, sAcc, 10000L * sAcc / n7)
+      }
+    }.toSet
+    val got = run("q_cusum")
+      .select($"event_type", $"date".cast("string"), $"n", $"cusum7", $"cusum_bp")
+      .as[(String, String, Long, Long, Long)].collect().toSet
+    assert(got === expected)
+    // the detector is live: at least one type accumulates positive drift
+    assert(got.exists(_._4 > 0L))
+  }
+
   test("q_diff_in_diff == driver recompute of the four r4a cell means") {
     import spark.implicits._
     val ev = graft.util.Tables.events(spark, sf)
