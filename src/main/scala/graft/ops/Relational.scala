@@ -1189,6 +1189,34 @@ object Relational {
       |SELECT thr AS threshold, n AS n_above
       |FROM cnt WHERE n < 100 ORDER BY k LIMIT 1""".stripMargin)
 
+  /** Spark 4 SQL pipe syntax (`FROM t |> WHERE … |> AGGREGATE …` —
+    * the linear dataflow form of SQL): the same filtered-aggregate +
+    * HAVING census as plain SQL, stated as a pipeline. The engine
+    * point: pipe syntax is PARSER sugar — Catalyst lowers it to the
+    * identical logical plan (OperatorInvariantsSpec pins
+    * optimizedPlan.sameResult against the standard form), so pushdown,
+    * two-phase aggregation and every other plan property carry over
+    * untouched. The oracle replays the standard form. */
+  private val sqlPipe = QueryDef(
+    (s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("orders_sp")
+      s.sql(
+        """FROM orders_sp
+          ||> WHERE o_orderstatus = 'O'
+          ||> AGGREGATE COUNT(*) AS n,
+          |     CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,10))), 4)
+          |          AS DOUBLE) AS rev
+          |   GROUP BY o_orderpriority
+          ||> WHERE n >= 10
+          ||> ORDER BY o_orderpriority""".stripMargin)
+    },
+    """SELECT o_orderpriority, COUNT(*) AS n,
+      |       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,10))), 4)
+      |            AS DOUBLE) AS rev
+      |FROM orders WHERE o_orderstatus = 'O'
+      |GROUP BY o_orderpriority HAVING COUNT(*) >= 10
+      |ORDER BY o_orderpriority""".stripMargin)
+
   /** Declarative SQL UDFs (Spark 4 `CREATE FUNCTION … RETURN expr` —
     * the remaining UDF surface next to the codegen Catalyst
     * Expressions, typed Aggregators and the lambda-HOF usage): a
@@ -2073,6 +2101,7 @@ object Relational {
     "q_recursive_cte" -> recursiveCte,
     "q_sql_udf" -> sqlUdf,
     "q_sql_script" -> sqlScript,
+    "q_sql_pipe" -> sqlPipe,
     "q_lateral" -> lateral,
     "q_scan_project" -> scanProject,
     "q_filter_pred" -> filterPred,

@@ -805,6 +805,22 @@ class OperatorInvariantsSpec extends SparkSpec {
     assert(got.exists(_._2.isDefined) && got.exists(_._3.isDefined))
   }
 
+  test("q_sql_pipe lowers to the SAME optimized plan as the standard form") {
+    val pipe = run("q_sql_pipe")
+    val std = spark.sql(
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,10))), 4)
+        |            AS DOUBLE) AS rev
+        |FROM orders_sp WHERE o_orderstatus = 'O'
+        |GROUP BY o_orderpriority HAVING COUNT(*) >= 10
+        |ORDER BY o_orderpriority""".stripMargin)
+    assert(pipe.queryExecution.optimizedPlan
+      .sameResult(std.queryExecution.optimizedPlan),
+      s"pipe plan diverged:\n${pipe.queryExecution.optimizedPlan}\nvs\n" +
+        std.queryExecution.optimizedPlan)
+    assert(pipe.collect().toSeq === std.collect().toSeq)
+  }
+
   test("q_cusum == the textbook max(0, S + d) recursion replayed driver-side") {
     import spark.implicits._
     val daily = graft.util.Tables.events(spark, sf)
