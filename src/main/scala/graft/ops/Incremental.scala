@@ -545,6 +545,83 @@ object Incremental {
     * Scale: one two-phase daily rollup (map-side combine crushes the
     * fact table to |types|·|days| rows), then lag windows over tiny
     * per-type series — the window input is already aggregate-sized. */
+  /** Classical additive seasonal decomposition of the per-type daily
+    * total series (the moving-average method behind STL's initial pass):
+    *   x_t = trend_t + seasonal_dow(t) + residual_t
+    * with trend = centered 7-day moving average and seasonal = the
+    * per-day-of-week mean of the detrended series — the time-series
+    * capstone over q_ewma / q_sax_symbols / q_dow_index / q_cusum.
+    *
+    * Exactness: the series is the exact 1e-4-unit BIGINT daily total
+    * (q_ewma discipline); the ÷7 of the moving average is scaled away
+    * (d_t = 7·x_t − T_t over the 7-term window sum), so detrended
+    * values and the per-dow seasonal numerators are exact BIGINTs with
+    * |·| < 2^53. Every emitted double is then ONE fully-specified IEEE
+    * division of exact integers (trend = T/(7·10⁴), seasonal =
+    * Σd/(c·7·10⁴)) or one subtraction of two such — bit-identical on
+    * both engines with NO rounding step at all. Interior days only
+    * (the full ±3-day window must exist). Day-of-week via Spark
+    * dayofweek ≡ DuckDB dayofweek + 1 (the q_dow_index rule).
+    *
+    * Scale: everything after the daily rollup is |types × days| rows;
+    * the MA is a 7-row frame over the keyed day sort (one shuffle),
+    * the seasonal join is a broadcast |types×7|-row frame. */
+  private val seasonalDecomp = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val daily = Tables.events(s, dir)
+        .groupBy($"event_type", to_date($"ts").as("date"))
+        .agg((round(sum($"value".cast("decimal(28,10)")), 4) * lit(10000))
+          .cast("long").as("x4"))
+      val w = Window.partitionBy($"event_type").orderBy($"date")
+      val withT = daily
+        .withColumn("t7", sum($"x4").over(w.rowsBetween(-3, 3)))
+        .withColumn("nw", count(lit(1)).over(w.rowsBetween(-3, 3)))
+        .filter($"nw" === 7)
+        .withColumn("d", lit(7L) * $"x4" - $"t7")
+        .withColumn("dow", dayofweek($"date").cast("long"))
+      val seas = withT.groupBy($"event_type", $"dow")
+        .agg(sum($"d").as("sd"), count(lit(1)).as("cd"))
+      withT.join(broadcast(seas), Seq("event_type", "dow"))
+        .select($"event_type", $"date",
+          ($"x4".cast("double") / lit(1e4)).as("daily"),
+          ($"t7".cast("double") / lit(7e4)).as("trend"),
+          ($"sd".cast("double") / ($"cd".cast("double") * lit(7e4)))
+            .as("seasonal"),
+          ($"d".cast("double") / lit(7e4) -
+            $"sd".cast("double") / ($"cd".cast("double") * lit(7e4)))
+            .as("residual"))
+        .orderBy($"event_type", $"date")
+    },
+    """WITH d AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS date,
+      |         CAST(ROUND(SUM(CAST(value AS DECIMAL(28,10))), 4) * 10000
+      |              AS BIGINT) AS x4
+      |  FROM events GROUP BY 1, 2),
+      |t AS (
+      |  SELECT event_type, date, x4,
+      |         SUM(x4) OVER (PARTITION BY event_type ORDER BY date
+      |           ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS t7,
+      |         COUNT(*) OVER (PARTITION BY event_type ORDER BY date
+      |           ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS nw
+      |  FROM d),
+      |i AS (
+      |  SELECT event_type, date, x4, t7, 7 * x4 - t7 AS dd,
+      |         CAST(dayofweek(date) + 1 AS BIGINT) AS dow
+      |  FROM t WHERE nw = 7),
+      |se AS (
+      |  SELECT event_type, dow, CAST(SUM(dd) AS BIGINT) AS sd,
+      |         COUNT(*) AS cd
+      |  FROM i GROUP BY 1, 2)
+      |SELECT i.event_type, i.date,
+      |       CAST(i.x4 AS DOUBLE) / 1e4 AS daily,
+      |       CAST(i.t7 AS DOUBLE) / 7e4 AS trend,
+      |       CAST(se.sd AS DOUBLE) / (CAST(se.cd AS DOUBLE) * 7e4) AS seasonal,
+      |       CAST(i.dd AS DOUBLE) / 7e4
+      |         - CAST(se.sd AS DOUBLE) / (CAST(se.cd AS DOUBLE) * 7e4) AS residual
+      |FROM i JOIN se ON i.event_type = se.event_type AND i.dow = se.dow
+      |ORDER BY i.event_type, i.date""".stripMargin)
+
   /** One-sided CUSUM drift detector over the per-type daily event
     * counts (Page 1954) — the SEQUENTIAL member of the drift family
     * (q_psi / q_ks_test / q_mad_outliers are batch two-sample tests;
@@ -1017,6 +1094,7 @@ object Incremental {
     "q_pop_growth" -> popGrowth,
     "q_ewma" -> ewma,
     "q_cusum" -> cusum,
+    "q_seasonal_decomp" -> seasonalDecomp,
     "q_cdc_merge" -> cdcMerge,
     "q_skew_profile" -> skewProfile,
     "q_daily_avg" -> dailyAvg,

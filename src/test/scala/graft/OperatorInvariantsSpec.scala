@@ -805,6 +805,43 @@ class OperatorInvariantsSpec extends SparkSpec {
     assert(got.exists(_._2.isDefined) && got.exists(_._3.isDefined))
   }
 
+  test("q_seasonal_decomp == exact integer-space recompute; components " +
+    "reconstruct the series") {
+    import spark.implicits._
+    val daily = graft.util.Tables.events(spark, sf)
+      .groupBy($"event_type", to_date($"ts").as("d"))
+      .agg((round(sum($"value".cast("decimal(28,10)")), 4) * lit(10000))
+        .cast("long").as("x4"))
+      .select($"event_type", $"d".cast("string"), $"x4")
+      .as[(String, String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).sortBy(_._1)).toMap
+    val expected = daily.flatMap { case (t, days) =>
+      val interior = (3 until days.length - 3).map { i =>
+        val t7 = (i - 3 to i + 3).map(j => days(j)._2).sum
+        (days(i)._1, days(i)._2, t7, 7L * days(i)._2 - t7)
+      }
+      val cal = java.time.format.DateTimeFormatter.ISO_LOCAL_DATE
+      def dow(d: String) = java.time.LocalDate.parse(d, cal).getDayOfWeek.getValue
+      val seas = interior.groupBy(r => dow(r._1))
+        .view.mapValues(rs => (rs.map(_._4).sum, rs.size.toLong)).toMap
+      interior.map { case (d, x4, t7, dd) =>
+        val (sd, cd) = seas(dow(d))
+        val seasonal = sd.toDouble / (cd.toDouble * 7e4)
+        (t, d, x4.toDouble / 1e4, t7.toDouble / 7e4, seasonal,
+          dd.toDouble / 7e4 - seasonal)
+      }
+    }.toSet
+    val got = run("q_seasonal_decomp")
+      .select($"event_type", $"date".cast("string"), $"daily", $"trend",
+        $"seasonal", $"residual")
+      .as[(String, String, Double, Double, Double, Double)].collect().toSet
+    assert(got === expected) // bit-exact: every column is one IEEE op chain
+    // additive reconstruction: trend + seasonal + residual == daily
+    got.foreach { case (t, d, x, tr, se, re) =>
+      assert(math.abs(tr + se + re - x) < 1e-9, s"($t, $d)")
+    }
+  }
+
   test("q_sql_pipe lowers to the SAME optimized plan as the standard form") {
     val pipe = run("q_sql_pipe")
     val std = spark.sql(
