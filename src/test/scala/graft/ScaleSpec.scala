@@ -266,4 +266,39 @@ class ScaleSpec extends SparkSpec {
       assert((rx, ry) === ((x, y)), s"z=$z")
     }
   }
+
+  test("AQE skew-join splits the hot partition of a shuffled join " +
+    "(the runtime half of the skew armor; q_join_salted is the portable half)") {
+    import spark.implicits._
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // one pathological key carries ~97% of the left side
+      val left = spark.range(60000).select(
+        when($"id" < 58000, lit(7L)).otherwise($"id").as("k"),
+        $"id".as("payload"))
+      val right = spark.range(2000).select($"id".as("k"), ($"id" * 2).as("w"))
+      val joined = left.join(right, "k")
+      // execute THIS dataframe (count() would plan a separate query and
+      // leave joined's own adaptive plan unfinalized)
+      val rows = joined.collect()
+      // 58000 hot-key matches; the 2000 unique left keys (58000+) miss
+      assert(rows.length === 58000)
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        p.take(3000))
+      assert(p.contains("skew=true"),
+        "AQE did not mark the join as skew-handled:\n" + p.take(3000))
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
