@@ -1727,6 +1727,9 @@ object Relational {
         .withColumn("f1", sum($"c1").over(w))
         .withColumn("n0", sum($"c0").over(tot))
         .withColumn("n1", sum($"c1").over(tot))
+        // KS is undefined when either cohort is empty — emit no rows
+        // instead of a divide-by-zero (degenerate-input contract)
+        .filter($"n0" > 0 && $"n1" > 0)
         .withColumn("bp", expr(
           """(abs(CAST(f0 AS DECIMAL(38,0)) * n1
             |     - CAST(f1 AS DECIMAL(38,0)) * n0) * 10000)
@@ -1754,7 +1757,7 @@ object Relational {
       |  SELECT bin, n0, n1,
       |         (ABS(CAST(f0 AS HUGEINT) * n1 - CAST(f1 AS HUGEINT) * n0)
       |          * 10000) // (CAST(n0 AS HUGEINT) * n1) AS bp
-      |  FROM cum)
+      |  FROM cum WHERE n0 > 0 AND n1 > 0)
       |SELECT CAST(MAX(bp) AS BIGINT) AS ks_bp, MIN(bin) AS at_bin,
       |       CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1
       |FROM bp WHERE bp = (SELECT MAX(bp) FROM bp) GROUP BY n0, n1""".stripMargin)

@@ -1,0 +1,28 @@
+package graft
+
+/** Degenerate-input sweep: EVERY declared query must run (possibly to an
+  * empty result, never to a crash) against a one-row-per-table copy of
+  * the fixture. At 100 TB a partition, a tenant, or a backfill slice
+  * routinely degenerates to near-empty input; an operator that divides
+  * by an empty cohort, head()s an empty frame, or windows over a
+  * missing history must degrade to "no rows", not kill the job. (This
+  * sweep caught q_ks_test's empty-cohort divide-by-zero.) */
+class DegenerateInputSpec extends SparkSpec {
+
+  test("all declared queries survive one-row-per-table input") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tiny").toString
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings").foreach { t =>
+      spark.read.parquet(s"$sf/$t.parquet").limit(1)
+        .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    val failed = SparkEntry.all.keys.toSeq.sorted.flatMap { name =>
+      try { SparkEntry.all(name).fn(spark, dir).collect(); None }
+      catch { case e: Throwable =>
+        Some(s"$name: ${e.getClass.getSimpleName} " +
+          Option(e.getMessage).getOrElse("").take(120))
+      }
+    }
+    assert(failed.isEmpty, failed.mkString("\n"))
+  }
+}
