@@ -392,9 +392,14 @@ object Relational {
   private val percentile = QueryDef(
     (s, dir) => {
       import s.implicits._
+      // rows with a null measure drop BEFORE counting (SQL percentile
+      // null-skipping; the shared-counts melt needs both measures, so a
+      // row missing either is excluded — fixture has none, and at
+      // ingest nulls are quarantined upstream anyway)
       val li = Tables.lineitem(s, dir)
         .select($"l_returnflag", $"l_quantity".cast("double").as("q"),
           $"l_extendedprice".cast("double").as("p"))
+        .filter($"l_returnflag".isNotNull && $"q".isNotNull && $"p".isNotNull)
       // ONE per-group counts job (guarded driver read), shared by both
       // rankPicks (as their offset table, in Spark sort order) and the
       // final agg join
@@ -1366,6 +1371,7 @@ object Relational {
       import s.implicits._
       val ev = Tables.events(s, dir)
         .select($"event_type", $"value".cast("double").as("v"))
+        .filter($"event_type".isNotNull && $"v".isNotNull) // SQL null-skip
       val counted = Scale.groupCounts(ev, "event_type")
       val disc = (n: Long) => Seq((n + 1) / 2) // rank ⌈n/2⌉ = quantile_disc(0.5)
       val meds = Scale.rankPickBy(s,
@@ -1465,6 +1471,7 @@ object Relational {
       import s.implicits._
       val ev = Tables.events(s, dir)
         .select($"event_type", $"value".cast("double").as("v"))
+        .filter($"event_type".isNotNull && $"v".isNotNull) // SQL null-skip
       val counted = Scale.groupCounts(ev, "event_type")
       val r05 = (n: Long) => (n + 19) / 20
       val r95 = (n: Long) => (19 * n + 19) / 20
