@@ -458,19 +458,38 @@ object Relational {
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
 
   /** Correlation / covariance per group (§2.4). */
+  /** Correlation/covariance/variance census. Pearson r is stated from
+    * the covariance and variances EXPLICITLY — r = cov/√(vx·vy), NULL
+    * when either variance is 0 — rather than through the corr()
+    * aggregate: under Spark 4's default ANSI mode corr() THROWS
+    * DIVIDE_BY_ZERO on a zero-variance group (a constant column in one
+    * partition slice kills the whole job — caught by the tie-storm
+    * degenerate sweep), while cov/var return plain 0.0 and leave the
+    * division to us to guard. DuckDB's CORR returns NULL there, so the
+    * guarded form is also the cross-engine-portable one. */
   private val corr_ = QueryDef(
     (s, dir) => {
       import s.implicits._
       Tables.lineitem(s, dir)
         .groupBy($"l_returnflag")
         .agg(
-          round(corr($"l_quantity", $"l_extendedprice"), 4).as("corr_qp"),
-          round(covar_samp($"l_quantity", $"l_extendedprice"), 4).as("cov_qp"),
-          round(var_samp($"l_quantity"), 4).as("var_q"))
+          covar_samp($"l_quantity", $"l_extendedprice").as("cov"),
+          var_samp($"l_quantity").as("vx"),
+          var_samp($"l_extendedprice").as("vy"))
+        .select($"l_returnflag",
+          when($"vx" > 0.0 && $"vy" > 0.0,
+            round($"cov" / sqrt($"vx" * $"vy"), 4)).as("corr_qp"),
+          round($"cov", 4).as("cov_qp"),
+          round($"vx", 4).as("var_q"))
         .orderBy($"l_returnflag")
     },
     """SELECT l_returnflag,
-      |       ROUND(CORR(l_quantity, l_extendedprice), 4) AS corr_qp,
+      |       CASE WHEN VAR_SAMP(l_quantity) > 0
+      |             AND VAR_SAMP(l_extendedprice) > 0
+      |            THEN ROUND(COVAR_SAMP(l_quantity, l_extendedprice)
+      |                       / SQRT(VAR_SAMP(l_quantity)
+      |                              * VAR_SAMP(l_extendedprice)), 4)
+      |       END AS corr_qp,
       |       ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 4) AS cov_qp,
       |       ROUND(VAR_SAMP(l_quantity), 4) AS var_q
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
