@@ -1030,10 +1030,16 @@ object Incremental {
           $"event_type" === $"et2" &&
           $"d2".between(date_sub($"date", 6), $"date"))
         .groupBy($"event_type", $"date", $"m")
-        .agg(count(lit(1)).as("n"),
+        // n counts the COLLECTED values, not join rows: collect_list
+        // drops nulls, so counting rows would index past the array's
+        // end whenever a window value is null (quantile_disc ignores
+        // NULL on the oracle side — this is the same rule); the guard
+        // returns NULL for an all-null window instead of crashing
+        .agg(count($"m2").as("n"),
           sort_array(collect_list($"m2")).as("win"))
         .select($"event_type", $"date", $"m", $"n",
-          element_at($"win", expr("CAST((n + 1) div 2 AS INT)"))
+          when($"n" > 0,
+            element_at($"win", expr("CAST((n + 1) div 2 AS INT)")))
             .as("med7"))
         .orderBy($"event_type", $"date")
     },
@@ -1042,7 +1048,7 @@ object Incremental {
       |         FLOOR(CAST(CAST(CAST(ROUND(SUM(CAST(value AS DECIMAL(28,10))), 6) AS DECIMAL(24,6)) * 1000000 AS BIGINT) AS DOUBLE) / (COUNT(*) * 100.0) + 0.5) / 10000.0 AS m
       |  FROM events GROUP BY 1, 2)
       |SELECT event_type, date, m,
-      |       COUNT(*) OVER w AS n,
+      |       COUNT(m) OVER w AS n,
       |       quantile_disc(m, 0.5) OVER w AS med7
       |FROM daily
       |WINDOW w AS (PARTITION BY event_type ORDER BY date

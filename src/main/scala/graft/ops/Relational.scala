@@ -873,7 +873,16 @@ object Relational {
     (s, dir) => {
       import s.implicits._
       Tables.events(s, dir).select($"event_id", $"value")
-        .withColumn("v100", floor($"value" * 100).cast("long"))
+        // the payload builder itself is error-safe — and NOT via floor
+        // alone: Spark's FLOOR(double) returns BIGINT with NaN → 0 and
+        // ±Inf → ±Long.MaxValue SILENTLY (no ANSI error), which both
+        // corrupts the census and overflows the downstream SUM. A
+        // non-finite value must become a NULL payload (→ a counted bad
+        // cast), which takes an explicit finiteness guard.
+        .withColumn("v100", when(
+          !isnan($"value") && !$"value".isin(
+            Double.PositiveInfinity, Double.NegativeInfinity),
+          floor($"value" * 100).cast("long")))
         .withColumn("sraw", concat(
           when($"event_id" % 7 === 0, lit("x")).otherwise(lit("")),
           $"v100".cast("string")))
@@ -1739,6 +1748,11 @@ object Relational {
     (s, dir) => {
       import s.implicits._
       val binned = Tables.events(s, dir)
+        // non-finite values can't bin (ANSI cast of ±Inf/NaN to BIGINT
+        // throws) and carry no distributional information — excluded,
+        // like nulls, on both engines
+        .filter(!isnan($"value") && !$"value".isin(
+          Double.PositiveInfinity, Double.NegativeInfinity))
         .select((floor($"value" / 10).cast("long") * 10).as("bin"),
           ($"user_id" % 2).as("g"))
         .groupBy($"bin")
@@ -1772,7 +1786,7 @@ object Relational {
       |  SELECT CAST(FLOOR(value / 10) AS BIGINT) * 10 AS bin,
       |         SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS c0,
       |         SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS c1
-      |  FROM events GROUP BY 1),
+      |  FROM events WHERE isfinite(value) GROUP BY 1),
       |cum AS (
       |  SELECT bin,
       |         SUM(c0) OVER (ORDER BY bin) AS f0,
