@@ -453,6 +453,82 @@ object VectorOps {
       |       COUNT(*) AS n
       |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 
+  /** Embedding-space drift monitor — the vector twin of the scalar
+    * drift family (q_psi / q_ks_test / q_cusum): split the store into
+    * two cohorts (vec_id parity — in production: last week vs this
+    * week, or train vs serve), compute each cohort's exact per-label
+    * centroid, and report the centroid displacement (L2) and the
+    * cosine between cohort centroids per label. A healthy re-embed
+    * reads cos ≈ 1 / small L2; an encoder change or distribution
+    * shift reads here before any downstream metric moves.
+    *
+    * Exactness: per-(label, cohort, dim) centroids are r4a means
+    * (bit-identical 4-decimal-grid doubles); each squared-difference /
+    * product term casts to DECIMAL(28,12) BEFORE summation (the
+    * q_pagerank_step order-independence discipline; unscaled sums stay
+    * < 2^53 so the final decimal→double casts are exact), and the
+    * emitted L2/cos are one sqrt / one division chain on identical
+    * operands. Scale: one posexplode shuffle of the store into
+    * |labels × 2 × dims| cells; everything after is tiny. */
+  private val embeddingDrift = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val cells = Tables.embeddings(s, dir)
+        .select($"label".cast("long").as("label"),
+          ($"vec_id" % 2).cast("long").as("cohort"), posexplode($"embedding"))
+        .groupBy($"label", $"cohort", ($"pos" + 1).cast("long").as("pos"))
+        .agg(Incremental.r4a(sum($"col".cast("double").cast("decimal(28,10)")),
+          count(lit(1))).as("c"), count(lit(1)).as("n"))
+      val a = cells.filter($"cohort" === 0)
+        .select($"label", $"pos", $"c".as("ca"), $"n".as("na"))
+      val b = cells.filter($"cohort" === 1)
+        .select($"label".as("lb"), $"pos".as("pb"), $"c".as("cb"), $"n".as("nb"))
+      a.join(b, $"label" === $"lb" && $"pos" === $"pb")
+        .groupBy($"label")
+        .agg(max($"na").as("n_a"), max($"nb").as("n_b"),
+          sum((($"ca" - $"cb") * ($"ca" - $"cb")).cast("decimal(28,12)"))
+            .as("d2"),
+          sum(($"ca" * $"cb").cast("decimal(28,12)")).as("dot"),
+          sum(($"ca" * $"ca").cast("decimal(28,12)")).as("aa"),
+          sum(($"cb" * $"cb").cast("decimal(28,12)")).as("bb"))
+        .select($"label", $"n_a", $"n_b",
+          sqrt($"d2".cast("double")).as("l2_drift"),
+          // dot / sqrt(aa·bb), NOT dot / (sqrt·sqrt): IEEE sqrt(x·x)
+          // recovers |x| exactly, so identical cohorts read cos = 1.0
+          // bit-exactly (the self-drift invariant the spec pins)
+          ($"dot".cast("double") /
+            sqrt($"aa".cast("double") * $"bb".cast("double")))
+            .as("cos_centroids"))
+        .orderBy($"label")
+    },
+    """WITH v AS (SELECT CAST(label AS BIGINT) AS label,
+      |                  CAST(vec_id % 2 AS BIGINT) AS cohort,
+      |                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+      |           FROM embeddings),
+      |e AS (SELECT label, cohort, CAST(i.i AS BIGINT) AS pos, ve[i.i] AS x
+      |      FROM v CROSS JOIN (SELECT UNNEST(range(1, 100)) AS i) i
+      |      WHERE i.i <= len(ve)),
+      |cell AS (
+      |  SELECT label, cohort, pos,
+      |         FLOOR(CAST(CAST(CAST(ROUND(SUM(CAST(x AS DECIMAL(28,10))), 6)
+      |                   AS DECIMAL(24,6)) * 1000000 AS BIGINT) AS DOUBLE)
+      |               / (COUNT(*) * 100.0) + 0.5) / 10000.0 AS c,
+      |         COUNT(*) AS n
+      |  FROM e GROUP BY 1, 2, 3),
+      |j AS (SELECT a.label, a.n AS na, b.n AS nb,
+      |             a.c AS ca, b.c AS cb
+      |      FROM (SELECT * FROM cell WHERE cohort = 0) a
+      |      JOIN (SELECT * FROM cell WHERE cohort = 1) b
+      |        ON a.label = b.label AND a.pos = b.pos)
+      |SELECT label, MAX(na) AS n_a, MAX(nb) AS n_b,
+      |       SQRT(CAST(SUM(CAST((ca - cb) * (ca - cb) AS DECIMAL(28,12)))
+      |                 AS DOUBLE)) AS l2_drift,
+      |       CAST(SUM(CAST(ca * cb AS DECIMAL(28,12))) AS DOUBLE)
+      |         / SQRT(CAST(SUM(CAST(ca * ca AS DECIMAL(28,12))) AS DOUBLE)
+      |                * CAST(SUM(CAST(cb * cb AS DECIMAL(28,12))) AS DOUBLE))
+      |         AS cos_centroids
+      |FROM j GROUP BY 1 ORDER BY 1""".stripMargin)
+
   /** Int8 scalar quantization of the embedding store + reconstruction
     * error report — the 4× (fp32→int8) storage cut a 100 TB vector
     * corpus takes before ANN serving (public FAISS/ScaNN practice).
@@ -1445,6 +1521,7 @@ object VectorOps {
 
   val defs: Seq[(String, QueryDef)] = Seq(
     "q_hybrid_rrf" -> hybridRrf,
+    "q_embedding_drift" -> embeddingDrift,
     "q_pca_power" -> pcaPower,
     "q_semantic_clusters" -> semanticClusters,
     "q_mmr_diversify" -> mmrDiversify,

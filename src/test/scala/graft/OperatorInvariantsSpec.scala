@@ -805,6 +805,41 @@ class OperatorInvariantsSpec extends SparkSpec {
     assert(got.exists(_._2.isDefined) && got.exists(_._3.isDefined))
   }
 
+  test("q_embedding_drift: self-drift is zero — identical cohorts read " +
+    "l2 = 0 and cos = 1 exactly") {
+    import spark.implicits._
+    // duplicate every vector into BOTH cohorts (vec_id parity flipped
+    // copy): per-label centroids are then identical by construction,
+    // so the operator's arithmetic must read exactly (0, 1)
+    val e = graft.util.Tables.embeddings(spark, sf)
+    val doubled = e.select(($"vec_id" * 2).as("vec_id"), $"embedding", $"label")
+      .unionByName(
+        e.select(($"vec_id" * 2 + 1).as("vec_id"), $"embedding", $"label"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_drift").toString
+    doubled.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents").foreach { t =>
+      spark.read.parquet(s"$sf/$t.parquet").limit(1)
+        .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    val rows = SparkEntry.all("q_embedding_drift").fn(spark, dir)
+      .select($"label", $"n_a", $"n_b", $"l2_drift", $"cos_centroids")
+      .as[(Long, Long, Long, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (l, na, nb, d, c) =>
+      assert(na === nb, s"label $l")
+      assert(d === 0.0, s"label $l: self-drift $d")
+      assert(c === 1.0, s"label $l: self-cos $c")
+    }
+    // and on the REAL split the halves differ (labels are random in the
+    // fixture, so the cosine can read anything in [-1, 1] — only the
+    // Cauchy-Schwarz bound and nonzero displacement are guaranteed)
+    val real = run("q_embedding_drift")
+      .select($"l2_drift", $"cos_centroids").as[(Double, Double)].collect()
+    assert(real.forall { case (d, c) =>
+      d > 0.0 && math.abs(c) <= 1.0 + 1e-12 && !c.isNaN })
+  }
+
   test("q_seasonal_decomp == exact integer-space recompute; components " +
     "reconstruct the series") {
     import spark.implicits._
