@@ -241,7 +241,20 @@ object Pipeline {
     * an all-rows-deleted partition would otherwise silently keep its
     * old files — the classic dynamic-overwrite delete pitfall, pinned
     * in PipelineSpec. Idempotent: re-applying the same delete finds no
-    * matches and is a no-op. Returns the number of rows deleted. */
+    * matches and is a no-op. Returns the number of rows deleted.
+    *
+    * Crash window (documented, recovery = re-run): the dynamic-overwrite
+    * commit lands first and the emptied-partition directory removal
+    * after, so a crash between the two resurrects fully-deleted
+    * partitions' old files. Because the delete is idempotent, re-running
+    * the same request IS the recovery path — the resurrected rows match
+    * the keys again, the partition re-lists as affected, and the rm
+    * completes. A post-condition anti-join (count of surviving matches
+    * === 0) runs before returning, so a partial apply can never report
+    * success. Partition directory names are built with Spark's own
+    * escaping (ExternalCatalogUtils), so values with spaces/':'/'%' and
+    * NULL partition values (__HIVE_DEFAULT_PARTITION__) resolve to the
+    * real on-disk directories. */
   def deleteKeys(
       spark: SparkSession,
       keys: DataFrame,
@@ -258,7 +271,18 @@ object Pipeline {
       s"delete touches >$maxPartitions $partitionCol partitions — " +
         "that is a table rewrite; split the request")
     if (affected.isEmpty) return 0L
-    val existing = sink.filter(col(partitionCol).isin(affected.toIndexedSeq: _*))
+    // NULL partition values never match isin (SQL three-valued logic) —
+    // without the explicit isNull arm, a null partition's KEPT rows would
+    // be dropped from staging while its directory is removed: data loss,
+    // not just a missed delete. Pinned in PipelineSpec.
+    val nonNull = affected.filter(_ != null)
+    val inNonNull =
+      if (nonNull.isEmpty) lit(false)
+      else col(partitionCol).isin(nonNull.toIndexedSeq: _*)
+    val partFilter =
+      if (affected.contains(null)) inNonNull || col(partitionCol).isNull
+      else inNonNull
+    val existing = sink.filter(partFilter)
     val before = existing.count()
     val keep = existing.join(keyFrame, keyCols.toIndexedSeq, "left_anti")
     val staging = s"$sinkDir/.delete_staging"
@@ -282,10 +306,27 @@ object Pipeline {
       f.delete(): Unit
     }
     affected.filterNot(survivors.contains).foreach { p =>
-      rm(new java.io.File(s"$sinkDir/$partitionCol=$p"))
+      // Spark URL-escapes partition values in directory names (spaces,
+      // ':', '%', …) and writes NULL as __HIVE_DEFAULT_PARTITION__ — a
+      // raw s"$col=$p" path misses those dirs and silently leaves
+      // "deleted" rows on disk. getPartitionPathString applies the same
+      // escaping the writer used (null/empty → the default partition).
+      val dirName = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .getPartitionPathString(partitionCol, if (p == null) null else p.toString)
+      rm(new java.io.File(s"$sinkDir/$dirName"))
     }
     val deleted = before - staged.count()
     rm(new java.io.File(staging))
+    // post-condition — GDPR verb, verify don't trust: no surviving sink
+    // row may match a requested key. A fully-emptied sink has no parquet
+    // footers to read; that trivially satisfies the condition.
+    val residual =
+      try spark.read.parquet(sinkDir)
+        .join(keyFrame, keyCols.toIndexedSeq, "left_semi").count()
+      catch { case _: org.apache.spark.sql.AnalysisException => 0L }
+    require(residual == 0L,
+      s"deleteKeys post-condition failed: $residual matching rows remain " +
+        s"in $sinkDir — re-run the delete (idempotent recovery)")
     deleted
   }
 

@@ -457,4 +457,36 @@ class PipelineSpec extends SparkSpec {
     assert(!new java.io.File(s"$sink/date=2024-01-03").exists())
     assert(state() === Set(("2024-01-01", "SE2"), ("2024-01-02", "SE3")))
   }
+
+  test("deleteKeys: URL-escaped and NULL partition values resolve to the " +
+    "real on-disk directories; null partition's kept rows survive") {
+    import spark.implicits._
+    val sink = Files.createTempDirectory("graft_del_esc").toString + "/t"
+    // partition values Spark escapes on disk (space, ':', '%') plus NULL
+    // (__HIVE_DEFAULT_PARTITION__); k1 empties 'x:y'; both keys share the
+    // null partition so it must be REWRITTEN (k2 kept), not rm'd
+    Seq(("k1", Some("a b")), ("k1", Some("x:y")), ("k1", None),
+      ("k2", Some("a b")), ("k2", Some("p%q")), ("k2", None))
+      .toDF("group_key", "src")
+      .write.partitionBy("src").parquet(sink)
+    val n = Pipeline.deleteKeys(spark, Seq("k1").toDF("group_key"), sink,
+      keyCols = Seq("group_key"), partitionCol = "src")
+    assert(n === 3)
+    val remaining = spark.read.parquet(sink)
+      .select(col("group_key"), coalesce(col("src"), lit("<null>")))
+      .as[(String, String)].collect().toSet
+    assert(remaining === Set(
+      ("k2", "a b"), ("k2", "p%q"), ("k2", "<null>")))
+    // the emptied escaped partition dir is gone; survivors keep theirs
+    val dirs = new java.io.File(sink).listFiles()
+      .filter(_.isDirectory).map(_.getName).filterNot(_.startsWith(".")).toSet
+    assert(!dirs.exists(_.contains("x%3Ay")), s"emptied dir survived: $dirs")
+    assert(dirs.contains("src=a b") && dirs.contains("src=p%25q") &&
+      dirs.contains("src=__HIVE_DEFAULT_PARTITION__"), dirs.toString)
+
+    // now empty the null partition entirely — its directory must go
+    assert(Pipeline.deleteKeys(spark, Seq("k2").toDF("group_key"), sink,
+      keyCols = Seq("group_key"), partitionCol = "src") === 3L)
+    assert(!new java.io.File(s"$sink/src=__HIVE_DEFAULT_PARTITION__").exists())
+  }
 }
