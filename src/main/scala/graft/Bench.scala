@@ -52,8 +52,12 @@ object Bench {
     // intermediates are a once-per-ingest bucketed table write, not a
     // per-query cost — timing them as one line item matches that shape.
     val tw0 = System.nanoTime()
-    val warmed = graft.util.SessionMemo.warmPersisted(spark)
+    // memo keys carry a `|<dir>` suffix (one entry per sf dir); the
+    // bench session only ever touches $sfDir, so drop it for display
+    val warmTimes = graft.util.SessionMemo.warmPersistedTimed(spark)
+      .map { case (k, v) => k.takeWhile(_ != '|') -> v }
     val warmSec = (System.nanoTime() - tw0) / 1e9
+    val warmed = warmTimes.size
 
     // a query that throws records -1 (failure sentinel), never a
     // normal-looking wall-clock time
@@ -127,8 +131,14 @@ object Bench {
     rmAll(wroot.toFile)
 
     val all = results ++ writeResults
+    // 4-decimal times (0.1 ms resolution — below run-to-run noise by
+    // >100×): full-precision doubles tripled the line length for digits
+    // that carry no information. Locale.ROOT so a comma-decimal default
+    // locale can't corrupt the JSON.
+    def f4(v: Double): String =
+      if (v < 0) "-1" else "%.4f".formatLocal(java.util.Locale.ROOT, v)
     val failed = all.collect { case (k, v) if v < 0 => s"\"" + k + "\"" }
-    val qs = all.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = all.map { case (k, v) => s"\"" + k + "\":" + f4(v) }
       .mkString("{", ",", "}")
     // headline total INCLUDES the shared-lineage warm: prior rounds
     // billed that rebuild inside whichever query touched it first, so
@@ -136,6 +146,8 @@ object Bench {
     // round. The breakdown fields keep the two costs separable.
     val total = all.collect { case (_, v) if v >= 0 => v }.sum + warmSec
     val failedJson = failed.mkString("[", ",", "]")
+    val warmJson = warmTimes.map { case (k, v) => s"\"" + k + "\":" + f4(v) }
+      .mkString("{", ",", "}")
     // memory telemetry: the r4 regression was heap starvation
     // (VERDICT r4) — record the budget each run actually had so a
     // future regression is diagnosable from the artifact alone
@@ -152,12 +164,13 @@ object Bench {
         s.map(_._1).sum / 1e9)
     }
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""failed":$failedJson,"sf":"$sfDir","pipeline_warm_sec":$warmSec,""" +
-        s""""warmed_intermediates":$warmed,"heap_gb":$heapGb,""" +
+      s"""{"metric":"total","value":${f4(total)},"unit":"sec","queries":$qs,""" +
+        s""""failed":$failedJson,"sf":"$sfDir","pipeline_warm_sec":${f4(warmSec)},""" +
+        s""""warmed_intermediates":$warmed,"warm_breakdown":$warmJson,""" +
+        s""""heap_gb":${f4(heapGb)},""" +
         s""""kernels_registered":$kernelsLive,""" +
         s""""spark_version":"${spark.version}",""" +
-        s""""storage_used_gb":$storUsed,"storage_max_gb":$storMax}"""
+        s""""storage_used_gb":${f4(storUsed)},"storage_max_gb":${f4(storMax)}}"""
     println(json)
     // stdout alone gets tail-truncated in the driver's artifact (r4 lost
     // 29 of 96 per-query times) — persist the full line as a file too
@@ -165,6 +178,38 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case _: Throwable => () }
+    // ---- FINAL line: a compact self-contained JSON summary sized to
+    // survive the driver's tail capture. The driver artifact keeps only
+    // the LAST ~2000 chars of stdout (BENCH_r07/r08 both landed
+    // `parsed: null` because the ~8 KB full map can never fit whole), so
+    // the last line must be a complete parseable object on its own:
+    // headline total, failures, warm attribution, and the slowest
+    // queries — greedily packed to a ~1700-char budget, with explicit
+    // truncation accounting (n_queries vs queries_included) and a
+    // pointer to the checked-in full map. ~75 chars of sbt "[success]"
+    // noise follow this line inside the same tail window.
+    val slowestFirst = all.toSeq.sortBy { case (_, v) => -v }
+    val compactHead =
+      s"""{"metric":"total","value":${f4(total)},"unit":"sec","sf":"$sfDir",""" +
+        s""""n_queries":${all.size},"n_failed":${failed.size},""" +
+        s""""failed":${failed.take(10).mkString("[", ",", "]")},""" +
+        s""""pipeline_warm_sec":${f4(warmSec)},"warmed_intermediates":$warmed,""" +
+        s""""warm_top":${warmTimes.sortBy(-_._2).take(4)
+          .map { case (k, v) => s"\"" + k + "\":" + f4(v) }
+          .mkString("{", ",", "}")},""" +
+        s""""heap_gb":${f4(heapGb)},"kernels_registered":$kernelsLive,""" +
+        s""""spark_version":"${spark.version}","full_map":"$out","""
+    val budget = 1700
+    val picked = scala.collection.mutable.ArrayBuffer[String]()
+    var used = compactHead.length + 60 // room for the tail fields below
+    slowestFirst.foreach { case (k, v) =>
+      val ent = s"\"" + k + "\":" + f4(v)
+      if (used + ent.length + 1 <= budget) { picked += ent; used += ent.length + 1 }
+    }
+    val compact = compactHead +
+      s""""queries_included":${picked.size},""" +
+      s""""queries":${picked.mkString("{", ",", "}")}}"""
+    println(compact)
     spark.stop()
   }
 }

@@ -1335,7 +1335,7 @@ object Joins {
   private val sessionMemo = new graft.util.SessionMemo(onHit = { hit =>
     if (hit.storageLevel == org.apache.spark.storage.StorageLevel.NONE) hit.persist()
     hit
-  }, persistedLineage = true)
+  }, persistedLineage = true, name = "joins")
   private def memoized(s: SparkSession, dir: String, key: String)(
       build: => DataFrame): DataFrame =
     sessionMemo(s, s"$key|$dir")(build.persist())

@@ -34,7 +34,7 @@ object TextDedup {
   private val sessionMemo = new graft.util.SessionMemo(onHit = { hit =>
     if (hit.storageLevel == org.apache.spark.storage.StorageLevel.NONE) hit.persist()
     hit
-  }, persistedLineage = true)
+  }, persistedLineage = true, name = "dedup")
   private def memoized(s: SparkSession, dir: String, key: String)(
       build: => DataFrame): DataFrame =
     sessionMemo(s, s"$key|$dir")(build.persist())

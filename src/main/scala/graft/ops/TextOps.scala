@@ -29,7 +29,7 @@ object TextOps {
   private val sessionMemo = new graft.util.SessionMemo(onHit = { hit =>
     if (hit.storageLevel == org.apache.spark.storage.StorageLevel.NONE) hit.persist()
     hit
-  }, persistedLineage = true)
+  }, persistedLineage = true, name = "text")
   private def memoized(s: org.apache.spark.sql.SparkSession, dir: String,
       key: String)(build: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     sessionMemo(s, s"$key|$dir")(build.persist())

@@ -320,7 +320,7 @@ object VectorOps {
   private val sessionMemo = new graft.util.SessionMemo(onHit = { hit =>
     if (hit.storageLevel == org.apache.spark.storage.StorageLevel.NONE) hit.persist()
     hit
-  }, persistedLineage = true)
+  }, persistedLineage = true, name = "vec")
   private def semanticLabels(s: SparkSession, dir: String): DataFrame =
     sessionMemo(s, s"semanticLabels|$dir") {
       import s.implicits._

@@ -14,16 +14,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 private[graft] final class SessionMemo(
     onHit: DataFrame => DataFrame = identity,
-    persistedLineage: Boolean = false) {
+    persistedLineage: Boolean = false,
+    name: String = "") {
 
   SessionMemo.register(this)
 
   private val memo = new java.util.HashMap[
     SparkSession, java.util.HashMap[String, DataFrame]]()
 
-  /** Entries for `s`, but only when this memo holds persisted lineages
-    * (plan-only memos like Tables' scans have nothing to warm). */
-  private[graft] def persistedEntries(s: SparkSession): Seq[DataFrame] =
+  /** (key, frame) entries for `s`, but only when this memo holds
+    * persisted lineages (plan-only memos like Tables' scans have nothing
+    * to warm). Keys are prefixed with the memo's family `name` so the
+    * bench warm breakdown is attributable per lineage. */
+  private[graft] def persistedEntries(s: SparkSession): Seq[(String, DataFrame)] =
     memo.synchronized {
       val m = memo.get(s)
       if (m == null || !persistedLineage) Seq.empty
@@ -31,7 +34,10 @@ private[graft] final class SessionMemo(
         import scala.jdk.CollectionConverters._
         // deterministic (key-sorted) order so warm-time variance across
         // runs reflects the box, never HashMap iteration order
-        m.entrySet().asScala.toSeq.sortBy(_.getKey).map(_.getValue)
+        m.entrySet().asScala.toSeq.sortBy(_.getKey).map { e =>
+          val k = if (name.isEmpty) e.getKey else s"$name.${e.getKey}"
+          k -> e.getValue
+        }
       }
     }
 
@@ -66,17 +72,28 @@ private[graft] object SessionMemo {
     * dedup-pipeline lineage). Persist-all FIRST so dependency order
     * doesn't matter: counting a downstream entry then caches its
     * upstream entries as a side effect. Returns the entry count. */
-  def warmPersisted(s: SparkSession): Int = {
-    val dfs = instances.synchronized(instances.toList)
+  def warmPersisted(s: SparkSession): Int = warmPersistedTimed(s).size
+
+  /** [[warmPersisted]] with a per-entry (key, seconds) breakdown —
+    * VERDICT r8 item 3: `pipeline_warm_sec` was a single opaque number,
+    * so a warm-time regression wasn't attributable to a lineage.
+    * Attribution caveat (documented, inherent): entries share lineage,
+    * so the FIRST entry counted materializes its upstream entries as a
+    * side effect and absorbs their build time (they then time ~0).
+    * Order is key-sorted and deterministic, so run-over-run comparison
+    * of a given key is still apples-to-apples. */
+  def warmPersistedTimed(s: SparkSession): Seq[(String, Double)] = {
+    val entries = instances.synchronized(instances.toList)
       .flatMap(_.persistedEntries(s))
-    dfs.foreach { df =>
+    entries.foreach { case (_, df) =>
       if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
         df.persist()
     }
-    dfs.foreach { df =>
+    entries.map { case (key, df) =>
+      val t0 = System.nanoTime()
       try df.count()
       catch { case _: Throwable => () } // a broken entry fails its own query, not the warm
+      key -> (System.nanoTime() - t0) / 1e9
     }
-    dfs.size
   }
 }
