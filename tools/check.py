@@ -3,14 +3,26 @@
 in DuckDB over the fixture parquet, load the engine's Verify output
 parquet, sort columns by name, and compare values exactly.
 
-Usage: python3 tools/check.py <sfDir> <verifyOutDir> [query ...]
+Usage:
+  python3 tools/check.py <sfDir> <verifyOutDir> [query ...]   # one scale
+  python3 tools/check.py --gate [query ...]                   # full gate
+
+--gate runs `sbt runMain graft.Verify` then the DuckDB compare at ALL
+THREE fixture scales (sf0.001, sf0.01, sf0.1) and fails on any red.
+The sf0.1 tier is gated deliberately: its first run (round 8) caught
+two real bugs the smaller scales masked (a LIMIT over a non-total
+ORDER BY; a double-ROUND .00005 split) — scale-dependent total-order
+and rounding defects only surface when groups get big enough to tie.
 """
-import json, sys, math
+import json, os, subprocess, sys, math
 import duckdb
 import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+GATE_SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01",
+            "/root/testdata/sf0.1"]
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
@@ -23,9 +35,9 @@ def cell(v):
         return repr(v)
     return str(v)
 
-def main():
-    sf, out = sys.argv[1], sys.argv[2]
-    only = set(sys.argv[3:])
+def check(sf, out, only):
+    """Compare every oracle in <out>/oracle_sql.json against the engine
+    parquet dumps; returns (n_pass, n_fail)."""
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")
     for t in TABLES:
@@ -90,7 +102,39 @@ def main():
         tag = "ok" if (got == pinned or pinned == "(build-specific)") \
             else "DRIFT"
         print(f"PROBE {name}: {got} [{tag}]")
-    print(f"== {n_pass} pass, {n_fail} fail ==")
+    print(f"== {sf}: {n_pass} pass, {n_fail} fail ==")
+    return n_pass, n_fail
+
+def gate(only):
+    """Verify + compare at every fixture scale (the round-9 three-tier
+    gate). Query subset args pass through to both Verify and compare."""
+    total_fail = 0
+    for sf in GATE_SFS:
+        tag = sf.rstrip("/").rsplit("/", 1)[-1]
+        out = f"/tmp/verify_gate_{tag}"
+        cpus = "16" if tag == "sf0.1" else "8"
+        args = " ".join(sorted(only))
+        cmd = f'runMain graft.Verify {sf} {out}' + (f" {args}" if args else "")
+        print(f"-- {tag}: {cmd} (cpus={cpus})")
+        env = dict(os.environ, SPARK_GRAFT_CPUS=cpus)
+        r = subprocess.run(["sbt", "-batch", cmd], env=env,
+                           stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+        if r.returncode != 0:
+            print(f"FAIL {tag}: Verify exited {r.returncode}")
+            total_fail += 1
+            continue
+        _, n_fail = check(sf, out, only)
+        total_fail += n_fail
+    print(f"== gate: {'GREEN' if total_fail == 0 else f'{total_fail} FAIL'} ==")
+    sys.exit(1 if total_fail else 0)
+
+def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "--gate":
+        gate(set(sys.argv[2:]))
+        return
+    sf, out = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    _, n_fail = check(sf, out, only)
     sys.exit(1 if n_fail else 0)
 
 if __name__ == "__main__":
