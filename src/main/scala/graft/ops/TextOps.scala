@@ -1097,8 +1097,9 @@ object TextOps {
     *
     * Scale: narrow per-row transform, no shuffle; the redacted text
     * column is written straight back out (same size class as the
-    * input), and a real PII matcher swaps the `isin` predicate for a
-    * codegen'd span detector without touching the plan. */
+    * input). The pattern-based matcher this stands in for is
+    * [[piiScrub]] (q_pii_scrub) — same plan shape, regex span
+    * detection instead of the token denylist. */
   private val redact = QueryDef(
     (s, dir) => {
       import s.implicits._
@@ -1120,6 +1121,81 @@ object TextOps {
       |       array_to_string(list_transform(ws,
       |         x -> CASE WHEN x IN ('customer','value') THEN '[MASK]' ELSE x END), ' ') AS redacted
       |FROM b ORDER BY doc_id""".stripMargin)
+
+  /** PII span patterns shared by [[piiScrub]] and RegexDialectSpec —
+    * deliberately inside the Java-regex ∩ RE2 COMMON SUBSET (plain
+    * char classes, bounded/greedy quantifiers, no lookaround, no
+    * backreferences, no \b, no lazy quantifiers, ASCII \d) so the
+    * DuckDB oracle's RE2 replays the Java matcher exactly — both the
+    * non-overlapping left-to-right match count and the replacement. */
+  private[graft] val PiiEmail = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private[graft] val PiiId = "\\d{3}-\\d{2}-\\d{4}"
+  private[graft] val PiiNum = "\\d{8,}"
+
+  /** Pattern-based PII scrub (q_redact's real matcher — VERDICT r8
+    * item 4): email-shaped, id-shaped (ddd-dd-dddd) and long-digit-run
+    * spans are counted per class and masked in place. The fixture
+    * corpus has no PII-shaped spans, so spans are synthesized
+    * DETERMINISTICALLY from doc_id (≡0 mod 3 → an email carrying the
+    * doc_id; mod 4 → a 16-digit card number; mod 5 → an SSN-shaped id —
+    * the q_try_funcs discipline), and the ENGINE scrubs through Java
+    * regex while the ORACLE replays the identical patterns through
+    * DuckDB's RE2 — the hash match pins both engines' count AND
+    * replacement semantics over the shared dialect subset. Replacement
+    * nesting order (email → id → num) is identical on both sides; the
+    * classes are disjoint by construction (an id-span's digit runs are
+    * 3/2/4 < 8; the email's embedded doc_id is ≤7 digits at any SF).
+    *
+    * Scale: narrow per-row projection, no shuffle, no UDF — three
+    * codegen'd RegExpExtractAll/RegExpReplace evaluations per row; the
+    * scrubbed column is the same size class as the input, exactly the
+    * shape a 100 TB pre-training scrub pass wants (map-only, scan →
+    * write, predicate-pushdown-transparent). */
+  private val piiScrub = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val t0 = concat($"text",
+        when($"doc_id" % 3 === 0, concat(lit(" contact user"),
+          $"doc_id".cast("string"), lit("@mail.example.com now")))
+          .otherwise(lit("")),
+        when($"doc_id" % 4 === 0, lit(" card 4111111111111111 on file"))
+          .otherwise(lit("")),
+        when($"doc_id" % 5 === 0, lit(" ref 123-45-6789 noted"))
+          .otherwise(lit("")))
+      Tables.documents(s, dir)
+        .select($"doc_id", t0.as("t"))
+        .select(
+          $"doc_id",
+          regexp_count($"t", lit(PiiEmail)).cast("long").as("n_email"),
+          regexp_count($"t", lit(PiiId)).cast("long").as("n_id"),
+          regexp_count($"t", lit(PiiNum)).cast("long").as("n_num"),
+          regexp_replace(regexp_replace(regexp_replace(
+            $"t", PiiEmail, "[EMAIL]"), PiiId, "[ID]"), PiiNum, "[NUM]")
+            .as("scrubbed"))
+        .orderBy($"doc_id")
+    },
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         text ||
+      |         CASE WHEN doc_id % 3 = 0 THEN ' contact user' ||
+      |              CAST(doc_id AS VARCHAR) || '@mail.example.com now'
+      |              ELSE '' END ||
+      |         CASE WHEN doc_id % 4 = 0
+      |              THEN ' card 4111111111111111 on file' ELSE '' END ||
+      |         CASE WHEN doc_id % 5 = 0
+      |              THEN ' ref 123-45-6789 noted' ELSE '' END AS t
+      |  FROM documents)
+      |SELECT doc_id,
+      |       CAST(len(regexp_extract_all(t,
+      |         '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_email,
+      |       CAST(len(regexp_extract_all(t,
+      |         '\d{3}-\d{2}-\d{4}')) AS BIGINT) AS n_id,
+      |       CAST(len(regexp_extract_all(t, '\d{8,}')) AS BIGINT) AS n_num,
+      |       regexp_replace(regexp_replace(regexp_replace(t,
+      |         '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
+      |         '\d{3}-\d{2}-\d{4}', '[ID]', 'g'),
+      |         '\d{8,}', '[NUM]', 'g') AS scrubbed
+      |FROM t ORDER BY doc_id""".stripMargin)
 
   /** Fixed-window token chunking with overlap — the training-prep
     * step that cuts each document into model-context-sized pieces
@@ -2008,6 +2084,7 @@ object TextOps {
     "q_bpe_merge" -> bpeMerge,
     "q_blocklist_filter" -> blocklistFilter,
     "q_redact" -> redact,
+    "q_pii_scrub" -> piiScrub,
     "q_doc_chunks" -> docChunks,
     "q_source_overlap" -> sourceOverlap,
     "q_dsir_weight" -> dsirWeight,
