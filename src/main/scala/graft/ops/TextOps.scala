@@ -1417,6 +1417,103 @@ object TextOps {
       |FROM q GROUP BY pair, t1r, t2r
       |ORDER BY pair_count DESC, t1, t2 LIMIT 20""".stripMargin)
 
+  /** Unrolled-CTE oracle for [[bpeTrain]] — the q_mmr_diversify pattern:
+    * each merge k is a (pair-count → argmax → rewrite) CTE triple over
+    * the previous vocabulary state, and r$k renders merge k's pair back
+    * to its character sequence by replacing earlier markers with their
+    * (already fully-rendered) expansions. Generated by loop so the
+    * engine's N and the oracle's N can never drift. */
+  private def bpeTrainOracle(n: Int): String = {
+    val sb = new StringBuilder
+    sb ++= "WITH w AS (SELECT UNNEST(string_split(text, ' ')) AS mw FROM documents),\n"
+    sb ++= "wf0 AS (SELECT mw, COUNT(*) AS f FROM w GROUP BY 1)"
+    for (k <- 1 to n) {
+      sb ++= s""",
+p$k AS (SELECT substr(mw, i, 1) AS t1, substr(mw, i + 1, 1) AS t2, f
+       FROM (SELECT mw, f, UNNEST(generate_series(1, length(mw) - 1)) AS i
+             FROM wf${k - 1} WHERE length(mw) >= 2)),
+top$k AS (SELECT t1 || t2 AS pair, CAST(SUM(f) AS BIGINT) AS pair_count
+          FROM p$k GROUP BY t1, t2 ORDER BY pair_count DESC, t1, t2 LIMIT 1),
+wf$k AS (SELECT replace(mw, (SELECT pair FROM top$k), chr($k)) AS mw, f
+         FROM wf${k - 1})"""
+      val expand = (1 until k).foldLeft(s"(SELECT pair FROM top$k)") {
+        (acc, j) => s"replace($acc, chr($j), (SELECT r FROM r$j))"
+      }
+      sb ++= s",\nr$k AS (SELECT $expand AS r)"
+    }
+    sb ++= "\n" + (1 to n).map { k =>
+      s"SELECT CAST($k AS BIGINT) AS step, (SELECT r FROM r$k) AS merged, " +
+        s"(SELECT pair_count FROM top$k) AS pair_count"
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY step")
+    sb.toString
+  }
+
+  /** Multi-iteration BPE TRAINING loop (VERDICT r8 item 5) — N=8 merges
+    * of Sennrich et al. 2016 Algorithm 1 end to end, where q_bpe_merge
+    * proves a single iteration: each round counts adjacent-symbol pairs
+    * over the CURRENT vocabulary state, merges the argmax pair
+    * (count desc, then symbol order — exact tie-break replayed by the
+    * oracle), and rewrites every word type greedily left-to-right.
+    * Iteration-k's merged symbol travels as the single char chr(k)
+    * (absent from any text), so pair counting stays a fixed-width
+    * substr scan every round; the output renders each merge back to its
+    * full character sequence via a per-round rendering map that never
+    * leaves the cluster (two 1-row broadcast joins), and reports the
+    * pair's corpus count at selection time — merges 2+ demonstrably
+    * build ON earlier merges (their rendered strings contain them).
+    *
+    * Scale (the claim this query proves end to end): every iteration
+    * costs |vocab|-scale work — pair explode + two-phase argmax over
+    * the word-TYPE table, one broadcast, one narrow rewrite — and NEVER
+    * re-touches the corpus (wordFreq is the memoized once-per-ingest
+    * aggregate). localCheckpoint truncates lineage per round (the
+    * starCC discipline), so iteration N's plan doesn't replay rounds
+    * 1..N-1. At 100 TB: identical dataflow, vocab table instead of
+    * 8-row toy state; fast BPE trainers loop exactly this shape. */
+  private val bpeTrain = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val N = 8
+      var wf = wordFreq(s, dir).select($"word".as("mw"), $"f")
+      var rendMap = Seq.empty[(String, String)].toDF("m", "r")
+      var merges: org.apache.spark.sql.DataFrame = null
+      for (k <- 1 to N) {
+        val top = wf.filter(length($"mw") >= 2)
+          .select($"mw", $"f",
+            explode(sequence(lit(1), length($"mw") - 1)).as("i"))
+          .select(expr("substr(mw, i, 1)").as("t1"),
+            expr("substr(mw, i + 1, 1)").as("t2"), $"f")
+          .groupBy($"t1", $"t2").agg(sum($"f").cast("long").as("pair_count"))
+          .orderBy($"pair_count".desc, $"t1", $"t2").limit(1)
+          .select(concat($"t1", $"t2").as("pair"), $"pair_count")
+          .localCheckpoint(eager = true)
+        val rendered = top
+          .select(expr("substr(pair, 1, 1)").as("c1"),
+            expr("substr(pair, 2, 1)").as("c2"), $"pair_count")
+          .join(broadcast(rendMap.select($"m".as("c1"), $"r".as("r1"))),
+            Seq("c1"), "left")
+          .join(broadcast(rendMap.select($"m".as("c2"), $"r".as("r2"))),
+            Seq("c2"), "left")
+          .select(concat(coalesce($"r1", $"c1"), coalesce($"r2", $"c2"))
+            .as("merged"), $"pair_count")
+          // rendered references rendMap TWICE and rendMap accumulates
+          // every previous rendered — without truncation the plan tree
+          // doubles per iteration (2^N broadcast subtrees; measured
+          // 41 s at N=8 before this line, ~2 s after). 1-row frame.
+          .localCheckpoint(eager = true)
+        val step = rendered
+          .select(lit(k.toLong).as("step"), $"merged", $"pair_count")
+        merges = if (merges == null) step else merges.unionByName(step)
+        rendMap = rendMap.unionByName(
+          rendered.select(lit(k.toChar.toString).as("m"), $"merged".as("r")))
+        wf = wf.crossJoin(broadcast(top.select($"pair")))
+          .select(expr(s"replace(mw, pair, chr($k))").as("mw"), $"f")
+          .localCheckpoint(eager = true)
+      }
+      merges.orderBy($"step")
+    },
+    bpeTrainOracle(8))
+
   /** Bigram LM document score — the CCNet-style language-model quality
     * filter one order up from q_doc_logprob's unigram variant: per doc,
     * Σ ln p̂(w_i | w_{i-1}) with add-1 smoothing, where the conditional
@@ -2082,6 +2179,7 @@ object TextOps {
     "q_ngram_novelty" -> ngramNovelty,
     "q_bpe_pairs" -> bpePairs,
     "q_bpe_merge" -> bpeMerge,
+    "q_bpe_train" -> bpeTrain,
     "q_blocklist_filter" -> blocklistFilter,
     "q_redact" -> redact,
     "q_pii_scrub" -> piiScrub,

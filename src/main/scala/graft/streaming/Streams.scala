@@ -72,7 +72,28 @@ object Streams {
     * Condition uses half-open [c_ts, c_ts + 1h) so an event never
     * matches purchases exactly one hour later (boundary pinned in
     * StreamingSpec). */
-  def clickPurchaseJoin(events: DataFrame, horizon: String = "1 hour"): DataFrame = {
+  def clickPurchaseJoin(events: DataFrame, horizon: String = "1 hour"): DataFrame =
+    clickPurchaseJoinImpl(events, horizon, "inner")
+
+  /** Stream-stream LEFT OUTER time-bounded join (SURVEY.md §2.10) —
+    * [[clickPurchaseJoin]]'s outer form, the remaining streaming join
+    * mode real funnels need: every click emits; purchases inside
+    * [c_ts, c_ts + horizon) attach; a click with NO purchase in its
+    * horizon emits EXACTLY ONCE with null purchase columns — and only
+    * when the global watermark (min of both sides) passes the end of
+    * its horizon, because until then a matching purchase could still
+    * arrive. That late, single null-emission is the semantic difference
+    * from batch: a still-open click (horizon not yet expired at
+    * end-of-stream) sits in state and has emitted nothing — pinned in
+    * StreamingSpec against the batch twin under arbitrary slicing.
+    * Scale: identical bounded state to the inner form (both sides
+    * expired by watermark); the null path adds no state, only the scan
+    * of expiring left rows Spark already performs at eviction. */
+  def clickPurchaseJoinOuter(events: DataFrame, horizon: String = "1 hour"): DataFrame =
+    clickPurchaseJoinImpl(events, horizon, "left_outer")
+
+  private def clickPurchaseJoinImpl(
+      events: DataFrame, horizon: String, joinType: String): DataFrame = {
     val clicks = events.filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
         col("event_id").as("click_id"))
@@ -82,7 +103,8 @@ object Streams {
         col("event_id").as("purchase_id"), col("value").as("amount"))
       .withWatermark("p_ts", "1 hour")
     clicks.join(purchases,
-      expr(s"c_user = p_user AND p_ts >= c_ts AND p_ts < c_ts + interval $horizon"))
+      expr(s"c_user = p_user AND p_ts >= c_ts AND p_ts < c_ts + interval $horizon"),
+      joinType)
       .select(col("c_user").as("user_id"), col("click_id"),
         col("purchase_id"), col("c_ts"), col("p_ts"), col("amount"))
   }

@@ -444,6 +444,68 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === Set((1L, 2L), (1L, 4L), (3L, 4L), (5L, 6L)))
   }
 
+  test("stream-stream LEFT OUTER join: unmatched clicks emit null-padded " +
+    "exactly once at watermark expiry; matches equal the inner join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val rows = runBatches(in, Streams.clickPurchaseJoinOuter(in.toDF(), "1 hour"),
+      OutputMode.Append, Seq(
+        Seq(Event(1, ts("2024-01-01 10:00:00"), 1, "click", 0.0),
+            Event(2, ts("2024-01-01 10:30:00"), 1, "purchase", 50.0), // in horizon
+            Event(3, ts("2024-01-01 10:05:00"), 2, "click", 0.0)),    // never buys
+        Seq(Event(4, ts("2024-01-01 11:05:00"), 3, "click", 0.0),     // never buys
+            Event(5, ts("2024-01-01 11:04:00"), 4, "purchase", 1.0)),
+        // flush: BOTH sides far future so the global watermark passes
+        // every open horizon above
+        Seq(Event(6, ts("2024-01-03 00:00:00"), 9, "click", 0.0),
+            Event(7, ts("2024-01-03 00:00:00"), 9, "purchase", 2.0))))
+    val got = rows.map(r => (r.getAs[Long]("click_id"),
+      Option(r.getAs[java.lang.Long]("purchase_id")).map(_.toLong))).toSet
+    // click 1 matched; clicks 3 and 4 emitted once, null-padded; the
+    // flush click (user 9) matched its own purchase; nothing duplicated
+    assert(got === Set((1L, Some(2L)), (3L, None), (4L, None), (6L, Some(7L))),
+      rows.mkString(";"))
+    assert(rows.length === got.size, "a null-padded row emitted more than once")
+  }
+
+  test("stream-stream LEFT OUTER join equals the batch left join under " +
+    "arbitrary slicing, modulo still-open clicks") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = Seq(
+      Event(1, ts("2024-01-01 10:00:00"), 1, "click", 0.0),
+      Event(2, ts("2024-01-01 10:10:00"), 1, "purchase", 5.0),
+      Event(3, ts("2024-01-01 10:20:00"), 1, "click", 0.0),
+      Event(4, ts("2024-01-01 11:00:00"), 1, "purchase", 6.0), // +1h from click1: excluded for it
+      Event(5, ts("2024-01-01 13:00:00"), 2, "click", 0.0),    // never buys
+      Event(6, ts("2024-01-01 13:30:00"), 3, "purchase", 7.0)) // never clicked
+    val flush = Seq(
+      Event(8, ts("2024-01-03 00:00:00"), 9, "click", 0.0),
+      Event(9, ts("2024-01-03 00:05:00"), 9, "purchase", 2.0))
+    def pairs(rs: Seq[org.apache.spark.sql.Row]) = rs.map(r =>
+      (r.getAs[Long]("click_id"),
+        Option(r.getAs[java.lang.Long]("purchase_id")).map(_.toLong))).toSet
+    // the flush click's own horizon never expires → it appears in the
+    // batch twin but not in the stream; compare on the real users
+    val batch = pairs(Streams.clickPurchaseJoinOuter((events ++ flush).toDF(), "1 hour")
+      .collect().toIndexedSeq).filterNot(_._1 == 8L)
+    for (slicing <- Seq(
+      Seq(events.take(3), events.drop(3), flush),
+      Seq(events.take(1), events.slice(1, 5), events.drop(5) ++ flush),
+      Seq(events, flush))) {
+      val in = MemoryStream[Event]
+      val streamed = pairs(runBatches(in,
+        Streams.clickPurchaseJoinOuter(in.toDF(), "1 hour"),
+        OutputMode.Append, slicing).toIndexedSeq).filterNot(_._1 == 8L)
+      assert(streamed === batch, s"slicing $slicing")
+    }
+    // click 1 matches purchase 2 only (purchase 4 is exactly +1h, excluded
+    // by the half-open bound); click 3 matches purchase 4; click 5 never
+    // buys; purchase 6's user never clicked → absent from a LEFT join
+    assert(batch === Set((1L, Some(2L)), (3L, Some(4L)), (5L, None)))
+  }
+
   test("session windows merge events within the gap and split across it") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
