@@ -796,13 +796,15 @@ object TextDedup {
     * persist each reference replays the distinct + cap lineage. */
   private def winnowRare(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    memoized(s, dir, "winnowRare") {
+    {
+      // single-consumer lineage (winnowOverlap's three plan legs only):
+      // plan-local persist, self-billed rather than memo-warmed
       val sk = winnowSketch(s, dir).select($"doc_id", $"hsel").distinct()
       sk.join(
         sk.groupBy($"hsel").agg(count(lit(1)).as("df")).filter($"df" <= 10)
           .select($"hsel"),
         "hsel")
-    }
+    }.persist()
   }
 
   private val winnowOverlap = QueryDef(
@@ -875,10 +877,10 @@ object TextDedup {
         if (s.catalog.functionExists("graft_chargram_hashes"))
           call_function("graft_chargram_hashes", $"text")
         else array_distinct(packed)
-      val grams = memoized(s, dir, "ngramGrams") {
-        Tables.spread(Tables.documents(s, dir), "doc_id")
-          .select($"doc_id", gramCol.as("gs"))
-      }
+      // single-consumer lineage (both join sides of this query only):
+      // plan-local persist, self-billed rather than memo-warmed
+      val grams = Tables.spread(Tables.documents(s, dir), "doc_id")
+        .select($"doc_id", gramCol.as("gs")).persist()
       val cand = lshCandidates(s, dir)
       val interCol =
         if (s.catalog.functionExists("graft_intersect_card"))
@@ -956,9 +958,8 @@ object TextDedup {
       // memoized/persisted so the guard's count() materializes the
       // distinct ONCE and the join reuses it — without this, the
       // explode+distinct lineage runs twice (count job + join job)
-      val evalSh = memoized(s, dir, "evalShingles") {
-        exploded.filter($"doc_id" % 50 === 0).select($"h").distinct()
-      }
+      val evalSh = exploded.filter($"doc_id" % 50 === 0)
+        .select($"h").distinct().persist()
       // ~40 MB of longs: far above any fixture, far below driver memory
       contaminationFlags(exploded.filter($"doc_id" % 50 =!= 0), evalSh,
         minShared = 3, broadcastLimit = 5000000L)

@@ -823,10 +823,12 @@ object TextOps {
       // uni feeds three plan legs (totals + both unigram joins) and
       // biTotals two (support filter + grand total) — persist both so
       // the lineage executes once, not per reference
-      val uni = memoized(s, dir, "pmi_unigrams") {
-        docs.select(explode($"w").as("word"))
-          .groupBy($"word").agg(count(lit(1)).as("c"))
-      }
+      // single-consumer lineages (this query only): plan-local persist,
+      // NOT a session memo — the bench bills the build to this query
+      // (VERDICT r8 item 3's prune), and the memo registry stays the
+      // set of genuinely cross-query shared intermediates
+      val uni = docs.select(explode($"w").as("word"))
+        .groupBy($"word").agg(count(lit(1)).as("c")).persist()
       val totals = uni.agg(sum($"c").as("n_words"))
       // single-word docs are filtered BEFORE sequence(1, size-1):
       // Spark's sequence(1, 0) is DESCENDING ([1, 0]) and element_at
@@ -838,9 +840,8 @@ object TextOps {
           i => struct(element_at($"w", i).as("w1"),
             element_at($"w", i + 1).as("w2")))).as("p"))
         .select($"p.w1".as("w1"), $"p.w2".as("w2"))
-      val biTotals = memoized(s, dir, "pmi_bigrams") {
-        bi.groupBy($"w1", $"w2").agg(count(lit(1)).as("c_xy"))
-      }
+      val biTotals = bi.groupBy($"w1", $"w2")
+        .agg(count(lit(1)).as("c_xy")).persist()
       val nBigrams = biTotals.agg(sum($"c_xy").as("n_bigrams"))
       biTotals.filter($"c_xy" >= 5)
         .join(broadcast(uni.select($"word".as("w1"), $"c".as("c_x"))), "w1")
@@ -888,9 +889,9 @@ object TextOps {
       import s.implicits._
       val words = Tables.spread(Tables.documents(s, dir), "doc_id")
         .select($"doc_id", explode(split($"text", " ")).as("word"))
-      val uni = memoized(s, dir, "logprob_unigrams") {
-        words.groupBy($"word").agg(count(lit(1)).as("c"))
-      }
+      // single-consumer lineage: plan-local persist (totals + join legs),
+      // self-billed rather than memo-warmed
+      val uni = words.groupBy($"word").agg(count(lit(1)).as("c")).persist()
       val tot = uni.agg(sum($"c").as("n_words"))
       words.join(broadcast(uni), "word")
         .crossJoin(broadcast(tot))
@@ -970,13 +971,14 @@ object TextOps {
       import s.implicits._
       val words = Tables.spread(Tables.documents(s, dir), "doc_id")
         .select($"doc_id", $"lang", explode(split($"text", " ")).as("word"))
-      val uni = memoized(s, dir, "dsir_unigrams") {
+      // single-consumer lineage: plan-local persist, self-billed
+      val uni = {
         val corpus = words.groupBy($"word").agg(count(lit(1)).as("ca"))
         val target = words.filter($"lang" === "en")
           .groupBy($"word").agg(count(lit(1)).as("ct0"))
         corpus.join(target, Seq("word"), "left")
           .select($"word", $"ca", coalesce($"ct0", lit(0L)).as("ct"))
-      }
+      }.persist()
       val consts = uni.agg(sum($"ca").as("na"), sum($"ct").as("nt"),
         count(lit(1)).as("v"))
       words.select($"doc_id", $"word")
@@ -1257,11 +1259,11 @@ object TextOps {
   private val sourceOverlap = QueryDef(
     (s, dir) => {
       import s.implicits._
-      val cw = memoized(s, dir, "source_unigrams") {
-        Tables.documents(s, dir)
-          .select($"source", explode(split($"text", " ")).as("word"))
-          .groupBy($"source", $"word").agg(count(lit(1)).as("c"))
-      }
+      // single-consumer lineage: plan-local persist (totals + both join
+      // sides), self-billed rather than memo-warmed
+      val cw = Tables.documents(s, dir)
+        .select($"source", explode(split($"text", " ")).as("word"))
+        .groupBy($"source", $"word").agg(count(lit(1)).as("c")).persist()
       val totals = cw.groupBy($"source")
         .agg(sum($"c").cast("long").as("tot"), count(lit(1)).as("nv"))
       val a = cw.select($"source".as("s1"), $"word", $"c".as("c1"))
@@ -1740,7 +1742,9 @@ wf$k AS (SELECT replace(mw, (SELECT pair FROM top$k), chr($k)) AS mw, f
   private val ngramNovelty = QueryDef(
     (s, dir) => {
       import s.implicits._
-      val tri = memoized(s, dir, "doc_trigrams") {
+      // single-consumer lineage: plan-local persist (perDoc + novel
+      // legs), self-billed rather than memo-warmed
+      val tri = {
         Tables.documents(s, dir)
           .select($"doc_id", split($"text", " ").as("ws"))
           .withColumn("n", size($"ws").cast("long"))
@@ -1752,7 +1756,7 @@ wf$k AS (SELECT replace(mw, (SELECT pair FROM top$k), chr($k)) AS mw, f
             expr("element_at(ws, int(i) + 1)"),
             expr("element_at(ws, int(i) + 2)")).as("tg"))
           .distinct()
-      }
+      }.persist()
       val perDoc = tri.groupBy($"doc_id").agg(count(lit(1)).as("n_tri"))
       val novel = tri.groupBy($"tg").agg(min($"doc_id").as("doc_id"))
         .groupBy($"doc_id").agg(count(lit(1)).as("n_novel"))

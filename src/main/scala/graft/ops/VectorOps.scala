@@ -321,12 +321,14 @@ object VectorOps {
     if (hit.storageLevel == org.apache.spark.storage.StorageLevel.NONE) hit.persist()
     hit
   }, persistedLineage = true, name = "vec")
-  private def semanticLabels(s: SparkSession, dir: String): DataFrame =
-    sessionMemo(s, s"semanticLabels|$dir") {
-      import s.implicits._
-      Scale.starCC(semanticPairs(s, dir).select($"ida", $"idb"),
-        "ida", "idb").persist()
-    }
+  /** Single-consumer, single-reference lineage (q_semantic_clusters
+    * only) — no memo, no persist: the CC output is consumed exactly
+    * once per invocation, and starCC checkpoints its own iterations. */
+  private def semanticLabels(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Scale.starCC(semanticPairs(s, dir).select($"ida", $"idb"),
+      "ida", "idb")
+  }
 
   private val semanticClusters = QueryDef(
     (s, dir) => {
