@@ -94,8 +94,8 @@ object ABBench {
   }
 
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val sfDir = graft.util.Config.sfDir
+    val cpus = graft.util.Config.cpus("32")
     val reps = args.headOption.map(_.toInt).getOrElse(3)
     // optional 2nd arg: substring filter over variant names, so a
     // focused A/B doesn't pay (and isn't polluted by) the full list

@@ -11,8 +11,8 @@ import org.apache.spark.sql.SparkSession
   * startup. */
 object Bench {
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val sfDir = graft.util.Config.sfDir
+    val cpus = graft.util.Config.cpus("4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -23,7 +23,7 @@ object Bench {
       // target is right; at bench scale parallelism-first wins, so keep
       // AQE (broadcast demotion, skew splitting) but not coalescing.
       .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
-      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      .config("spark.sql.adaptive.enabled", graft.util.Config.aqe)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")
@@ -174,7 +174,7 @@ object Bench {
     println(json)
     // stdout alone gets tail-truncated in the driver's artifact (r4 lost
     // 29 of 96 per-query times) — persist the full line as a file too
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    val out = graft.util.Config.benchOut
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case _: Throwable => () }

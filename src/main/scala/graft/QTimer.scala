@@ -11,8 +11,8 @@ import org.apache.spark.sql.SparkSession
   * a per-query claim. */
 object QTimer {
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val sfDir = graft.util.Config.sfDir
+    val cpus = graft.util.Config.cpus("32")
     val reps = args.headOption.map(_.toInt).getOrElse(5)
     val names = args.drop(1).toSeq
     require(names.nonEmpty, "usage: QTimer <reps> <query...>")

@@ -21,12 +21,11 @@ import org.apache.spark.sql.functions._
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val factors = if (args.isEmpty) Seq(1, 2, 4, 8) else args.toSeq.map(_.toInt)
-    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val base = graft.util.Config.sfDir
+    val cpus = graft.util.Config.cpus("32")
     // override the flagship set with SPARK_GRAFT_PROBE_OPS=q_a,q_b to
     // probe new operators without re-running the standing list
-    val ops = sys.env.get("SPARK_GRAFT_PROBE_OPS")
-      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+    val ops = graft.util.Config.probeOps
       .getOrElse(Seq("q_tpch_q1", "q_daily_avg", "q_dedup_exact",
         "q_dedup_lsh", "q_sim_topk", "q_bm25_topk", "q_link_predict"))
     val spark = SparkSession.builder()

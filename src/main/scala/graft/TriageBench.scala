@@ -102,8 +102,8 @@ object TriageBench {
   }
 
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val sfDir = graft.util.Config.sfDir
+    val cpus = graft.util.Config.cpus("32")
     val reps = args.find(_.forall(_.isDigit)).map(_.toInt).getOrElse(3)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -9,7 +9,7 @@ object Verify {
     // optional extra args: restrict the dump to these query names
     // (local iteration only — the driver always passes exactly two)
     val only: Set[String] = args.drop(2).toSet
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = graft.util.Config.cpus("4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
