@@ -1472,13 +1472,18 @@ wf$k AS (SELECT replace(mw, (SELECT pair FROM top$k), chr($k)) AS mw, f
     * starCC discipline), so iteration N's plan doesn't replay rounds
     * 1..N-1. At 100 TB: identical dataflow, vocab table instead of
     * 8-row toy state; fast BPE trainers loop exactly this shape. */
-  private val bpeTrain = QueryDef(
-    (s, dir) => {
+  /** The N-round training loop shared by [[bpeTrain]] and [[bpeEncode]]:
+    * returns (per-round 1-row checkpointed (pair, pair_count) frames in
+    * merge order — pairs may contain earlier rounds' chr(k) markers —
+    * and the assembled rendered merge table). */
+  private def bpeTrainLoop(s: org.apache.spark.sql.SparkSession, dir: String,
+      n: Int): (Seq[org.apache.spark.sql.DataFrame], org.apache.spark.sql.DataFrame) = {
       import s.implicits._
-      val N = 8
+      val N = n
       var wf = wordFreq(s, dir).select($"word".as("mw"), $"f")
       var rendMap = Seq.empty[(String, String)].toDF("m", "r")
       var merges: org.apache.spark.sql.DataFrame = null
+      val tops = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.DataFrame]()
       for (k <- 1 to N) {
         val top = wf.filter(length($"mw") >= 2)
           .select($"mw", $"f",
@@ -1489,6 +1494,7 @@ wf$k AS (SELECT replace(mw, (SELECT pair FROM top$k), chr($k)) AS mw, f
           .orderBy($"pair_count".desc, $"t1", $"t2").limit(1)
           .select(concat($"t1", $"t2").as("pair"), $"pair_count")
           .localCheckpoint(eager = true)
+        tops += top
         val rendered = top
           .select(expr("substr(pair, 1, 1)").as("c1"),
             expr("substr(pair, 2, 1)").as("c2"), $"pair_count")
@@ -1512,9 +1518,77 @@ wf$k AS (SELECT replace(mw, (SELECT pair FROM top$k), chr($k)) AS mw, f
           .select(expr(s"replace(mw, pair, chr($k))").as("mw"), $"f")
           .localCheckpoint(eager = true)
       }
-      merges.orderBy($"step")
+      (tops.toSeq, merges)
+  }
+
+  private val bpeTrain = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      bpeTrainLoop(s, dir, 8)._2.orderBy($"step")
     },
     bpeTrainOracle(8))
+
+  /** BPE tokenizer APPLICATION — encode the corpus with the 8 merges
+    * [[bpeTrain]] learns (the apply half of train→apply): each doc's
+    * text passes through the identical ordered replace chain (merge k's
+    * pair — possibly containing earlier markers — collapses to the
+    * single symbol chr(k)), and the census reports per-doc symbol
+    * counts before/after plus the compression in integer basis points
+    * (truncating div on positive operands ≡ floor, the q_zipf_fit
+    * rule). Spaces separate words on both sides of the chain (no
+    * learned pair contains one), so whole-text replace applies merges
+    * within words only — BPE's scan order at corpus granularity.
+    *
+    * Scale: the 8 learned pairs assemble into ONE 1-row broadcast; the
+    * corpus pass is map-only (8 codegen'd replaces per row, no
+    * shuffle) — the exact shape of a production tokenization pass:
+    * train once at |vocab| scale, broadcast the merge table, stream
+    * the 100 TB corpus through it. */
+  private val bpeEncode = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val (tops, _) = bpeTrainLoop(s, dir, 8)
+      val mergeRow = tops.zipWithIndex
+        .map { case (t, i) => t.select($"pair".as(s"p${i + 1}")) }
+        .reduce(_ crossJoin _) // 8 checkpointed 1-row frames → one row
+      val encExpr = (1 to 8).foldLeft("text") {
+        (acc, k) => s"replace($acc, p$k, chr($k))"
+      }
+      Tables.documents(s, dir)
+        .crossJoin(broadcast(mergeRow))
+        .select($"doc_id",
+          length(regexp_replace($"text", " ", "")).cast("long").as("n_sym_before"),
+          length(regexp_replace(expr(encExpr), " ", "")).cast("long").as("n_sym_after"))
+        .select($"doc_id", $"n_sym_before", $"n_sym_after",
+          when($"n_sym_before" === 0L, 10000L)
+            .otherwise(expr("(n_sym_after * 10000) div n_sym_before"))
+            .cast("long").as("compression_bp"))
+        .orderBy($"doc_id")
+    },
+    bpeEncodeOracle(8))
+
+  /** [[bpeEncode]]'s oracle: the same loop-generated training chain as
+    * [[bpeTrainOracle]], then the ordered replace chain applied to
+    * every document. */
+  private def bpeEncodeOracle(n: Int): String = {
+    val train = bpeTrainOracle(n)
+    val chain = (1 to n).foldLeft("text") {
+      (acc, k) => s"replace($acc, (SELECT pair FROM top$k), chr($k))"
+    }
+    // keep the training CTEs, swap the final merge-table SELECT for the
+    // per-doc encode census
+    val upToLastCte = train.substring(0, train.lastIndexOf("\nSELECT CAST(1"))
+    upToLastCte + s""",
+enc AS (SELECT doc_id,
+               CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_sym_before,
+               CAST(length(replace($chain, ' ', '')) AS BIGINT) AS n_sym_after
+        FROM documents)
+SELECT doc_id, n_sym_before, n_sym_after,
+       CASE WHEN n_sym_before = 0 THEN CAST(10000 AS BIGINT)
+            ELSE CAST((n_sym_after * 10000) // n_sym_before AS BIGINT)
+       END AS compression_bp
+FROM enc ORDER BY doc_id"""
+  }
 
   /** Bigram LM document score — the CCNet-style language-model quality
     * filter one order up from q_doc_logprob's unigram variant: per doc,
@@ -2184,6 +2258,7 @@ wf$k AS (SELECT replace(mw, (SELECT pair FROM top$k), chr($k)) AS mw, f
     "q_bpe_pairs" -> bpePairs,
     "q_bpe_merge" -> bpeMerge,
     "q_bpe_train" -> bpeTrain,
+    "q_bpe_encode" -> bpeEncode,
     "q_blocklist_filter" -> blocklistFilter,
     "q_redact" -> redact,
     "q_pii_scrub" -> piiScrub,
