@@ -321,14 +321,22 @@ object VectorOps {
     if (hit.storageLevel == org.apache.spark.storage.StorageLevel.NONE) hit.persist()
     hit
   }, persistedLineage = true, name = "vec")
-  /** Single-consumer, single-reference lineage (q_semantic_clusters
-    * only) — no memo, no persist: the CC output is consumed exactly
-    * once per invocation, and starCC checkpoints its own iterations. */
-  private def semanticLabels(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    Scale.starCC(semanticPairs(s, dir).select($"ida", $"idb"),
-      "ida", "idb")
-  }
+  /** Memoized DESPITE having a single consumer (q_semantic_clusters) —
+    * the exception to the r9 single-consumer prune, same rationale as
+    * TextDedup.canonicalAssign: the CC label assignment is an expensive
+    * ITERATIVE artifact (~11 s of starCC rounds at sf0.1 — measured
+    * when briefly unmemoized: every invocation re-paid the full build,
+    * since localCheckpoints don't reuse across invocations) and at
+    * production scale is a once-per-ingest bucketed table write, which
+    * is exactly the cost shape the memo's warm line item represents.
+    * The prune stays in force for the cheap single-pass unigram/ngram
+    * lineages only. */
+  private def semanticLabels(s: SparkSession, dir: String): DataFrame =
+    sessionMemo(s, s"semanticLabels|$dir") {
+      import s.implicits._
+      Scale.starCC(semanticPairs(s, dir).select($"ida", $"idb"),
+        "ida", "idb").persist()
+    }
 
   private val semanticClusters = QueryDef(
     (s, dir) => {
