@@ -92,6 +92,16 @@ object Streams {
   def clickPurchaseJoinOuter(events: DataFrame, horizon: String = "1 hour"): DataFrame =
     clickPurchaseJoinImpl(events, horizon, "left_outer")
 
+  /** FULL OUTER form — completes the stream-stream join mode matrix
+    * (inner / left / full; right is left with sides swapped): unmatched
+    * CLICKS null-pad like the left join, and unmatched PURCHASES
+    * (bought with no qualifying prior click — organic conversions) also
+    * emit exactly once, when the watermark passes the latest click time
+    * that could still claim them (their p_ts, since c_ts ≤ p_ts).
+    * Same bounded state as the inner form. */
+  def clickPurchaseJoinFull(events: DataFrame, horizon: String = "1 hour"): DataFrame =
+    clickPurchaseJoinImpl(events, horizon, "full_outer")
+
   private def clickPurchaseJoinImpl(
       events: DataFrame, horizon: String, joinType: String): DataFrame = {
     val clicks = events.filter(col("event_type") === "click")

@@ -506,6 +506,42 @@ class StreamingSpec extends SparkSpec {
     assert(batch === Set((1L, Some(2L)), (3L, Some(4L)), (5L, None)))
   }
 
+  test("stream-stream FULL OUTER join: both sides' unmatched rows emit " +
+    "null-padded exactly once; equals the batch full join under slicing") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = Seq(
+      Event(1, ts("2024-01-01 10:00:00"), 1, "click", 0.0),
+      Event(2, ts("2024-01-01 10:10:00"), 1, "purchase", 5.0),  // matched
+      Event(3, ts("2024-01-01 11:00:00"), 2, "click", 0.0),     // never buys
+      Event(4, ts("2024-01-01 11:30:00"), 3, "purchase", 7.0))  // organic: no click
+    val flush = Seq(
+      Event(8, ts("2024-01-03 00:00:00"), 9, "click", 0.0),
+      Event(9, ts("2024-01-03 00:05:00"), 9, "purchase", 2.0))
+    def pairs(rs: Seq[org.apache.spark.sql.Row]) = rs.map(r =>
+      (Option(r.getAs[java.lang.Long]("click_id")).map(_.toLong),
+        Option(r.getAs[java.lang.Long]("purchase_id")).map(_.toLong))).toSet
+    // the flush pair matches itself and appears in both twins; strip it
+    def real(s: Set[(Option[Long], Option[Long])]) =
+      s.filterNot { case (c, p) => c.contains(8L) || p.contains(9L) }
+    val batch = real(pairs(Streams.clickPurchaseJoinFull(
+      (events ++ flush).toDF(), "1 hour").collect().toIndexedSeq))
+    for (slicing <- Seq(
+      Seq(events, flush),
+      Seq(events.take(2), events.drop(2) ++ flush),
+      Seq(events.take(3), events.drop(3), flush))) {
+      val in = MemoryStream[Event]
+      val streamed = real(pairs(runBatches(in,
+        Streams.clickPurchaseJoinFull(in.toDF(), "1 hour"),
+        OutputMode.Append, slicing).toIndexedSeq))
+      assert(streamed === batch, s"slicing $slicing")
+    }
+    assert(batch === Set(
+      (Some(1L), Some(2L)),   // matched within the horizon
+      (Some(3L), None),       // click that never converted
+      (None, Some(4L))))      // organic purchase, no prior click
+  }
+
   test("session windows merge events within the gap and split across it") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
