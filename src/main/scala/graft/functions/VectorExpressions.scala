@@ -193,6 +193,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_pairs"),
       new ExpressionInfo(classOf[PackedPairs].getName, "graft_pairs"),
       (children: Seq[Expression]) => PackedPairs(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_xml_long"),
+      new ExpressionInfo(classOf[XmlFirstLong].getName, "graft_xml_long"),
+      (children: Seq[Expression]) => XmlFirstLong(children(0), children(1))))
     // Spark's OWN runtime-filter bloom pair (BloomFilterAggregate /
     // BloomFilterMightContain, the machinery behind InjectRuntimeFilter)
     // is registered only in the internal function registry — surface it
