@@ -458,6 +458,44 @@ class PipelineSpec extends SparkSpec {
     assert(state() === Set(("2024-01-01", "SE2"), ("2024-01-02", "SE3")))
   }
 
+  test("deleteKeys: crash between commit and dir removal — re-run IS the " +
+    "recovery path; post-condition blocks a false success") {
+    import spark.implicits._
+    val sink = Files.createTempDirectory("graft_del_crash").toString + "/t"
+    val day1 = events(Seq(
+      ("2024-01-01 01:00:00", "SE1", 10.0), ("2024-01-02 01:00:00", "SE2", 20.0),
+      ("2024-01-03 01:00:00", "SE1", 30.0)))
+    Pipeline.runIncremental(spark, day1, "zone", sink, Date.valueOf("2024-01-04"))
+    // snapshot the files of a partition the delete will EMPTY, so we can
+    // resurrect them — exactly the state a crash between the dynamic-
+    // overwrite commit and the directory rm leaves behind
+    val doomed = new java.io.File(s"$sink/date=2024-01-03")
+    val stash = Files.createTempDirectory("graft_del_stash").toFile
+    doomed.listFiles().filter(_.isFile).foreach { f =>
+      java.nio.file.Files.copy(f.toPath,
+        new java.io.File(stash, f.getName).toPath): Unit
+    }
+    assert(Pipeline.deleteKeys(spark, Seq("SE1").toDF("group_key"), sink) === 2L)
+    assert(!doomed.exists())
+    // simulate the crash aftermath: the emptied partition's old files
+    // are back on disk (commit landed, rm never ran)
+    doomed.mkdirs()
+    stash.listFiles().foreach { f =>
+      java.nio.file.Files.copy(f.toPath,
+        new java.io.File(doomed, f.getName).toPath): Unit
+    }
+    val resurrected = spark.read.parquet(sink)
+      .filter(col("group_key") === "SE1").count()
+    assert(resurrected === 1L) // the damage is real
+    // recovery = re-run the same request (idempotent): the resurrected
+    // rows match again, the partition re-lists, the rm completes, and
+    // the post-condition passes
+    assert(Pipeline.deleteKeys(spark, Seq("SE1").toDF("group_key"), sink) === 1L)
+    assert(!doomed.exists())
+    assert(spark.read.parquet(sink)
+      .filter(col("group_key") === "SE1").count() === 0L)
+  }
+
   test("deleteKeys: URL-escaped and NULL partition values resolve to the " +
     "real on-disk directories; null partition's kept rows survive") {
     import spark.implicits._
