@@ -107,6 +107,41 @@ class JdbcSpec extends SparkSpec {
     assert(state() === expected)
   }
 
+  test("catalog mode: aggregates push down INTO the warehouse query") {
+    import spark.implicits._
+    dropIfExists("agg_push")
+    // explicit DDL: Spark's Derby dialect writes StringType as CLOB,
+    // which Derby refuses to GROUP BY — the grouping column must be
+    // VARCHAR for the pushed query to be valid remotely
+    exec("CREATE TABLE agg_push (k BIGINT, grp VARCHAR(5), v DOUBLE)")
+    Jdbc.append((1L to 200L).map(i => (i, if (i % 2 == 0) "a" else "b", i * 1.0))
+      .toDF("k", "grp", "v"), url, "agg_push", driver = driver)
+    // Spark's DSv2 JDBC catalog compiles MIN/MAX/COUNT/SUM + GROUP BY
+    // into the remote SELECT — at warehouse scale the engine ships the
+    // aggregation instead of the rows (the property the reference leaned
+    // on BigQuery for). Derby uppercases unquoted identifiers.
+    val confs = Map(
+      "spark.sql.catalog.graftdb" ->
+        "org.apache.spark.sql.execution.datasources.v2.jdbc.JDBCTableCatalog",
+      "spark.sql.catalog.graftdb.url" -> url,
+      "spark.sql.catalog.graftdb.driver" ->
+        "org.apache.derby.iapi.jdbc.AutoloadedDriver",
+      "spark.sql.catalog.graftdb.pushDownAggregate" -> "true")
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val q = spark.sql(
+        """SELECT grp, COUNT(*) AS n, SUM(v) AS s
+          |FROM graftdb.APP.AGG_PUSH GROUP BY grp ORDER BY grp""".stripMargin)
+      val plan = q.queryExecution.executedPlan.toString()
+      assert(plan.contains("PushedAggregates"), plan)
+      assert(plan.toUpperCase.contains("COUNT") && plan.toUpperCase.contains("SUM"),
+        plan)
+      assert(q.as[(String, Long, Double)].collect().toSeq === Seq(
+        ("a", 100L, (2 to 200 by 2).map(_.toDouble).sum),
+        ("b", 100L, (1 to 199 by 2).map(_.toDouble).sum)))
+    } finally confs.keys.foreach(spark.conf.unset)
+  }
+
   test("upsert refuses frames without keys or without non-key columns") {
     import spark.implicits._
     val df = Seq((1L, 2.0)).toDF("k", "v")
