@@ -161,6 +161,47 @@ object Incremental {
       |       WHERE ts < TIMESTAMP '2024-01-15 00:00:00')
       |GROUP BY 1 ORDER BY 1""".stripMargin)
 
+  /** Incremental materialized-view maintenance by STATE MERGE — the
+    * third incremental tier next to q_incremental_delta (recompute the
+    * new slice) and q_late_reconcile (re-aggregate affected
+    * partitions): the standing (day, type) rollup carries MERGEABLE
+    * state — exact decimal sum + count, never the average — and a new
+    * delta batch folds in as `merge(state, agg(delta))`, touching NO
+    * historical raw rows. The average derives at read time from the
+    * merged state (r4a). Dates straddling the cutoff genuinely exercise
+    * the merge (their groups hold one partial row from each side), and
+    * decimal addition is exact, so the ORACLE — a direct full recompute
+    * over all events — proves `merge ≡ recompute` bit-for-bit: the
+    * algebraic-mergeability property every incremental MV rests on.
+    * (Storing the average itself would make the state non-mergeable —
+    * the classic MV bug this query's oracle would catch.)
+    *
+    * Scale: the delta aggregates two-phase at |delta| cost; the merge
+    * shuffles |days × types| state rows; history is never rescanned —
+    * at 100 TB that is the difference between a daily O(delta) job and
+    * a daily O(table) job. */
+  private val incrementalRollup = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+      val cutoff = to_timestamp(lit("2024-01-15 00:00:00"))
+      def partials(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy(to_date($"ts").as("date"), $"event_type")
+        .agg(count(lit(1)).as("pn"),
+          sum($"value".cast("decimal(28,10)")).as("ps"))
+      val state = partials(ev.filter($"ts" < cutoff)) // yesterday's MV
+      val delta = partials(ev.filter($"ts" >= cutoff)) // today's batch
+      state.unionByName(delta)
+        .groupBy($"date", $"event_type")
+        .agg(sum($"pn").cast("long").as("n"), sum($"ps").as("ms"))
+        .select($"date", $"event_type", $"n",
+          r4a($"ms", $"n").as("avg_value"))
+        .orderBy($"date", $"event_type")
+    },
+    """SELECT CAST(ts AS DATE) AS date, event_type, COUNT(*) AS n,
+      |       FLOOR(CAST(CAST(CAST(ROUND(SUM(CAST(value AS DECIMAL(28,10))), 6) AS DECIMAL(24,6)) * 1000000 AS BIGINT) AS DOUBLE) / (COUNT(*) * 100.0) + 0.5) / 10000.0 AS avg_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+
   /** Salted two-phase aggregation over the maximally-skewed key
     * (event_type: 5 values over the whole fact table) — the
     * Scale.saltedAgg skew pattern as a verified query. Partials are
@@ -1110,6 +1151,7 @@ object Incremental {
     "q_agg_salted" -> aggSalted,
     "q_watermark_max" -> watermarkMax,
     "q_incremental_delta" -> incrementalDelta,
+    "q_incremental_rollup" -> incrementalRollup,
     "q_gap_fill" -> gapFill,
     "q_stream_tumbling" -> streamTumbling,
     "q_stream_sliding" -> streamSliding,
