@@ -589,6 +589,56 @@ object TextOps {
       |FROM drawn WHERE draw < rate
       |GROUP BY source ORDER BY source""".stripMargin)
 
+  /** Temperature-scaled corpus sampling weights — the exponent-smoothing
+    * rule multilingual pipelines use to keep low-resource sources from
+    * vanishing (p_i^α renormalized; XLM-R/mBERT publish α≈0.3-0.7; this
+    * query fixes α=0.5, i.e. √p, which real pipelines use as T=2 — and
+    * which keeps the whole chain ENGINE-EXACT: sqrt is IEEE-754
+    * correctly rounded, so unlike pow/exp/ln it is bit-identical across
+    * libms). Per source: doc count, natural share (one IEEE division of
+    * exact longs), the temperature weight √p_i / Σ√p_j, and the
+    * resulting per-100k-epoch allocation. The normalizer Σ√p is an
+    * exact decimal(28,10) sum of per-source casts (summation-order-
+    * proof, the q_doc_logprob discipline), so every emitted double is
+    * one IEEE op on bit-identical operands — no rounding step at all.
+    *
+    * Scale: one two-phase corpus count → |sources| rows; the total and
+    * the normalizer are 1-row broadcasts; the corpus is scanned once
+    * and never reshuffled. */
+  private val temperatureMix = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val per = Tables.documents(s, dir)
+        .groupBy($"source").agg(count(lit(1)).as("n"))
+      val tot = per.agg(sum($"n").as("nn"))
+      val scored = per.crossJoin(broadcast(tot))
+        .withColumn("p", $"n".cast("double") / $"nn".cast("double"))
+        .withColumn("sd", sqrt($"p").cast("decimal(28,10)"))
+      val norm = scored.agg(sum($"sd").as("ss"))
+      scored.crossJoin(broadcast(norm))
+        .select($"source",
+          $"n".cast("long").as("n_docs"),
+          $"p".as("nat_share"),
+          ($"sd".cast("double") / $"ss".cast("double")).as("w_temp"),
+          floor(lit(100000.0) * ($"sd".cast("double") / $"ss".cast("double")))
+            .cast("long").as("docs_per_100k"))
+        .orderBy($"source")
+    },
+    """WITH per AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY 1),
+      |tot AS (SELECT SUM(n) AS nn FROM per),
+      |scored AS (
+      |  SELECT source, n,
+      |         CAST(n AS DOUBLE) / CAST(nn AS DOUBLE) AS p,
+      |         CAST(sqrt(CAST(n AS DOUBLE) / CAST(nn AS DOUBLE))
+      |              AS DECIMAL(28,10)) AS sd
+      |  FROM per, tot),
+      |norm AS (SELECT SUM(sd) AS ss FROM scored)
+      |SELECT source, CAST(n AS BIGINT) AS n_docs, p AS nat_share,
+      |       CAST(sd AS DOUBLE) / CAST(ss AS DOUBLE) AS w_temp,
+      |       CAST(FLOOR(100000.0 * (CAST(sd AS DOUBLE) / CAST(ss AS DOUBLE)))
+      |            AS BIGINT) AS docs_per_100k
+      |FROM scored, norm ORDER BY source""".stripMargin)
+
   /** Within-document repetition metrics — the published repetition
     * filters of large-corpus curation (Gopher's repetition rules /
     * C4-style dedup heuristics, public papers): top-word fraction and
@@ -2284,5 +2334,6 @@ FROM enc ORDER BY doc_id"""
     "q_bm25_topk" -> bm25TopK,
     "q_split_assign" -> splitAssign,
     "q_seq_pack" -> seqPack,
-    "q_corpus_mix" -> corpusMix)
+    "q_corpus_mix" -> corpusMix,
+    "q_temperature_mix" -> temperatureMix)
 }
