@@ -2151,7 +2151,87 @@ object Relational {
       |         AS BIGINT) AS n_en
       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)
 
+  /** k-anonymity census — the privacy audit a training-data release
+    * runs before shipping: group the table by its quasi-identifier
+    * tuple (nation, market segment, account-balance band) and report,
+    * for each anonymity level k, how many QI groups and rows sit at
+    * that level; any row in a group with k < 5 is re-identifiable
+    * under the standard k≥5 policy. The balance band is
+    * floor(acctbal/1000) — ONE identically-written double divide +
+    * floor on both engines (band boundaries at exact multiples of
+    * 1000.0 are measure-zero in the fixture).
+    *
+    * Scale: two chained two-phase hash aggregates — the first shuffles
+    * only the narrow QI tuple, the second shuffles |distinct k| rows
+    * (≤ group-size range, tiny). No join, no window, no all-pairs;
+    * at 100 TB this is exactly the shape Spark's partial aggregation
+    * was built for. */
+  private val kAnonymity = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      Tables.customer(s, dir)
+        .select($"c_nationkey", $"c_mktsegment",
+          floor($"c_acctbal" / 1000.0).cast("long").as("bal_band"))
+        .groupBy($"c_nationkey", $"c_mktsegment", $"bal_band")
+        .agg(count(lit(1)).as("k"))
+        .groupBy($"k")
+        .agg(count(lit(1)).as("n_groups"), sum($"k").as("n_rows"))
+        .select($"k", $"n_groups", $"n_rows", ($"k" < 5).as("at_risk"))
+        .orderBy($"k")
+    },
+    """WITH qi AS (
+      |  SELECT c_nationkey, c_mktsegment,
+      |         CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_band
+      |  FROM customer),
+      |grp AS (SELECT c_nationkey, c_mktsegment, bal_band, COUNT(*) AS k
+      |        FROM qi GROUP BY 1, 2, 3)
+      |SELECT k, COUNT(*) AS n_groups, CAST(SUM(k) AS BIGINT) AS n_rows,
+      |       k < 5 AS at_risk
+      |FROM grp GROUP BY k ORDER BY k""".stripMargin)
+
+  /** l-diversity census — k-anonymity's companion release gate: a QI
+    * group can be large (k-anonymous) yet still disclose the sensitive
+    * attribute if every member shares one value. Here QI = (nation,
+    * balance band), sensitive = market segment; l(group) = exact
+    * COUNT(DISTINCT segment) within the group, and the output is the
+    * census of groups by diversity level with l = 1 flagged (full
+    * disclosure). Same band arithmetic as q_k_anonymity.
+    *
+    * Scale: the distinct is bounded by the sensitive attribute's
+    * cardinality (|segments| = 5), so the first aggregate shuffles
+    * (QI, segment) pairs — at most |QI|·|segments| rows after the
+    * map-side partial — then two tiny keyed aggregates. No expand, no
+    * join; safe at any corpus size. */
+  private val lDiversity = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      Tables.customer(s, dir)
+        .select($"c_nationkey",
+          floor($"c_acctbal" / 1000.0).cast("long").as("bal_band"),
+          $"c_mktsegment")
+        .groupBy($"c_nationkey", $"bal_band")
+        .agg(count(lit(1)).as("k"),
+          countDistinct($"c_mktsegment").as("l"))
+        .groupBy($"l")
+        .agg(count(lit(1)).as("n_groups"), sum($"k").as("n_rows"))
+        .select($"l", $"n_groups", $"n_rows", ($"l" === 1).as("disclosed"))
+        .orderBy($"l")
+    },
+    """WITH qi AS (
+      |  SELECT c_nationkey,
+      |         CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+      |         c_mktsegment
+      |  FROM customer),
+      |grp AS (SELECT c_nationkey, bal_band, COUNT(*) AS k,
+      |               COUNT(DISTINCT c_mktsegment) AS l
+      |        FROM qi GROUP BY 1, 2)
+      |SELECT l, COUNT(*) AS n_groups, CAST(SUM(k) AS BIGINT) AS n_rows,
+      |       l = 1 AS disclosed
+      |FROM grp GROUP BY l ORDER BY l""".stripMargin)
+
   val defs: Seq[(String, QueryDef)] = Seq(
+    "q_k_anonymity" -> kAnonymity,
+    "q_l_diversity" -> lDiversity,
     "q_variant_json" -> variantJson,
     "q_collation" -> collation,
     "q_ab_test" -> abTest,

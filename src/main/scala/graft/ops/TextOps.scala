@@ -934,25 +934,29 @@ object TextOps {
     * order cannot move the mean ([[Incremental.r4a]] discipline).
     * Scale: the unigram table is |vocab| rows — broadcast; the token
     * stream joins map-side and aggregates two-phase per doc. */
-  private val docLogprob = QueryDef(
-    (s, dir) => {
-      import s.implicits._
-      val words = Tables.spread(Tables.documents(s, dir), "doc_id")
-        .select($"doc_id", explode(split($"text", " ")).as("word"))
-      // single-consumer lineage: plan-local persist (totals + join legs),
-      // self-billed rather than memo-warmed
-      val uni = words.groupBy($"word").agg(count(lit(1)).as("c")).persist()
-      val tot = uni.agg(sum($"c").as("n_words"))
-      words.join(broadcast(uni), "word")
-        .crossJoin(broadcast(tot))
-        .select($"doc_id",
-          log($"c".cast("double") / $"n_words".cast("double"))
-            .cast("decimal(28,10)").as("lnp"))
-        .groupBy($"doc_id")
-        .agg(count(lit(1)).as("n_tokens"),
-          Incremental.r4a(sum($"lnp"), count(lit(1))).as("avg_logprob"))
-        .orderBy($"doc_id")
-    },
+  /** Shared per-doc unigram score lineage for q_doc_logprob and
+    * q_perplexity_bucket: (doc_id, n_tokens, avg_logprob). */
+  private def docLogprobScores(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val words = Tables.spread(Tables.documents(s, dir), "doc_id")
+      .select($"doc_id", explode(split($"text", " ")).as("word"))
+    // plan-local persist (totals + join legs), self-billed rather than
+    // memo-warmed — both consumers rebuild it, each a cheap single pass
+    val uni = words.groupBy($"word").agg(count(lit(1)).as("c")).persist()
+    val tot = uni.agg(sum($"c").as("n_words"))
+    words.join(broadcast(uni), "word")
+      .crossJoin(broadcast(tot))
+      .select($"doc_id",
+        log($"c".cast("double") / $"n_words".cast("double"))
+          .cast("decimal(28,10)").as("lnp"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        Incremental.r4a(sum($"lnp"), count(lit(1))).as("avg_logprob"))
+  }
+
+  /** Oracle CTE twin of [[docLogprobScores]]: `score(doc_id, n_tokens,
+    * avg_logprob)`. */
+  private val docLogprobSqlCte: String =
     """WITH w AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS word
       |           FROM documents),
       |u AS (SELECT word, COUNT(*) AS c FROM w GROUP BY 1),
@@ -960,10 +964,63 @@ object TextOps {
       |lp AS (SELECT doc_id,
       |              CAST(LN(CAST(c AS DOUBLE) / CAST(n_words AS DOUBLE))
       |                   AS DECIMAL(28,10)) AS lnp
-      |       FROM w JOIN u USING (word) CROSS JOIN t)
-      |SELECT doc_id, COUNT(*) AS n_tokens,
-      |       FLOOR(CAST(CAST(CAST(ROUND(SUM(lnp), 6) AS DECIMAL(24,6)) * 1000000 AS BIGINT) AS DOUBLE) / (COUNT(*) * 100.0) + 0.5) / 10000.0 AS avg_logprob
-      |FROM lp GROUP BY 1 ORDER BY 1""".stripMargin)
+      |       FROM w JOIN u USING (word) CROSS JOIN t),
+      |score AS (
+      |  SELECT doc_id, COUNT(*) AS n_tokens,
+      |         FLOOR(CAST(CAST(CAST(ROUND(SUM(lnp), 6) AS DECIMAL(24,6)) * 1000000 AS BIGINT) AS DOUBLE) / (COUNT(*) * 100.0) + 0.5) / 10000.0 AS avg_logprob
+      |  FROM lp GROUP BY 1)""".stripMargin
+
+  private val docLogprob = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      docLogprobScores(s, dir).orderBy($"doc_id")
+    },
+    docLogprobSqlCte +
+      "\nSELECT doc_id, n_tokens, avg_logprob FROM score ORDER BY doc_id")
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): rank each
+    * language's documents by the unigram-LM quality score and split
+    * them into head/middle/tail terciles — the standard corpus-quality
+    * partition a web-scale pipeline keeps (head), LM-filters (middle),
+    * or drops (tail). Reuses the [[docLogprobScores]] lineage; the
+    * tercile is ntile(3) over the TOTAL order (score desc, doc_id) so
+    * the bucket assignment is replayable on both engines; the output
+    * is the per-(lang, bucket) census.
+    *
+    * Scale: the ntile window partitions BY LANGUAGE — at 100 TB a
+    * single lang partition is petabyte-wide, so production swaps the
+    * exact ntile for per-lang approx-quantile score cuts (one
+    * two-phase sketch pass, then a broadcast band join); the declared
+    * shape keeps exact ntile because the oracle must replay bucket
+    * boundaries bit-for-bit. Everything else is two-phase aggregates
+    * over the broadcast unigram model. */
+  private val perplexityBucket = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val scores = docLogprobScores(s, dir)
+      val docs = Tables.documents(s, dir).select($"doc_id", $"lang")
+      val w = Window.partitionBy($"lang")
+        .orderBy($"avg_logprob".desc, $"doc_id")
+      scores.join(docs, "doc_id")
+        .withColumn("bucket", ntile(3).over(w).cast("long"))
+        .groupBy($"lang", $"bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_tokens").as("total_tokens"),
+          min($"avg_logprob").as("min_score"),
+          max($"avg_logprob").as("max_score"))
+        .orderBy($"lang", $"bucket")
+    },
+    docLogprobSqlCte +
+      """
+      |, b AS (SELECT d.lang, s.n_tokens, s.avg_logprob,
+      |               CAST(NTILE(3) OVER (PARTITION BY d.lang
+      |                 ORDER BY s.avg_logprob DESC, s.doc_id) AS BIGINT)
+      |                 AS bucket
+      |        FROM score s JOIN documents d USING (doc_id))
+      |SELECT lang, bucket, COUNT(*) AS n_docs,
+      |       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+      |       MIN(avg_logprob) AS min_score, MAX(avg_logprob) AS max_score
+      |FROM b GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin)
 
   /** Boilerplate-prefix clustering — the cheap first-pass dedup tier a
     * web-corpus pipeline runs BEFORE the shingle family: documents
@@ -2318,6 +2375,7 @@ FROM enc ORDER BY doc_id"""
     "q_token_entropy" -> tokenEntropy,
     "q_prefix_cluster" -> prefixCluster,
     "q_doc_logprob" -> docLogprob,
+    "q_perplexity_bucket" -> perplexityBucket,
     "q_inverted_index" -> invertedIndex,
     "q_collocation_pmi" -> collocationPmi,
     "q_vocab_coverage" -> vocabCoverage,
