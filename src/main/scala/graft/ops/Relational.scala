@@ -876,7 +876,12 @@ object Relational {
   private val tryFuncs = QueryDef(
     (s, dir) => {
       import s.implicits._
-      Tables.events(s, dir).select($"event_id", $"value")
+      // spread: the overflow arm throws-and-catches PER ROW (every
+      // positive event_id overflows try_add by design), ~24 µs/row —
+      // heavy per-row work on a single-file scan partition without the
+      // fan-out (QTimer A/B: 2.38 s → see BASELINE.md r9 triage)
+      Tables.spread(Tables.events(s, dir), "event_id")
+        .select($"event_id", $"value")
         // the payload builder itself is error-safe — and NOT via floor
         // alone: Spark's FLOOR(double) returns BIGINT with NaN → 0 and
         // ±Inf → ±Long.MaxValue SILENTLY (no ANSI error), which both
