@@ -88,6 +88,26 @@ object ScaleProbe {
         ord.withColumn("o_orderkey", $"o_orderkey" + lit(i * okShift))
       }.reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      // customer/supplier (privacy censuses, fuzzy join): keys shift
+      // AND the entity name is re-rendered from the shifted key so the
+      // name-derived 9-digit match key stays consistent — replicas are
+      // new entities, the representative "bigger directory" shape
+      val cust = spark.read.parquet(s"$base/customer.parquet")
+      val cShift = cust.agg(max($"c_custkey")).head().getLong(0) + 1
+      (0 until n).map { i =>
+        cust.withColumn("c_custkey", $"c_custkey" + lit(i * cShift))
+          .withColumn("c_name",
+            concat(lit("Customer#"), lpad($"c_custkey".cast("string"), 9, "0")))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+      val sup = spark.read.parquet(s"$base/supplier.parquet")
+      val sShift = sup.agg(max($"s_suppkey")).head().getLong(0) + 1
+      (0 until n).map { i =>
+        sup.withColumn("s_suppkey", $"s_suppkey" + lit(i * sShift))
+          .withColumn("s_name",
+            concat(lit("Supplier#"), lpad($"s_suppkey".cast("string"), 9, "0")))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
       dir
     }
 
