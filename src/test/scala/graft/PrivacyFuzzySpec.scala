@@ -47,6 +47,30 @@ class PrivacyFuzzySpec extends SparkSpec {
     assert(brute.nonEmpty, "fixture should produce at least one match")
   }
 
+  test("q_dedup_fuzzy (PassJoin) equals brute-force all-pairs lev<=2 " +
+    "on the padded 40-char canonical keys") {
+    import spark.implicits._
+    val keys = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", rpad(substring($"text", 1, 40), 40, "#").as("t"))
+      .as[(Long, String)].collect()
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val brute = (for {
+      (ida, ta) <- keys; (idb, tb) <- keys
+      if ida < idb && lev(ta, tb) <= 2
+    } yield (ida, idb, lev(ta, tb).toLong)).toSet
+    val got = run("q_dedup_fuzzy").as[(Long, Long, Long)].collect().toSet
+    assert(got === brute)
+    assert(brute.nonEmpty, "fixture should produce at least one pair")
+  }
+
   test("q_k_anonymity census conserves rows and flags k<5") {
     import spark.implicits._
     val rows = run("q_k_anonymity")
