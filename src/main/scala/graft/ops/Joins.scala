@@ -231,6 +231,86 @@ object Joins {
       |FROM m LEFT JOIN orders o ON m.next_orderkey = o.o_orderkey
       |ORDER BY m.event_id""".stripMargin)
 
+  /** NEAREST as-of join — the third direction of the as-of family
+    * (backward = lookup, forward = lead-time, nearest = closest in
+    * either direction; the pandas merge_asof direction set). BOTH
+    * candidate passes run over ONE union and ONE hash partitioning on
+    * the user key: the backward window sorts t-ascending, the forward
+    * t-descending — Catalyst plans one Exchange and two Sorts, not two
+    * shuffles. The pick is then row-local arithmetic on floored-second
+    * epochs (exact BIGINTs both engines): smaller distance wins,
+    * exact-tie → the BACKWARD order (the already-observed one — the
+    * causally safe default), per-direction order ties inherit the
+    * parents' rules (backward: highest key; forward: lowest key).
+    * Linear like its parents; the join-then-rank form would be
+    * quadratic per hot user. */
+  private val joinAsofNear = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val e = Tables.events(s, dir)
+        .select($"user_id".as("u"), $"ts".as("t"), lit(1).as("is_event"),
+          $"event_id", lit(null).cast("struct<d:timestamp,k:bigint>").as("ord"))
+      val o = Tables.orders(s, dir)
+        .filter($"o_custkey".isNotNull && $"o_orderdate".isNotNull)
+        .select($"o_custkey".as("u"), $"o_orderdate".as("t"),
+          lit(0).as("is_event"), lit(null).cast("long").as("event_id"),
+          struct($"o_orderdate".as("d"), $"o_orderkey".as("k")).as("ord"))
+      val wb = Window.partitionBy($"u")
+        .orderBy($"t", $"is_event", $"ord.k")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wf = Window.partitionBy($"u")
+        .orderBy($"t".desc, $"is_event", $"ord.k".desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val es = $"t".cast("long")
+      e.unionByName(o)
+        .withColumn("back", last($"ord", ignoreNulls = true).over(wb))
+        .withColumn("fwd", last($"ord", ignoreNulls = true).over(wf))
+        .filter($"is_event" === 1)
+        .withColumn("db", es - $"back.d".cast("long"))
+        .withColumn("df", $"fwd.d".cast("long") - es)
+        .withColumn("pick_back",
+          $"fwd".isNull || ($"back".isNotNull && $"db" <= $"df"))
+        .select($"event_id", $"u".as("user_id"),
+          when($"pick_back", $"back.k").otherwise($"fwd.k")
+            .as("near_orderkey"),
+          to_date(when($"pick_back", $"back.d").otherwise($"fwd.d"))
+            .as("near_date"),
+          when($"back".isNull && $"fwd".isNull, lit(null).cast("string"))
+            .otherwise(when($"pick_back", lit("b")).otherwise(lit("f")))
+            .as("direction"))
+        .orderBy($"event_id")
+    },
+    """WITH m AS (
+      |  SELECT e.event_id, e.user_id,
+      |         CAST(FLOOR(epoch(e.ts)) AS BIGINT) AS es,
+      |         (SELECT o.o_orderkey FROM orders o
+      |          WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+      |          ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1) AS bk,
+      |         (SELECT o.o_orderkey FROM orders o
+      |          WHERE o.o_custkey = e.user_id AND o.o_orderdate >= e.ts
+      |          ORDER BY o.o_orderdate, o.o_orderkey LIMIT 1) AS fk
+      |  FROM events e),
+      |j AS (
+      |  SELECT m.event_id, m.user_id, m.es, m.bk, m.fk,
+      |         CAST(FLOOR(epoch(ob.o_orderdate)) AS BIGINT) AS bd,
+      |         CAST(FLOOR(epoch(of_.o_orderdate)) AS BIGINT) AS fd,
+      |         ob.o_orderdate AS bdate, of_.o_orderdate AS fdate
+      |  FROM m LEFT JOIN orders ob ON m.bk = ob.o_orderkey
+      |         LEFT JOIN orders of_ ON m.fk = of_.o_orderkey),
+      |p AS (
+      |  SELECT event_id, user_id,
+      |         (fk IS NULL OR (bk IS NOT NULL AND es - bd <= fd - es))
+      |           AS pick_back,
+      |         bk, fk, bdate, fdate
+      |  FROM j)
+      |SELECT event_id, user_id,
+      |       CASE WHEN pick_back THEN bk ELSE fk END AS near_orderkey,
+      |       CAST(CASE WHEN pick_back THEN bdate ELSE fdate END AS DATE)
+      |         AS near_date,
+      |       CASE WHEN bk IS NULL AND fk IS NULL THEN NULL
+      |            WHEN pick_back THEN 'b' ELSE 'f' END AS direction
+      |FROM p ORDER BY event_id""".stripMargin)
+
   /** SCD2-style temporal dimension join: build validity intervals from
     * the orders history per customer (valid_from = order date, valid_to
     * = next order's date via lead — half-open, so same-date orders
@@ -1623,5 +1703,6 @@ object Joins {
     "q_join_anti" -> joinAnti,
     "q_join_range" -> joinRange,
     "q_join_asof" -> joinAsof,
-    "q_join_asof_fwd" -> joinAsofFwd)
+    "q_join_asof_fwd" -> joinAsofFwd,
+    "q_join_asof_near" -> joinAsofNear)
 }

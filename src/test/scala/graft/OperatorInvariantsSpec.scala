@@ -1067,4 +1067,39 @@ class OperatorInvariantsSpec extends SparkSpec {
     assert(got === expected)
     assert(got.nonEmpty)
   }
+
+  test("q_join_asof_near picks the closer of its backward/forward parents, " +
+    "ties to backward") {
+    import spark.implicits._
+    val back = run("q_join_asof")
+      .select($"event_id", $"asof_orderkey", $"asof_date")
+      .as[(Long, Option[Long], Option[java.sql.Date])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val fwd = run("q_join_asof_fwd")
+      .select($"event_id", $"next_orderkey", $"next_date")
+      .as[(Long, Option[Long], Option[java.sql.Date])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val ets = graft.util.Tables.events(spark, sf)
+      .select($"event_id", $"ts".cast("long"))
+      .as[(Long, Long)].collect().toMap
+    val got = run("q_join_asof_near")
+      .select($"event_id", $"near_orderkey", $"direction")
+      .as[(Long, Option[Long], Option[String])].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (eid, nk, dirn) =>
+      val (bk, bd) = back(eid)
+      val (fk, fd) = fwd(eid)
+      val es = ets(eid)
+      val db = bd.map(d => es - d.getTime / 1000)
+      val df = fd.map(d => d.getTime / 1000 - es)
+      val expect = (db, df) match {
+        case (None, None)         => (None, None)
+        case (Some(_), None)      => (bk, Some("b"))
+        case (None, Some(_))      => (fk, Some("f"))
+        case (Some(b), Some(f))   =>
+          if (b <= f) (bk, Some("b")) else (fk, Some("f"))
+      }
+      assert((nk, dirn) === expect, s"event $eid")
+    }
+  }
 }
