@@ -524,7 +524,104 @@ object Windows {
       |SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users FROM p GROUP BY 1
       |ORDER BY n_users DESC, path LIMIT 20""".stripMargin)
 
+  /** Kaplan-Meier survival table (Kaplan & Meier 1958) over
+    * signup→purchase conversion with right-censoring — the
+    * survival-analysis member next to q_retention (cohort grid) and
+    * q_time_to_convert (point estimate): per signup user, duration =
+    * whole days from first signup to first at-or-after purchase
+    * (event) or to the user's last event (censored). The life table
+    * emits, per exit day: conversions d_i, total exits, the at-risk
+    * count n_i (everyone who survived past all earlier exit days), and
+    * the running LOG-survival ln Ŝ = Σ_{j≤i} ln((n_j − d_j)/n_j).
+    * Log-survival, not Ŝ itself: exp is not correctly-rounded IEEE so
+    * Ŝ = e^x could flip a final digit cross-engine, while each ln term
+    * is ONE IEEE op on exact-integer-derived operands cast to
+    * decimal(28,10), the running sum is exact decimal, and the
+    * emission rounds IN DECIMAL (the q_doc_logprob discipline). A day
+    * with d_i = n_i (extinction, ln 0) yields a NULL term skipped by
+    * both engines' SUM — can't arise while any censored user remains;
+    * the fixture never hits it.
+    *
+    * Scale: two two-phase aggregates (per-user reduction keyed by
+    * high-cardinality user_id, then the |days| life table); both
+    * windows run over the ~|distinct durations| AGGREGATED rows only
+    * (the q_sax/q_window_count_distinct pattern) — never raw events;
+    * the cohort total is a 1-row broadcast. */
+  private val survivalKm = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val perUser = Tables.events(s, dir)
+        .groupBy($"user_id")
+        .agg(
+          min(when($"event_type" === "signup", $"ts")).as("t0"),
+          min(when($"event_type" === "purchase", $"ts")).as("tp"),
+          max($"ts").as("tlast"))
+      val cohort = perUser
+        .filter($"t0".isNotNull && $"tlast".cast("long") >= $"t0".cast("long"))
+        .select(
+          ($"tp".isNotNull && $"tp" >= $"t0").cast("int").as("converted"),
+          expr("(CAST(CASE WHEN tp IS NOT NULL AND tp >= t0 THEN tp " +
+            "ELSE tlast END AS LONG) - CAST(t0 AS LONG)) div 86400").as("dur"))
+      val tot = cohort.agg(count(lit(1)).as("n_total"))
+      val byDay = cohort.groupBy($"dur")
+        .agg(count(lit(1)).as("n_exit"),
+          sum($"converted").cast("long").as("d_i"))
+        .crossJoin(broadcast(tot))
+      val wPrev = Window.orderBy($"dur")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wRun = Window.orderBy($"dur")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      byDay
+        .withColumn("n_risk",
+          $"n_total" - coalesce(sum($"n_exit").over(wPrev), lit(0L)))
+        .withColumn("lnterm",
+          when($"d_i" < $"n_risk",
+            log(($"n_risk" - $"d_i").cast("double") / $"n_risk".cast("double"))
+              .cast("decimal(28,10)")))
+        .select($"dur", $"d_i", $"n_exit", $"n_risk",
+          round(sum($"lnterm").over(wRun), 4).cast("double").as("log_surv"))
+        .orderBy($"dur")
+    },
+    """WITH per_user AS (
+      |  SELECT user_id,
+      |         MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t0,
+      |         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS tp,
+      |         MAX(ts) AS tlast
+      |  FROM events GROUP BY user_id),
+      |cohort AS (
+      |  SELECT CAST(tp IS NOT NULL AND tp >= t0 AS INT) AS converted,
+      |         (CAST(FLOOR(epoch(CASE WHEN tp IS NOT NULL AND tp >= t0
+      |                  THEN tp ELSE tlast END)) AS BIGINT)
+      |          - CAST(FLOOR(epoch(t0)) AS BIGINT)) // 86400 AS dur
+      |  FROM per_user
+      |  WHERE t0 IS NOT NULL
+      |    AND CAST(FLOOR(epoch(tlast)) AS BIGINT)
+      |        >= CAST(FLOOR(epoch(t0)) AS BIGINT)),
+      |tot AS (SELECT COUNT(*) AS n_total FROM cohort),
+      |by_day AS (
+      |  SELECT dur, COUNT(*) AS n_exit, CAST(SUM(converted) AS BIGINT) AS d_i
+      |  FROM cohort GROUP BY dur),
+      |risk AS (
+      |  SELECT dur, d_i, n_exit,
+      |         n_total - COALESCE(SUM(n_exit) OVER (ORDER BY dur
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |           AS n_risk
+      |  FROM by_day CROSS JOIN tot),
+      |terms AS (
+      |  SELECT dur, d_i, n_exit, n_risk,
+      |         CASE WHEN d_i < n_risk THEN
+      |           CAST(LN(CAST(n_risk - d_i AS DOUBLE)
+      |                   / CAST(n_risk AS DOUBLE)) AS DECIMAL(28,10))
+      |         END AS lnterm
+      |  FROM risk)
+      |SELECT dur, d_i, n_exit, CAST(n_risk AS BIGINT) AS n_risk,
+      |       CAST(ROUND(SUM(lnterm) OVER (ORDER BY dur
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+      |         AS DOUBLE) AS log_surv
+      |FROM terms ORDER BY dur""".stripMargin)
+
   val defs: Seq[(String, QueryDef)] = Seq(
+    "q_survival_km" -> survivalKm,
     "q_sax_symbols" -> saxSymbols,
     "q_event_paths" -> eventPaths,
     "q_window_count_distinct" -> windowCountDistinct,

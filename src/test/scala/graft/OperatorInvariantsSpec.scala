@@ -1102,4 +1102,39 @@ class OperatorInvariantsSpec extends SparkSpec {
       assert((nk, dirn) === expect, s"event $eid")
     }
   }
+
+  test("q_survival_km is a valid life table: risk set telescopes, " +
+    "log-survival is nonincreasing, and it matches a driver recompute") {
+    import spark.implicits._
+    val rows = run("q_survival_km")
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    // n_risk telescopes: next risk set = current minus current exits
+    rows.sliding(2).foreach {
+      case Array((_, _, ne, nr, _), (_, _, _, nr2, _)) =>
+        assert(nr2 === nr - ne)
+      case _ =>
+    }
+    // first risk set is the whole cohort; last day exhausts it
+    assert(rows.last._4 === rows.last._3)
+    // conversions never exceed exits; exits never exceed the risk set
+    rows.foreach { case (_, di, ne, nr, _) =>
+      assert(di <= ne && ne <= nr)
+    }
+    // log-survival: 0-anchored, nonincreasing (each term is ln(p), p<=1)
+    rows.map(_._5).sliding(2).foreach {
+      case Array(a, b) => assert(b <= a + 1e-9)
+      case _ =>
+    }
+    // driver recompute of the running log-survival from the integer
+    // life-table columns (same per-term arithmetic, BigDecimal sum)
+    var acc = BigDecimal(0)
+    rows.foreach { case (_, di, _, nr, ls) =>
+      if (di < nr)
+        acc += BigDecimal(math.log((nr - di).toDouble / nr.toDouble))
+          .setScale(10, BigDecimal.RoundingMode.HALF_UP)
+      val expect = acc.setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(ls - expect) < 1e-12, s"day row $ls vs $expect")
+    }
+  }
 }
