@@ -241,6 +241,53 @@ object TextOps {
     langSqlCtes +
       "\nSELECT doc_id, lang, pred_lang, score FROM picked ORDER BY doc_id")
 
+  /** Classifier calibration / reliability table — the eval member the
+    * confusion matrix (q_lang_confusion: WHERE the model errs) and
+    * MRR/nDCG (ranking quality) don't cover: does a HIGHER score mean
+    * a MORE-LIKELY-CORRECT prediction? The held-out predictions split
+    * into score deciles (ntile(10) over the TOTAL order (score desc,
+    * doc_id) — the rank-based reliability curve, the right form for an
+    * uncalibrated integer score) and each bin reports its exact
+    * basis-point accuracy plus the score range — a filter pipeline
+    * reads this table to pick the score cutoff that buys a target
+    * precision. All-integer arithmetic (counts, floor-div bp, min/max
+    * of integer scores).
+    *
+    * Scale: rides the memoized langPredictions lineage; the ntile
+    * window orders |held-out docs| rows — bounded by the eval split,
+    * and at 100 TB the exact decile swaps for approx-quantile score
+    * cuts exactly as q_perplexity_bucket documents. The census is a
+    * 10-row two-phase aggregate. */
+  private val calibrationBins = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.orderBy($"score".desc, $"doc_id")
+      langPredictions(s, dir)
+        .withColumn("decile", ntile(10).over(w).cast("long"))
+        .groupBy($"decile")
+        .agg(count(lit(1)).as("n"),
+          sum(($"pred_lang" === $"lang").cast("long")).as("n_correct"),
+          max($"score").as("score_hi"),
+          min($"score").as("score_lo"))
+        .select($"decile", $"n", $"n_correct",
+          expr("n_correct * 10000 div n").as("acc_bp"),
+          $"score_hi", $"score_lo")
+        .orderBy($"decile")
+    },
+    langSqlCtes + """
+      |, b AS (
+      |  SELECT lang, pred_lang, score,
+      |         CAST(NTILE(10) OVER (ORDER BY score DESC, doc_id)
+      |              AS BIGINT) AS decile
+      |  FROM picked)
+      |SELECT decile, COUNT(*) AS n,
+      |       CAST(SUM(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS n_correct,
+      |       CAST(SUM(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END)
+      |            * 10000 // COUNT(*) AS BIGINT) AS acc_bp,
+      |       MAX(score) AS score_hi, MIN(score) AS score_lo
+      |FROM b GROUP BY decile ORDER BY decile""".stripMargin)
+
   /** Classifier-evaluation census over the held-out split: the
     * (true lang × predicted lang) confusion matrix with exact
     * basis-point recall per true-lang row — the eval table a curation
@@ -2376,6 +2423,7 @@ FROM enc ORDER BY doc_id"""
     "q_prefix_cluster" -> prefixCluster,
     "q_doc_logprob" -> docLogprob,
     "q_perplexity_bucket" -> perplexityBucket,
+    "q_calibration_bins" -> calibrationBins,
     "q_inverted_index" -> invertedIndex,
     "q_collocation_pmi" -> collocationPmi,
     "q_vocab_coverage" -> vocabCoverage,

@@ -1137,4 +1137,26 @@ class OperatorInvariantsSpec extends SparkSpec {
       assert(math.abs(ls - expect) < 1e-12, s"day row $ls vs $expect")
     }
   }
+
+  test("q_calibration_bins partitions the held-out split into balanced, " +
+    "score-ordered deciles with exact bp accuracy") {
+    import spark.implicits._
+    val rows = run("q_calibration_bins")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.map(_._1).toSeq === (1L to 10L))
+    val nHeldOut = graft.util.Tables.documents(spark, sf)
+      .filter($"doc_id" % 5 === 0).count()
+    assert(rows.map(_._2).sum === nHeldOut)
+    assert(rows.map(_._2).max - rows.map(_._2).min <= 1)
+    rows.foreach { case (_, n, nc, accBp, hi, lo) =>
+      assert(nc <= n && accBp === nc * 10000 / n)
+      assert(lo <= hi)
+    }
+    // deciles are score-ordered: bin k's floor >= bin k+1's ceiling
+    rows.sliding(2).foreach {
+      case Array((_, _, _, _, _, lo1), (_, _, _, _, hi2, _)) =>
+        assert(lo1 >= hi2)
+      case _ =>
+    }
+  }
 }
