@@ -1069,6 +1069,71 @@ object TextOps {
       |       MIN(avg_logprob) AS min_score, MAX(avg_logprob) AS max_score
       |FROM b GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin)
 
+  /** AUC by rank statistic (Mann-Whitney U / Wilcoxon rank-sum) — the
+    * threshold-free counterpart of q_calibration_bins' binned
+    * reliability: the probability that a random English doc outranks a
+    * random non-English doc under the unigram-LM quality score (the
+    * CCNet filter signal q_perplexity_bucket cuts on). EXACT tie
+    * handling in pure integers: ranks are kept at ×2 scale so the
+    * tie-group average rank (lo+hi)/2 is the integer lo+hi — per
+    * distinct score, positives contribute n_pos·(2·cum_below + c + 1);
+    * then U₂ = 2·R₁ − n₁(n₁+1) and AUC in basis points is one integer
+    * floor division. No doubles anywhere after the (bit-identical)
+    * score itself; U₂ < 2·n₁·n₀ ≤ 2·|docs|² keeps everything far from
+    * int64 overflow at any fixture scale.
+    *
+    * Scale: rides docLogprobScores; the cumulative window runs over
+    * the |distinct scores| AGGREGATED rows (≤ |docs|, the
+    * q_survival_km class — at PB scale the rank-sum decomposes into
+    * per-range partials exactly like a distributed sort's histogram
+    * pass). Output is one row. */
+  private val aucRank = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val labeled = docLogprobScores(s, dir)
+        .join(Tables.documents(s, dir).select($"doc_id", $"lang"), "doc_id")
+        .select($"avg_logprob".as("score"),
+          ($"lang" === "en").cast("long").as("pos"))
+      val byScore = labeled.groupBy($"score")
+        .agg(count(lit(1)).as("c"), sum($"pos").as("npos"))
+      val wPrev = Window.orderBy($"score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      byScore
+        .withColumn("cum_lt", coalesce(sum($"c").over(wPrev), lit(0L)))
+        .select($"npos", $"c", $"cum_lt")
+        .agg(sum($"npos").as("n_pos"),
+          (sum($"c") - sum($"npos")).as("n_neg"),
+          sum($"npos" * (lit(2L) * $"cum_lt" + $"c" + 1L)).as("r2"))
+        .select($"n_pos", $"n_neg",
+          ($"r2" - $"n_pos" * ($"n_pos" + 1L)).as("u2"))
+        .select($"n_pos", $"n_neg", $"u2",
+          expr("u2 * 10000 div (2 * n_pos * n_neg)").as("auc_bp"))
+    },
+    docLogprobSqlCte + """
+      |, labeled AS (
+      |  SELECT s.avg_logprob AS score,
+      |         CAST(d.lang = 'en' AS BIGINT) AS pos
+      |  FROM score s JOIN documents d USING (doc_id)),
+      |by_score AS (
+      |  SELECT score, COUNT(*) AS c, CAST(SUM(pos) AS BIGINT) AS npos
+      |  FROM labeled GROUP BY score),
+      |ranked AS (
+      |  SELECT npos, c,
+      |         COALESCE(SUM(c) OVER (ORDER BY score
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |           AS cum_lt
+      |  FROM by_score),
+      |agg AS (
+      |  SELECT CAST(SUM(npos) AS BIGINT) AS n_pos,
+      |         CAST(SUM(c) - SUM(npos) AS BIGINT) AS n_neg,
+      |         CAST(SUM(npos * (2 * cum_lt + c + 1)) AS BIGINT) AS r2
+      |  FROM ranked)
+      |SELECT n_pos, n_neg,
+      |       r2 - n_pos * (n_pos + 1) AS u2,
+      |       (r2 - n_pos * (n_pos + 1)) * 10000
+      |         // (2 * n_pos * n_neg) AS auc_bp
+      |FROM agg""".stripMargin)
+
   /** Boilerplate-prefix clustering — the cheap first-pass dedup tier a
     * web-corpus pipeline runs BEFORE the shingle family: documents
     * sharing an identical leading-6-word prefix (scraped headers,
@@ -2424,6 +2489,7 @@ FROM enc ORDER BY doc_id"""
     "q_doc_logprob" -> docLogprob,
     "q_perplexity_bucket" -> perplexityBucket,
     "q_calibration_bins" -> calibrationBins,
+    "q_auc_rank" -> aucRank,
     "q_inverted_index" -> invertedIndex,
     "q_collocation_pmi" -> collocationPmi,
     "q_vocab_coverage" -> vocabCoverage,

@@ -1159,4 +1159,26 @@ class OperatorInvariantsSpec extends SparkSpec {
       case _ =>
     }
   }
+
+  test("q_auc_rank equals the brute-force pairwise definition " +
+    "P(pos > neg) + P(tie)/2, ties exact at x2 scale") {
+    import spark.implicits._
+    val (nPos, nNeg, u2, aucBp) = run("q_auc_rank")
+      .as[(Long, Long, Long, Long)].collect().head
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", ($"lang" === "en").as("pos")).as[(Long, Boolean)]
+      .collect().toMap
+    val scores = SparkEntry.all("q_doc_logprob").fn(spark, sf)
+      .select($"doc_id", $"avg_logprob").as[(Long, Double)].collect()
+    val pos = scores.filter(s => docs(s._1)).map(_._2)
+    val neg = scores.filter(s => !docs(s._1)).map(_._2)
+    assert(pos.length.toLong === nPos && neg.length.toLong === nNeg)
+    // u2 = 2*(wins) + (ties) over all pos x neg pairs
+    val u2Brute = (for (p <- pos; q <- neg) yield {
+      if (p > q) 2L else if (p == q) 1L else 0L
+    }).sum
+    assert(u2 === u2Brute)
+    assert(aucBp === u2Brute * 10000 / (2 * nPos * nNeg))
+    assert(aucBp >= 0 && aucBp <= 10000)
+  }
 }
