@@ -1107,7 +1107,11 @@ object TextOps {
         .select($"n_pos", $"n_neg",
           ($"r2" - $"n_pos" * ($"n_pos" + 1L)).as("u2"))
         .select($"n_pos", $"n_neg", $"u2",
-          expr("u2 * 10000 div (2 * n_pos * n_neg)").as("auc_bp"))
+          // one-class corpus (no positives or no negatives) → AUC is
+          // UNDEFINED, emit NULL — not a divide-by-zero job abort
+          // (caught by the degenerate-input sweep)
+          when($"n_pos" > 0 && $"n_neg" > 0,
+            expr("u2 * 10000 div (2 * n_pos * n_neg)")).as("auc_bp"))
     },
     docLogprobSqlCte + """
       |, labeled AS (
@@ -1130,8 +1134,9 @@ object TextOps {
       |  FROM ranked)
       |SELECT n_pos, n_neg,
       |       r2 - n_pos * (n_pos + 1) AS u2,
-      |       (r2 - n_pos * (n_pos + 1)) * 10000
-      |         // (2 * n_pos * n_neg) AS auc_bp
+      |       CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+      |         (r2 - n_pos * (n_pos + 1)) * 10000 // (2 * n_pos * n_neg)
+      |       END AS auc_bp
       |FROM agg""".stripMargin)
 
   /** Boilerplate-prefix clustering — the cheap first-pass dedup tier a
