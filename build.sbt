@@ -11,6 +11,18 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// BENCH_r07-r09 all landed `parsed: null` in the driver artifact: sbt's
+// default LoggedOutput prefixes every forked stdout line with "[info] "
+// and appends a "[success] Total time…" epilogue, so Bench's final
+// compact JSON line is neither prefix-free nor last. StdoutOutput pipes
+// the forked process's stdout straight through (no prefix, stderr stays
+// on stderr), and showSuccess := false drops the epilogue — the compact
+// JSON line becomes the true final stdout line, parseable on its own.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command engine, not by a task —
+// lintUnused can't see that and warns; exclude it.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -59,9 +59,26 @@ object Bench {
     val warmSec = (System.nanoTime() - tw0) / 1e9
     val warmed = warmTimes.size
 
+    // ---- contention sentinel (VERDICT r9 item 5): a fixed pure-CPU
+    // probe (range sum, no IO, no shuffle) timed at intervals through
+    // the run. The work is identical each sample, so the max/min spread
+    // certifies quiet-box validity from the artifact alone — r9's three
+    // closing runs spread 203-394 s with different queries slow each
+    // time and only prose to attribute it to box contention.
+    def sentinelOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(1L << 24).selectExpr("sum(id * 3 + 1) as s")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    sentinelOnce() // JIT warm — discarded
+    val sentinels = scala.collection.mutable.ArrayBuffer[Double]()
+    sentinels += sentinelOnce()
+
     // a query that throws records -1 (failure sentinel), never a
     // normal-looking wall-clock time
-    val results = ordered.map { case (name, fn) =>
+    val results = ordered.zipWithIndex.map { case ((name, fn), i) =>
+      if (i % 60 == 59) sentinels += sentinelOnce()
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -129,6 +146,7 @@ object Bench {
       f.delete(): Unit
     }
     rmAll(wroot.toFile)
+    sentinels += sentinelOnce()
 
     val all = results ++ writeResults
     // 4-decimal times (0.1 ms resolution — below run-to-run noise by
@@ -163,10 +181,15 @@ object Bench {
       (s.map { case (mx, rem) => mx - rem }.sum / 1e9,
         s.map(_._1).sum / 1e9)
     }
+    // sentinel spread: max/min of identical-work samples. <2 on a quiet
+    // box; a loaded box shows up directly here.
+    val sentSpread = sentinels.max / math.max(sentinels.min, 1e-9)
+    val sentJson = sentinels.map(f4).mkString("[", ",", "]")
     val json =
       s"""{"metric":"total","value":${f4(total)},"unit":"sec","queries":$qs,""" +
         s""""failed":$failedJson,"sf":"$sfDir","pipeline_warm_sec":${f4(warmSec)},""" +
         s""""warmed_intermediates":$warmed,"warm_breakdown":$warmJson,""" +
+        s""""sentinel_sec":$sentJson,"sentinel_spread":${f4(sentSpread)},""" +
         s""""heap_gb":${f4(heapGb)},""" +
         s""""kernels_registered":$kernelsLive,""" +
         s""""spark_version":"${spark.version}",""" +
@@ -197,6 +220,8 @@ object Bench {
         s""""warm_top":${warmTimes.sortBy(-_._2).take(4)
           .map { case (k, v) => s"\"" + k + "\":" + f4(v) }
           .mkString("{", ",", "}")},""" +
+        s""""sentinel_spread":${f4(sentSpread)},""" +
+        s""""sentinel_med":${f4(sentinels.sorted.apply(sentinels.size / 2))},""" +
         s""""heap_gb":${f4(heapGb)},"kernels_registered":$kernelsLive,""" +
         s""""spark_version":"${spark.version}","full_map":"$out","""
     val budget = 1700
@@ -211,5 +236,11 @@ object Bench {
       s""""queries":${picked.mkString("{", ",", "}")}}"""
     println(compact)
     spark.stop()
+    // Re-print after stop() so the compact line is unconditionally the
+    // LAST stdout line — no Spark shutdown message can follow it. (The
+    // build's run/outputStrategy=StdoutOutput + showSuccess=false keep
+    // sbt from prefixing "[info] " or appending "[success] …", the two
+    // artifacts that made BENCH_r07-r09 `parsed: null`.)
+    println(compact)
   }
 }

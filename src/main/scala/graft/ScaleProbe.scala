@@ -94,6 +94,13 @@ object ScaleProbe {
       // new entities, the representative "bigger directory" shape
       val cust = spark.read.parquet(s"$base/customer.parquet")
       val cShift = cust.agg(max($"c_custkey")).head().getLong(0) + 1
+      // lpad(_, 9, "0") TRUNCATES to the leftmost 9 chars once a shifted
+      // key exceeds 9 digits, silently colliding distinct replicated
+      // entities onto one fuzzy-join match key (ADVICE r9 #3). Guard the
+      // rendered-key domain before synthesizing.
+      require(n.toLong * cShift < 1000000000L,
+        s"replication x$n would shift c_custkey past 9 digits " +
+          s"(max ${n.toLong * cShift}); widen the rendered key first")
       (0 until n).map { i =>
         cust.withColumn("c_custkey", $"c_custkey" + lit(i * cShift))
           .withColumn("c_name",
@@ -102,6 +109,9 @@ object ScaleProbe {
         .write.mode("overwrite").parquet(s"$dir/customer.parquet")
       val sup = spark.read.parquet(s"$base/supplier.parquet")
       val sShift = sup.agg(max($"s_suppkey")).head().getLong(0) + 1
+      require(n.toLong * sShift < 1000000000L,
+        s"replication x$n would shift s_suppkey past 9 digits " +
+          s"(max ${n.toLong * sShift}); widen the rendered key first")
       (0 until n).map { i =>
         sup.withColumn("s_suppkey", $"s_suppkey" + lit(i * sShift))
           .withColumn("s_name",

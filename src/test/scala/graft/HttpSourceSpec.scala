@@ -60,6 +60,43 @@ class HttpSourceSpec extends SparkSpec {
     }
   }
 
+  test("RatePacer enforces the pacing floor: N acquires sleep at least " +
+    "(N - burst) intervals; a burst allowance passes through unslept") {
+    // deterministic fake clock: sleep() advances it (the pacer's only
+    // time source), so the assertion is exact, not wall-clock-dependent
+    var clock = 0L
+    var slept = 0L
+    val sleep: Long => Unit = ms => { slept += ms; clock += ms }
+    val pacer = new HttpSource.RatePacer(
+      minIntervalMs = 1000L, burst = 2, now = () => clock, sleep = sleep)
+    pacer.acquire(); pacer.acquire() // burst: immediate
+    assert(slept === 0L)
+    (1 to 8).foreach(_ => pacer.acquire())
+    // 10 acquires, burst 2 → at least 8 full intervals of enforced wait
+    assert(slept >= 8000L, s"slept only $slept ms")
+    // and the pacer never over-throttles a compliant clock: exactly 8
+    assert(slept === 8000L, s"slept $slept ms")
+    // idle refill: waiting 3 intervals buys back (up to burst) tokens
+    clock += 3000L
+    val before = slept
+    pacer.acquire(); pacer.acquire() // refilled-to-burst: immediate
+    assert(slept === before)
+  }
+
+  test("fetch with minIntervalMs paces request starts (loopback floor)") {
+    withServer { base =>
+      val urls = Seq(s"$base/ok1", s"$base/ok2", s"$base/ok1", s"$base/ok2")
+      val t0 = System.nanoTime()
+      val got = HttpSource.fetch(spark, urls, maxAttempts = 1, delayMs = 0L,
+        parallelism = 1, minIntervalMs = 150L).collect()
+      val elapsedMs = (System.nanoTime() - t0) / 1e6
+      assert(got.count(_.status == 200) === 4)
+      // 4 requests through one partition, burst 1 → ≥ 3 full intervals
+      // of enforced pacing on top of the transfer time itself
+      assert(elapsedMs >= 450.0, s"elapsed only $elapsedMs ms")
+    }
+  }
+
   test("pollingIngest: each trigger fetches over HTTP and appends to the sink") {
     withServer { base =>
       import spark.implicits._

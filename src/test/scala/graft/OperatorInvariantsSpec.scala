@@ -1071,13 +1071,20 @@ class OperatorInvariantsSpec extends SparkSpec {
   test("q_join_asof_near picks the closer of its backward/forward parents, " +
     "ties to backward") {
     import spark.implicits._
+    // date→epoch-seconds is computed IN the session (cast to long under
+    // the session TZ), never via java.sql.Date.getTime — getTime is
+    // midnight in the JVM default TZ, which under a non-UTC JVM shifts
+    // every expected distance by the offset and can flip tie decisions
+    // (ADVICE r9 #4)
     val back = run("q_join_asof")
-      .select($"event_id", $"asof_orderkey", $"asof_date")
-      .as[(Long, Option[Long], Option[java.sql.Date])].collect()
+      .select($"event_id", $"asof_orderkey",
+        $"asof_date".cast("timestamp").cast("long"))
+      .as[(Long, Option[Long], Option[Long])].collect()
       .map(r => r._1 -> (r._2, r._3)).toMap
     val fwd = run("q_join_asof_fwd")
-      .select($"event_id", $"next_orderkey", $"next_date")
-      .as[(Long, Option[Long], Option[java.sql.Date])].collect()
+      .select($"event_id", $"next_orderkey",
+        $"next_date".cast("timestamp").cast("long"))
+      .as[(Long, Option[Long], Option[Long])].collect()
       .map(r => r._1 -> (r._2, r._3)).toMap
     val ets = graft.util.Tables.events(spark, sf)
       .select($"event_id", $"ts".cast("long"))
@@ -1090,8 +1097,8 @@ class OperatorInvariantsSpec extends SparkSpec {
       val (bk, bd) = back(eid)
       val (fk, fd) = fwd(eid)
       val es = ets(eid)
-      val db = bd.map(d => es - d.getTime / 1000)
-      val df = fd.map(d => d.getTime / 1000 - es)
+      val db = bd.map(d => es - d)
+      val df = fd.map(d => d - es)
       val expect = (db, df) match {
         case (None, None)         => (None, None)
         case (Some(_), None)      => (bk, Some("b"))

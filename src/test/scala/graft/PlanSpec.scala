@@ -389,6 +389,16 @@ class PlanSpec extends SparkSpec {
     assert(plan("q_sim_report").contains("WindowGroupLimit"))
   }
 
+  test("q_inverted_index: posting-list head is rank-bounded BEFORE " +
+    "aggregation (WindowGroupLimit, no collect_set over the full list)") {
+    val p = plan("q_inverted_index")
+    // the head must be produced under a per-word rank limit: per-
+    // partition state is k rows per word, never a stopword's whole
+    // posting list in one aggregation buffer (VERDICT r9 §wrong #1)
+    assert(p.contains("WindowGroupLimit"), p.take(4000))
+    assert(!p.contains("collect_set"), p.take(4000))
+  }
+
   test("q_tpch_q4: EXISTS decorrelates to a left-semi join (no row " +
     "multiplication); quarter predicate pushed to the orders scan") {
     val p = plan("q_tpch_q4")
