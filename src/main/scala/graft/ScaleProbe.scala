@@ -48,13 +48,19 @@ object ScaleProbe {
       * N-fold-exact-copy way (which would inflate every near-dup
       * cluster ×N and quadratically blow up the pair stage — a
       * different experiment). */
+    // SPARK_GRAFT_PROBE_STOPWORDS=true keeps replicas in the SAME token
+    // space: every word's posting list / group size grows xN — the
+    // stopword-heavy shape that stresses per-group aggregation state
+    // (the q_inverted_index r9 collect_set OOM class). Default stays
+    // replica-disjoint (the larger-corpus shape for dedup/BM25).
+    val stopwordShape = graft.util.Config.probeStopwords
     def synth(n: Int): String = {
       val dir = s"$root/x$n"
       val docs = spark.read.parquet(s"$base/documents.parquet")
       val docShift = docs.agg(max($"doc_id")).head().getLong(0) + 1
       (0 until n).map { i =>
         docs.select(($"doc_id" + lit(i * docShift)).as("doc_id"),
-          (if (i == 0) $"text"
+          (if (i == 0 || stopwordShape) $"text"
            else regexp_replace($"text", " ", s"~$i ")).as("text"),
           $"lang", $"source", $"n_chars")
       }.reduce(_ unionByName _)

@@ -1713,19 +1713,33 @@ wf$k AS (SELECT replace(mw, (SELECT pair FROM top$k), chr($k)) AS mw, f
     * 1..N-1. At 100 TB: identical dataflow, vocab table instead of
     * 8-row toy state; fast BPE trainers loop exactly this shape. */
   /** The N-round training loop shared by [[bpeTrain]] and [[bpeEncode]]:
-    * returns (per-round 1-row checkpointed (pair, pair_count) frames in
-    * merge order — pairs may contain earlier rounds' chr(k) markers —
-    * and the assembled rendered merge table). */
+    * returns (the ordered merge pairs as literal strings — pairs may
+    * contain earlier rounds' chr(k) markers — and the rendered merge
+    * table).
+    *
+    * ONE Spark job per round: the pair census + argmax runs distributed
+    * over the persisted |vocab| word-frequency table, the 1-row argmax
+    * is collected (the bounded watermark-read shape), and everything
+    * downstream of it is driver-local — marker rendering substitutes
+    * earlier merges' spelled forms through a ≤N-entry map, and the
+    * next round's replace applies the pair as a LITERAL, so the wf
+    * lineage is the cached base plus k codegen'd replaces (no
+    * crossJoin, no broadcast, no checkpoint). The r9 shape ran 3 eager
+    * localCheckpoint jobs + a broadcast crossJoin per round (24
+    * sequential jobs at N=8, QTimer floor ~4.2 s); rounds themselves
+    * stay sequential by data dependency — merge k+1 counts pairs in
+    * the text AFTER merge k. At 100 TB the only corpus-scale work is
+    * the memoized wordFreq build; the loop costs |vocab| per round
+    * regardless of corpus size. */
   private def bpeTrainLoop(s: org.apache.spark.sql.SparkSession, dir: String,
-      n: Int): (Seq[org.apache.spark.sql.DataFrame], org.apache.spark.sql.DataFrame) = {
+      n: Int): (Seq[String], org.apache.spark.sql.DataFrame) = {
       import s.implicits._
-      val N = n
       var wf = wordFreq(s, dir).select($"word".as("mw"), $"f")
-      var rendMap = Seq.empty[(String, String)].toDF("m", "r")
-      var merges: org.apache.spark.sql.DataFrame = null
-      val tops = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.DataFrame]()
-      for (k <- 1 to N) {
-        val top = wf.filter(length($"mw") >= 2)
+      val rendMap = scala.collection.mutable.Map[String, String]()
+      val pairs = scala.collection.mutable.ArrayBuffer[String]()
+      val merges = scala.collection.mutable.ArrayBuffer[(Long, String, Long)]()
+      for (k <- 1 to n) {
+        val row = wf.filter(length($"mw") >= 2)
           .select($"mw", $"f",
             explode(sequence(lit(1), length($"mw") - 1)).as("i"))
           .select(expr("substr(mw, i, 1)").as("t1"),
@@ -1733,32 +1747,21 @@ wf$k AS (SELECT replace(mw, (SELECT pair FROM top$k), chr($k)) AS mw, f
           .groupBy($"t1", $"t2").agg(sum($"f").cast("long").as("pair_count"))
           .orderBy($"pair_count".desc, $"t1", $"t2").limit(1)
           .select(concat($"t1", $"t2").as("pair"), $"pair_count")
-          .localCheckpoint(eager = true)
-        tops += top
-        val rendered = top
-          .select(expr("substr(pair, 1, 1)").as("c1"),
-            expr("substr(pair, 2, 1)").as("c2"), $"pair_count")
-          .join(broadcast(rendMap.select($"m".as("c1"), $"r".as("r1"))),
-            Seq("c1"), "left")
-          .join(broadcast(rendMap.select($"m".as("c2"), $"r".as("r2"))),
-            Seq("c2"), "left")
-          .select(concat(coalesce($"r1", $"c1"), coalesce($"r2", $"c2"))
-            .as("merged"), $"pair_count")
-          // rendered references rendMap TWICE and rendMap accumulates
-          // every previous rendered — without truncation the plan tree
-          // doubles per iteration (2^N broadcast subtrees; measured
-          // 41 s at N=8 before this line, ~2 s after). 1-row frame.
-          .localCheckpoint(eager = true)
-        val step = rendered
-          .select(lit(k.toLong).as("step"), $"merged", $"pair_count")
-        merges = if (merges == null) step else merges.unionByName(step)
-        rendMap = rendMap.unionByName(
-          rendered.select(lit(k.toChar.toString).as("m"), $"merged".as("r")))
-        wf = wf.crossJoin(broadcast(top.select($"pair")))
-          .select(expr(s"replace(mw, pair, chr($k))").as("mw"), $"f")
-          .localCheckpoint(eager = true)
+          .head()
+        val pair = row.getString(0)
+        pairs += pair
+        // render by CODE POINT (Spark's substr/length are code-point
+        // based): a non-BMP character must not be split into surrogates
+        val merged = pair.codePoints().toArray.map { cp =>
+          val c = new String(Character.toChars(cp))
+          rendMap.getOrElse(c, c)
+        }.mkString
+        merges += ((k.toLong, merged, row.getLong(1)))
+        rendMap(k.toChar.toString) = merged
+        wf = wf.select(
+          replace($"mw", lit(pair), lit(k.toChar.toString)).as("mw"), $"f")
       }
-      (tops.toSeq, merges)
+      (pairs.toSeq, merges.toSeq.toDF("step", "merged", "pair_count"))
   }
 
   private val bpeTrain = QueryDef(
@@ -1779,26 +1782,24 @@ wf$k AS (SELECT replace(mw, (SELECT pair FROM top$k), chr($k)) AS mw, f
     * learned pair contains one), so whole-text replace applies merges
     * within words only — BPE's scan order at corpus granularity.
     *
-    * Scale: the 8 learned pairs assemble into ONE 1-row broadcast; the
-    * corpus pass is map-only (8 codegen'd replaces per row, no
-    * shuffle) — the exact shape of a production tokenization pass:
-    * train once at |vocab| scale, broadcast the merge table, stream
-    * the 100 TB corpus through it. */
+    * Scale: the 8 learned pairs fold into ONE codegen'd expression of
+    * literal replaces (no crossJoin, no broadcast — the r10 fuse,
+    * VERDICT r9 item 4); the corpus pass is map-only with no shuffle —
+    * the exact shape of a production tokenization pass: train once at
+    * |vocab| scale, bake the merge table into the plan, stream the
+    * 100 TB corpus through it. */
   private val bpeEncode = QueryDef(
     (s, dir) => {
       import s.implicits._
-      val (tops, _) = bpeTrainLoop(s, dir, 8)
-      val mergeRow = tops.zipWithIndex
-        .map { case (t, i) => t.select($"pair".as(s"p${i + 1}")) }
-        .reduce(_ crossJoin _) // 8 checkpointed 1-row frames → one row
-      val encExpr = (1 to 8).foldLeft("text") {
-        (acc, k) => s"replace($acc, p$k, chr($k))"
+      val (pairs, _) = bpeTrainLoop(s, dir, 8)
+      val encoded = pairs.zipWithIndex.foldLeft($"text".as("t")) {
+        case (acc, (p, i)) =>
+          replace(acc, lit(p), lit((i + 1).toChar.toString))
       }
       Tables.documents(s, dir)
-        .crossJoin(broadcast(mergeRow))
         .select($"doc_id",
           length(regexp_replace($"text", " ", "")).cast("long").as("n_sym_before"),
-          length(regexp_replace(expr(encExpr), " ", "")).cast("long").as("n_sym_after"))
+          length(regexp_replace(encoded, " ", "")).cast("long").as("n_sym_after"))
         .select($"doc_id", $"n_sym_before", $"n_sym_after",
           when($"n_sym_before" === 0L, 10000L)
             .otherwise(expr("(n_sym_after * 10000) div n_sym_before"))

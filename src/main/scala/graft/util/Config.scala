@@ -14,6 +14,7 @@ package graft.util
   * | SPARK_GRAFT_AQE       | adaptive execution on/off (Bench)   | true |
   * | SPARK_GRAFT_BENCH_OUT | full bench-JSON output path         | bench_out.json |
   * | SPARK_GRAFT_PROBE_OPS | comma list overriding ScaleProbe's flagship set | (flagships) |
+  * | SPARK_GRAFT_PROBE_STOPWORDS | ScaleProbe: replicate documents with the SAME token space (posting lists / group sizes grow xN — the stopword-heavy shape) instead of replica-disjoint tokens | false |
   */
 object Config {
   def sfDir: String =
@@ -32,4 +33,7 @@ object Config {
   def probeOps: Option[Seq[String]] =
     sys.env.get("SPARK_GRAFT_PROBE_OPS")
       .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+
+  def probeStopwords: Boolean =
+    sys.env.get("SPARK_GRAFT_PROBE_STOPWORDS").exists(_.toBoolean)
 }
