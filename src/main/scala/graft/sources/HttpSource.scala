@@ -79,8 +79,13 @@ object HttpSource {
     private var last = now()
     private def refill(): Unit = {
       val t = now()
+      // clamp the elapsed delta at 0: with a wall clock a backwards NTP
+      // step would make (t - last) negative, driving tokens into deep
+      // debt and stalling the partition for the size of the step
+      // (ADVICE r10 #1) — a time reversal earns no tokens but must cost
+      // none either
       tokens = math.min(math.max(1, burst).toDouble,
-        tokens + (t - last).toDouble / minIntervalMs)
+        tokens + math.max(0L, t - last).toDouble / minIntervalMs)
       last = t
     }
     def acquire(): Unit = if (minIntervalMs > 0) {
@@ -114,8 +119,11 @@ object HttpSource {
     val n = math.max(1, math.min(parallelism, urls.size))
     spark.createDataset(urls).repartition(n)
       .mapPartitions { it =>
+        // monotonic clock (nanoTime), not currentTimeMillis: pacing
+        // measures ELAPSED time, and the wall clock can step backwards
+        // under NTP adjustment (ADVICE r10 #1)
         val pacer = new RatePacer(minIntervalMs, burst,
-          () => System.currentTimeMillis(), Thread.sleep)
+          () => System.nanoTime() / 1000000L, Thread.sleep)
         it.map { u =>
           pacer.acquire()
           fetchOne(u, maxAttempts, delayMs, Thread.sleep)

@@ -25,4 +25,24 @@ class DegenerateInputSpec extends SparkSpec {
     }
     assert(failed.isEmpty, failed.mkString("\n"))
   }
+
+  test("BPE train/encode degrade gracefully when the pair census is " +
+    "empty (every word already a single symbol)") {
+    import org.apache.spark.sql.functions.{length, lit}
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe1ch").toString
+    // all-single-char words: round 1's adjacent-pair census is EMPTY, so
+    // training must emit the merges learned so far (none) instead of
+    // throwing on head() of an empty argmax (ADVICE r10 #2)
+    spark.read.parquet(s"$sf/documents.parquet").limit(5)
+      .withColumn("text", lit("a b c a b"))
+      .withColumn("n_chars", length(lit("a b c a b")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val merges = SparkEntry.all("q_bpe_train").fn(spark, dir).collect()
+    assert(merges.isEmpty, s"expected 0 merges, got ${merges.length}")
+    // the encode half applies an empty merge chain: identity encoding
+    val enc = SparkEntry.all("q_bpe_encode").fn(spark, dir).collect()
+    assert(enc.length === 5)
+    assert(enc.forall(r => r.getLong(1) === r.getLong(2)),
+      "empty merge chain must leave symbol counts unchanged")
+  }
 }

@@ -83,6 +83,24 @@ class HttpSourceSpec extends SparkSpec {
     assert(slept === before)
   }
 
+  test("RatePacer survives a backwards clock step: a time reversal earns " +
+    "no tokens but costs none — the next waits stay one-interval bounded") {
+    var clock = 1000000L
+    var slept = 0L
+    val sleep: Long => Unit = ms => { slept += ms; clock += ms }
+    val pacer = new HttpSource.RatePacer(
+      minIntervalMs = 1000L, burst = 1, now = () => clock, sleep = sleep)
+    pacer.acquire() // burst token
+    clock -= 600000L // NTP step-back of 10 minutes between requests
+    // pre-clamp this drove tokens to -600: the next acquire would sleep
+    // ~601 s (ADVICE r10 #1). Clamped, it owes at most one interval.
+    pacer.acquire()
+    assert(slept <= 1000L, s"slept $slept ms after a backwards step")
+    (1 to 5).foreach(_ => pacer.acquire())
+    // steady state resumes: exactly one interval per subsequent acquire
+    assert(slept <= 6000L, s"slept $slept ms")
+  }
+
   test("fetch with minIntervalMs paces request starts (loopback floor)") {
     withServer { base =>
       val urls = Seq(s"$base/ok1", s"$base/ok2", s"$base/ok1", s"$base/ok2")
