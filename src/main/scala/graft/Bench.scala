@@ -65,13 +65,24 @@ object Bench {
     // certifies quiet-box validity from the artifact alone — r9's three
     // closing runs spread 203-394 s with different queries slow each
     // time and only prose to attribute it to box contention.
-    def sentinelOnce(): Double = {
+    def sentinelProbe(): Double = {
       val t0 = System.nanoTime()
       spark.range(1L << 24).selectExpr("sum(id * 3 + 1) as s")
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
-    sentinelOnce() // JIT warm — discarded
+    // median-of-3 per checkpoint (VERDICT r10 item 1): a single probe
+    // made the spread ambiguous — one GC-adjacent sample pushed max/min
+    // to ~3 on a healthy box. The median of 3 back-to-back probes is
+    // GC-robust while still catching sustained external load; raw
+    // samples stay in the full JSON for forensics.
+    val sentinelRaw = scala.collection.mutable.ArrayBuffer[Double]()
+    def sentinelOnce(): Double = {
+      val three = Seq(sentinelProbe(), sentinelProbe(), sentinelProbe())
+      sentinelRaw ++= three
+      three.sorted.apply(1)
+    }
+    sentinelProbe() // JIT warm — discarded
     val sentinels = scala.collection.mutable.ArrayBuffer[Double]()
     sentinels += sentinelOnce()
 
@@ -140,6 +151,53 @@ object Bench {
       timedW("pipeline_w_clustered") {
         graft.etl.Pipeline.clusteredWrite(spark.read.parquet(sink),
           "group_key", 8, s"$wroot/clustered")
+      },
+      // GDPR keyed delete under failure injection (VERDICT r10 item 6):
+      // a delete that EMPTIES partitions (keys are made partition-local
+      // so every matching row lives in the 5 oldest dates), a simulated
+      // crash inside the documented commit→rm window (the emptied
+      // partition's old files resurrected), and the idempotent re-run
+      // as the recovery path. deleteKeys' internal post-condition
+      // (zero surviving matches) gates success — a partial recovery
+      // reports as a failed entry, never a fast time.
+      timedW("pipeline_w_delete") {
+        import spark.implicits._
+        val ddir = s"$wroot/delsink"
+        spark.read.parquet(sink)
+          .withColumn("group_key",
+            org.apache.spark.sql.functions.concat_ws("_",
+              col("group_key"), col("date")))
+          .write.partitionBy("date").mode("overwrite").parquet(ddir)
+        val oldest = spark.read.parquet(ddir).select(col("date")).distinct()
+          .orderBy(col("date")).limit(5)
+        // keys collected BEFORE the first delete (bounded: 5 dates ×
+        // |group| rows) so the recovery re-runs the SAME request
+        val keyVals = spark.read.parquet(ddir)
+          .join(broadcast(oldest), Seq("date"))
+          .select(col("group_key")).distinct()
+          .collect().map(_.getString(0)).toSeq
+        val keys = keyVals.toDF("group_key")
+        val doomedVal = oldest.orderBy(col("date")).head().get(0)
+        val dirName = org.apache.spark.sql.catalyst.catalog
+          .ExternalCatalogUtils.getPartitionPathString("date", doomedVal.toString)
+        val doomed = new java.io.File(s"$ddir/$dirName")
+        val stash = java.nio.file.Files.createTempDirectory("graft_del_stash").toFile
+        doomed.listFiles().filter(_.isFile).foreach { f =>
+          java.nio.file.Files.copy(f.toPath,
+            new java.io.File(stash, f.getName).toPath): Unit
+        }
+        val n1 = graft.etl.Pipeline.deleteKeys(spark, keys, ddir)
+        require(n1 > 0L && !doomed.exists(),
+          s"delete must empty the doomed partition (deleted $n1)")
+        // crash aftermath: the dynamic-overwrite commit landed but the
+        // emptied-partition rm never ran — its old files are back
+        doomed.mkdirs()
+        stash.listFiles().foreach { f =>
+          java.nio.file.Files.copy(f.toPath,
+            new java.io.File(doomed, f.getName).toPath): Unit
+        }
+        graft.etl.Pipeline.deleteKeys(spark, keys, ddir): Unit
+        require(!doomed.exists(), "recovery re-run must complete the rm")
       })
     def rmAll(f: java.io.File): Unit = {
       val kids = f.listFiles(); if (kids != null) kids.foreach(rmAll)
@@ -181,15 +239,26 @@ object Bench {
       (s.map { case (mx, rem) => mx - rem }.sum / 1e9,
         s.map(_._1).sum / 1e9)
     }
-    // sentinel spread: max/min of identical-work samples. <2 on a quiet
-    // box; a loaded box shows up directly here.
+    // sentinel spread: max/min of the checkpoint MEDIANS (each already
+    // GC-robust via median-of-3). <2 on a quiet box; a loaded box shows
+    // up directly here.
     val sentSpread = sentinels.max / math.max(sentinels.min, 1e-9)
     val sentJson = sentinels.map(f4).mkString("[", ",", "]")
+    // self-certifying quiet verdict (VERDICT r10 item 1): spread of the
+    // checkpoint medians < 2 AND no monotone ramp (strictly increasing
+    // medians with ≥1.5× total growth = load building through the run —
+    // the r10 close-run-1 signature, 0.17→0.57).
+    val sentRamp = sentinels.size >= 3 &&
+      sentinels.indices.tail.forall(i => sentinels(i) > sentinels(i - 1)) &&
+      sentSpread >= 1.5
+    val quiet = sentSpread < 2.0 && !sentRamp
     val json =
       s"""{"metric":"total","value":${f4(total)},"unit":"sec","queries":$qs,""" +
         s""""failed":$failedJson,"sf":"$sfDir","pipeline_warm_sec":${f4(warmSec)},""" +
         s""""warmed_intermediates":$warmed,"warm_breakdown":$warmJson,""" +
         s""""sentinel_sec":$sentJson,"sentinel_spread":${f4(sentSpread)},""" +
+        s""""sentinel_raw":${sentinelRaw.map(f4).mkString("[", ",", "]")},""" +
+        s""""quiet":$quiet,""" +
         s""""heap_gb":${f4(heapGb)},""" +
         s""""kernels_registered":$kernelsLive,""" +
         s""""spark_version":"${spark.version}",""" +
@@ -222,6 +291,7 @@ object Bench {
           .mkString("{", ",", "}")},""" +
         s""""sentinel_spread":${f4(sentSpread)},""" +
         s""""sentinel_med":${f4(sentinels.sorted.apply(sentinels.size / 2))},""" +
+        s""""quiet":$quiet,""" +
         s""""heap_gb":${f4(heapGb)},"kernels_registered":$kernelsLive,""" +
         s""""spark_version":"${spark.version}","full_map":"$out","""
     val budget = 1700
