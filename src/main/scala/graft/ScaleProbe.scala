@@ -20,6 +20,10 @@ import org.apache.spark.sql.functions._
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
+    // the probe's synthesized ×N dirs are throwaway — publishing their
+    // heavy intermediates to the cross-session FixtureCache would only
+    // pollute it (and hide the build cost the probe is measuring)
+    sys.props("graft.diskMemo") = "false"
     val factors = if (args.isEmpty) Seq(1, 2, 4, 8) else args.toSeq.map(_.toInt)
     val base = graft.util.Config.sfDir
     val cpus = graft.util.Config.cpus("32")

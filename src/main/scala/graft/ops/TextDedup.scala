@@ -39,6 +39,21 @@ object TextDedup {
       build: => DataFrame): DataFrame =
     sessionMemo(s, s"$key|$dir")(build.persist())
 
+  /** [[memoized]] + a cross-session parquet cache (VERDICT r10 item 5):
+    * the heavy dedup intermediates (LSH candidates, verified pairs, the
+    * CC canonical assignment, the oriented-triangle set) are
+    * deterministic functions of `documents`, so they materialize to
+    * disk ONCE per fixture — the local analog of the once-per-ingest
+    * bucketed-table write promised at 100 TB — and later sessions
+    * (Verify, Bench, every test JVM) replay a parquet scan instead of
+    * the whole chain. */
+  private def memoizedDisk(s: SparkSession, dir: String, key: String)(
+      build: => DataFrame): DataFrame =
+    memoized(s, dir, key) {
+      graft.util.FixtureCache.parquetBacked(s, dir, key,
+        inputs = Seq("documents"))(build)
+    }
+
   /** Vocabulary is tiny (31 words at sf0.01) so unigram sets degenerate;
     * 3-word shingles give meaningful document fingerprints. */
   private val K = 3
@@ -164,7 +179,7 @@ object TextDedup {
     * distinct is the priciest step after shingling — one materialization
     * per session; a bucketed table write at 100 TB. */
   private def lshCandidates(s: SparkSession, dir: String): DataFrame =
-    memoized(s, dir, "lshCandidates") {
+    memoizedDisk(s, dir, "lshCandidates") {
     import s.implicits._
     val sig = signatures(s, dir)
     val bands = (0 until NumHashes / BandRows).map { bnd =>
@@ -249,7 +264,7 @@ object TextDedup {
     * same accepted risk class as every hash-keyed tier, and the oracle
     * replays the identical hash so both engines fold identically. */
   private def verifiedPairs(s: SparkSession, dir: String): DataFrame =
-    memoized(s, dir, "verifiedPairs") {
+    memoizedDisk(s, dir, "verifiedPairs") {
       import s.implicits._
       val sets = hashedShingles(s, dir).select($"doc_id", $"hs".as("ss"))
       val cand = lshCandidates(s, dir)
@@ -384,7 +399,7 @@ object TextDedup {
     * convergence actions run once per session; the stored plan is the
     * converged linear lineage and replays without re-iterating. */
   private def canonicalAssign(s: SparkSession, dir: String): DataFrame =
-    memoized(s, dir, "canonicalAssign") {
+    memoizedDisk(s, dir, "canonicalAssign") {
       import s.implicits._
       val pairs = verifiedPairs(s, dir).select($"da", $"db")
       // undirected: propagate min in both directions
@@ -678,7 +693,7 @@ object TextDedup {
   private def winnowSketch(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    memoized(s, dir, "winnowSketch") {
+    memoizedDisk(s, dir, "winnowSketch") {
       val C = 1048576L // position packing radix: 2^20 >> max gram count
       val docs = Tables.documents(s, dir)
       val w = split($"text", " ")
@@ -1224,7 +1239,7 @@ object TextDedup {
     * holds one row per ACTUAL triangle, the same order of magnitude as
     * the verified-pair cache it sits next to. */
   private def orientedTriangles(s: org.apache.spark.sql.SparkSession,
-      dir: String): DataFrame = memoized(s, dir, "orientedTriangles") {
+      dir: String): DataFrame = memoizedDisk(s, dir, "orientedTriangles") {
     import s.implicits._
     val pairs = lshCandidates(s, dir)
     val edges = pairs.select($"da".as("u"), $"db".as("v"))
