@@ -106,29 +106,54 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("q_dedup_ngram pair join is equi on the LSH (band, bucket) key") {
+  test("q_dedup_ngram joins the pre-built candidate table back by doc id " +
+    "— equi joins only, no pair enumeration") {
+    // since the FixtureCache the LSH candidate set reads as a prepared
+    // table (locally the parquet cache; at 100 TB the bucketed write),
+    // so the query-time plan is scan + two doc-id equi join-backs; the
+    // banding equi self-join itself is pinned on the BUILD below
     val p = plan("q_dedup_ngram")
-    val equiOnBand = p.linesIterator.exists(l =>
+    val equiOnDoc = p.linesIterator.exists(l =>
       (l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
-        l.contains("BroadcastHashJoin")) &&
-        l.contains("band") && l.contains("bucket"))
-    assert(equiOnBand, p)
+        l.contains("BroadcastHashJoin")) && l.contains("da#"))
+    assert(equiOnDoc, p)
     assert(!p.contains("BroadcastNestedLoopJoin") &&
       !p.contains("CartesianProduct"), p)
   }
 
   test("q_dedup_containment reuses the LSH candidate shape: equi joins only") {
-    // same pair space as q_dedup_near — candidates from the (band,
-    // bucket) equi self-join, shingle-hash sets joined back by doc id;
-    // the directional divisions add no join or shuffle of their own
+    // same pair space as q_dedup_near — candidates from the prepared
+    // candidate table, shingle-hash sets joined back by doc id; the
+    // directional divisions add no join or shuffle of their own
     val p = plan("q_dedup_containment")
     assert(!p.contains("BroadcastNestedLoopJoin") &&
       !p.contains("CartesianProduct"), p)
-    val equiOnBand = p.linesIterator.exists(l =>
+    val equiOnDoc = p.linesIterator.exists(l =>
       (l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
-        l.contains("BroadcastHashJoin")) &&
-        l.contains("band") && l.contains("bucket"))
-    assert(equiOnBand, p)
+        l.contains("BroadcastHashJoin")) && l.contains("da#"))
+    assert(equiOnDoc, p)
+  }
+
+  test("the LSH candidate BUILD is the banded (band, bucket) equi " +
+    "self-join — pinned with the disk cache off on a fresh fixture") {
+    // a fresh dir misses both the session memo and (with the prop off)
+    // the FixtureCache, so the plan inlines the real candidate build —
+    // the shape that must never degenerate to all-pairs
+    val dir = java.nio.file.Files.createTempDirectory("graft_plan_lsh").toString
+    spark.read.parquet(s"$sf/documents.parquet")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    sys.props("graft.diskMemo") = "false"
+    try {
+      val p = SparkEntry.all("q_dedup_ngram").fn(spark, dir)
+        .queryExecution.executedPlan.toString
+      val equiOnBand = p.linesIterator.exists(l =>
+        (l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+          l.contains("BroadcastHashJoin")) &&
+          l.contains("band") && l.contains("bucket"))
+      assert(equiOnBand, p)
+      assert(!p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct"), p)
+    } finally sys.props.remove("graft.diskMemo"): Unit
   }
 
   test("q_dedup_substring runs the explode kernel once (keyed window, no join-back)") {

@@ -12,7 +12,13 @@ import graft.streaming.{Event, Streams}
   * MemoryStream micro-batches. */
 class StreamingSpec extends SparkSpec {
 
-  private def ts(s: String) = Timestamp.valueOf(s)
+  // parse as UTC WALL TIME, not Timestamp.valueOf (which reads the JVM
+  // default TZ): the engine windows in session TZ UTC, so under a
+  // non-UTC JVM default (the r11 TZ sweep) valueOf-built fixtures land
+  // off the UTC day boundaries the assertions compare against
+  private def ts(s: String) = Timestamp.from(
+    java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+      .toInstant(java.time.ZoneOffset.UTC))
 
   private def runBatches[T](
       stream: MemoryStream[T],
