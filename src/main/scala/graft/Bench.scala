@@ -67,7 +67,10 @@ object Bench {
     // time and only prose to attribute it to box contention.
     def sentinelProbe(): Double = {
       val t0 = System.nanoTime()
-      spark.range(1L << 24).selectExpr("sum(id * 3 + 1) as s")
+      // 2^26 rows (~0.3 s at local[32]): the earlier 2^24 probe ran
+      // ~70 ms, small enough that per-task scheduling jitter alone
+      // pushed checkpoint ratios past 2 on an otherwise healthy run
+      spark.range(1L << 26).selectExpr("sum(id * 3 + 1) as s")
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
@@ -82,7 +85,25 @@ object Bench {
       sentinelRaw ++= three
       three.sorted.apply(1)
     }
-    sentinelProbe() // JIT warm — discarded
+    // CPU-steal census (/proc/stat col 8): the sentinel SPREAD only
+    // catches VARIABLE load — steady host-level contention slows every
+    // checkpoint equally and reads as a clean spread (observed: a 1.6×
+    // slower run with spread 1.32). Steal time is the VM's direct
+    // measure of cycles the host gave elsewhere; (-1, -1) when
+    // unreadable, and the verdict then falls back to spread-only.
+    def stealRead(): (Long, Long) = try {
+      val l = scala.io.Source.fromFile("/proc/stat").getLines().next()
+      val f = l.trim.split("\\s+").drop(1).map(_.toLong)
+      (f(7), f.sum)
+    } catch { case _: Throwable => (-1L, -1L) }
+    val steal0 = stealRead()
+    // settle before the FIRST checkpoint: warm-phase GC/cleanup debt
+    // otherwise lands in it (observed: first median 2.3 s / 0.19 s vs a
+    // 0.07 s steady floor — a fake-contended verdict on a healthy run).
+    // One explicit GC drains the debt deterministically, then THREE
+    // discarded probes re-warm the probe's own codegen path.
+    System.gc()
+    (1 to 3).foreach(_ => sentinelProbe())
     val sentinels = scala.collection.mutable.ArrayBuffer[Double]()
     sentinels += sentinelOnce()
 
@@ -245,20 +266,26 @@ object Bench {
     val sentSpread = sentinels.max / math.max(sentinels.min, 1e-9)
     val sentJson = sentinels.map(f4).mkString("[", ",", "]")
     // self-certifying quiet verdict (VERDICT r10 item 1): spread of the
-    // checkpoint medians < 2 AND no monotone ramp (strictly increasing
+    // checkpoint medians < 2, no monotone ramp (strictly increasing
     // medians with ≥1.5× total growth = load building through the run —
-    // the r10 close-run-1 signature, 0.17→0.57).
+    // the r10 close-run-1 signature, 0.17→0.57), AND run-window CPU
+    // steal < 5% (steady host contention is invisible to the spread).
+    val steal1 = stealRead()
+    val stealPct =
+      if (steal0._1 < 0 || steal1._1 < 0 || steal1._2 <= steal0._2) -1.0
+      else 100.0 * (steal1._1 - steal0._1) / (steal1._2 - steal0._2)
     val sentRamp = sentinels.size >= 3 &&
       sentinels.indices.tail.forall(i => sentinels(i) > sentinels(i - 1)) &&
       sentSpread >= 1.5
-    val quiet = sentSpread < 2.0 && !sentRamp
+    val quiet = sentSpread < 2.0 && !sentRamp &&
+      (stealPct < 0 || stealPct < 5.0)
     val json =
       s"""{"metric":"total","value":${f4(total)},"unit":"sec","queries":$qs,""" +
         s""""failed":$failedJson,"sf":"$sfDir","pipeline_warm_sec":${f4(warmSec)},""" +
         s""""warmed_intermediates":$warmed,"warm_breakdown":$warmJson,""" +
         s""""sentinel_sec":$sentJson,"sentinel_spread":${f4(sentSpread)},""" +
         s""""sentinel_raw":${sentinelRaw.map(f4).mkString("[", ",", "]")},""" +
-        s""""quiet":$quiet,""" +
+        s""""steal_pct":${f4(stealPct)},"quiet":$quiet,""" +
         s""""heap_gb":${f4(heapGb)},""" +
         s""""kernels_registered":$kernelsLive,""" +
         s""""spark_version":"${spark.version}",""" +
@@ -291,7 +318,7 @@ object Bench {
           .mkString("{", ",", "}")},""" +
         s""""sentinel_spread":${f4(sentSpread)},""" +
         s""""sentinel_med":${f4(sentinels.sorted.apply(sentinels.size / 2))},""" +
-        s""""quiet":$quiet,""" +
+        s""""steal_pct":${f4(stealPct)},"quiet":$quiet,""" +
         s""""heap_gb":${f4(heapGb)},"kernels_registered":$kernelsLive,""" +
         s""""spark_version":"${spark.version}","full_map":"$out","""
     val budget = 1700
