@@ -110,7 +110,12 @@ object Bench {
     // a query that throws records -1 (failure sentinel), never a
     // normal-looking wall-clock time
     val results = ordered.zipWithIndex.map { case ((name, fn), i) =>
-      if (i % 60 == 59) sentinels += sentinelOnce()
+      // every 24 queries (~10 checkpoints/run): a 60-query cadence left
+      // gaps wide enough to swallow a whole load burst — one observed
+      // spike slowed the contiguous q_tpch block 10-45× while the
+      // checkpoints on either side read 0.10/0.17 and the spread
+      // squeaked under 2 (run-6 forensics, BASELINE.md r11)
+      if (i % 24 == 23) sentinels += sentinelOnce()
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -277,7 +282,21 @@ object Bench {
     val sentRamp = sentinels.size >= 3 &&
       sentinels.indices.tail.forall(i => sentinels(i) > sentinels(i - 1)) &&
       sentSpread >= 1.5
-    val quiet = sentSpread < 2.0 && !sentRamp &&
+    // with ~10 checkpoints a raw max/min spread over-penalizes a single
+    // 1 s transient (observed: the round's fastest, 0.2%-steal run read
+    // spread 2.98 off ONE elevated checkpoint while every query head
+    // was healthy). Contention that actually distorts totals is
+    // SUSTAINED or LARGE, so the verdict asks for: no two CONSECUTIVE
+    // checkpoint medians above 1.5× the run median, no single
+    // checkpoint above 2.5× it (calibrated between the healthy 2.25×
+    // transient of the round's cleanest run and the 3.1-3.2× bursts of
+    // a visibly loaded one), no monotone ramp, and <5% CPU steal. The
+    // raw spread stays reported for forensics.
+    val runMed = sentinels.sorted.apply(sentinels.size / 2)
+    val hot = sentinels.map(_ > 1.5 * runMed)
+    val sustainedHot = hot.indices.tail.exists(i => hot(i) && hot(i - 1))
+    val quiet = !sentRamp && !sustainedHot &&
+      sentinels.max < 2.5 * runMed &&
       (stealPct < 0 || stealPct < 5.0)
     val json =
       s"""{"metric":"total","value":${f4(total)},"unit":"sec","queries":$qs,""" +
