@@ -25,6 +25,11 @@ object Bench {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
       .config("spark.sql.adaptive.enabled", graft.util.Config.aqe)
       .config("spark.sql.session.timeZone", "UTC")
+      // deterministic bucket-aware scans for the FixtureCache bucketed
+      // tables (and g_bkt_*): the session-memo persist freezes the first
+      // planned scan, so auto mode would freeze whichever shape the
+      // first-touching query preferred
+      .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -94,9 +99,12 @@ object Bench {
     def stealRead(): (Long, Long) = try {
       val l = scala.io.Source.fromFile("/proc/stat").getLines().next()
       val f = l.trim.split("\\s+").drop(1).map(_.toLong)
-      (f(7), f.sum)
+      // denominator = the first 8 cpu fields only (user nice system
+      // idle iowait irq softirq steal): guest/guest_nice are already
+      // counted inside user/nice, so folding them in double-counts
+      // guest time and understates steal% (ADVICE r11)
+      (f(7), f.take(8).sum)
     } catch { case _: Throwable => (-1L, -1L) }
-    val steal0 = stealRead()
     // settle before the FIRST checkpoint: warm-phase GC/cleanup debt
     // otherwise lands in it (observed: first median 2.3 s / 0.19 s vs a
     // 0.07 s steady floor — a fake-contended verdict on a healthy run).
@@ -104,6 +112,9 @@ object Bench {
     // discarded probes re-warm the probe's own codegen path.
     System.gc()
     (1 to 3).foreach(_ => sentinelProbe())
+    // steal window opens AFTER the settle phase (ADVICE r11): the GC +
+    // discarded probes are not part of the measured run
+    val steal0 = stealRead()
     val sentinels = scala.collection.mutable.ArrayBuffer[Double]()
     sentinels += sentinelOnce()
 
@@ -224,6 +235,47 @@ object Bench {
         }
         graft.etl.Pipeline.deleteKeys(spark, keys, ddir): Unit
         require(!doomed.exists(), "recovery re-run must complete the rm")
+        // the stash lives outside wroot — reap it here or it leaks a
+        // tmpdir per run (ADVICE r11)
+        stash.listFiles().foreach(f => f.delete(): Unit)
+        stash.delete(): Unit
+      },
+      // streaming-throughput surface (VERDICT r11 item 6): the first
+      // TIMED streaming entry — the rest of the streaming surface is
+      // correctness-pinned in StreamingSpec but carried no recorded
+      // number. Drives Streams.upsertSink over a real micro-batched
+      // MemoryStream at bench SF: 8 batches covering the full events
+      // table, each foreachBatch compacting to latest-per-key and
+      // upserting the parquet sink (Pipeline CoW). MemoryStream is the
+      // right source here for the same reason the correctness suites
+      // use it — it isolates engine micro-batch cost from source IO.
+      // Post-condition: the sink state equals the batch answer, so a
+      // broken stream reports as a failed entry, never a fast time.
+      timedW("pipeline_s_upsert") {
+        import spark.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+        // event-time order: batches arrive time-contiguous (the real
+        // stream shape, and the ordered-batch contract upsertSink's
+        // replacement semantics document), so each micro-batch's CoW
+        // touches ~1/8 of the date partitions instead of all of them
+        val rows = ev
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"))
+          .as[graft.streaming.Event].collect()
+          .sortBy(e => (e.ts.getTime, e.event_id))
+        val in = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[graft.streaming.Event]
+        val ssink = s"$wroot/stream_sink"
+        val q = graft.streaming.Streams.upsertSink(in.toDF(), ssink,
+          s"$wroot/stream_ckpt")
+        try {
+          rows.grouped(math.max(1, (rows.length + 7) / 8)).foreach { b =>
+            in.addData(b.toSeq); q.processAllAvailable()
+          }
+        } finally q.stop()
+        val got = spark.read.parquet(ssink).count()
+        val want = graft.streaming.Streams.latestPerKey(ev).count()
+        require(got == want, s"stream sink rows $got != batch $want")
       })
     def rmAll(f: java.io.File): Unit = {
       val kids = f.listFiles(); if (kids != null) kids.foreach(rmAll)
@@ -297,14 +349,22 @@ object Bench {
     val sustainedHot = hot.indices.tail.exists(i => hot(i) && hot(i - 1))
     val quiet = !sentRamp && !sustainedHot &&
       sentinels.max < 2.5 * runMed &&
-      (stealPct < 0 || stealPct < 5.0)
+      stealPct < 5.0 // an unreadable -1 falls back to spread-only
+    // two-tier verdict (VERDICT r11 item 3): `quiet` certifies "not
+    // badly contended" — necessary, not headline-grade (a 4.5%-steal
+    // run passed it 22% above the round's cleanest total). `certified`
+    // is the stricter tier the headline comparison requires: a READABLE
+    // steal under 2% AND every checkpoint median within 1.3× of the run
+    // median. BASELINE.md compares certified totals only.
+    val certified = quiet && stealPct >= 0 && stealPct < 2.0 &&
+      sentinels.forall(_ <= 1.3 * runMed)
     val json =
       s"""{"metric":"total","value":${f4(total)},"unit":"sec","queries":$qs,""" +
         s""""failed":$failedJson,"sf":"$sfDir","pipeline_warm_sec":${f4(warmSec)},""" +
         s""""warmed_intermediates":$warmed,"warm_breakdown":$warmJson,""" +
         s""""sentinel_sec":$sentJson,"sentinel_spread":${f4(sentSpread)},""" +
         s""""sentinel_raw":${sentinelRaw.map(f4).mkString("[", ",", "]")},""" +
-        s""""steal_pct":${f4(stealPct)},"quiet":$quiet,""" +
+        s""""steal_pct":${f4(stealPct)},"quiet":$quiet,"certified":$certified,""" +
         s""""heap_gb":${f4(heapGb)},""" +
         s""""kernels_registered":$kernelsLive,""" +
         s""""spark_version":"${spark.version}",""" +
@@ -337,7 +397,7 @@ object Bench {
           .mkString("{", ",", "}")},""" +
         s""""sentinel_spread":${f4(sentSpread)},""" +
         s""""sentinel_med":${f4(sentinels.sorted.apply(sentinels.size / 2))},""" +
-        s""""steal_pct":${f4(stealPct)},"quiet":$quiet,""" +
+        s""""steal_pct":${f4(stealPct)},"quiet":$quiet,"certified":$certified,""" +
         s""""heap_gb":${f4(heapGb)},"kernels_registered":$kernelsLive,""" +
         s""""spark_version":"${spark.version}","full_map":"$out","""
     val budget = 1700

@@ -36,6 +36,11 @@ object DecBench {
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.session.timeZone", "UTC")
+      // deterministic bucket-aware scans for the FixtureCache bucketed
+      // tables (and g_bkt_*): the session-memo persist freezes the first
+      // planned scan, so auto mode would freeze whichever shape the
+      // first-touching query preferred
+      .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -14,6 +14,11 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // deterministic bucket-aware scans for the FixtureCache bucketed
+      // tables (and g_bkt_*): the session-memo persist freezes the first
+      // planned scan, so auto mode would freeze whichever shape the
+      // first-touching query preferred
+      .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

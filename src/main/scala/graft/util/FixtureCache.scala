@@ -1,6 +1,7 @@
 package graft.util
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Parquet-backed cross-SESSION cache for expensive deterministic
   * fixture lineages (VERDICT r10 item 5) — the local analog of the
@@ -13,19 +14,39 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Layout: `$root/<key>-<fingerprint>/` holding an ordinary parquet
   * table (with Spark's own `_SUCCESS` marker as the commit flag). The
-  * fingerprint hashes the build's LOGIC VERSION plus each input table's
-  * file census (name, length, mtime), so editing an operator or
-  * regenerating a fixture invalidates the entry by construction —
-  * there is no in-place mutation to go stale against. Publication is
+  * fingerprint hashes (a) the BYTECODE of the classes that implement
+  * the build (`logic` — so editing a backed operator invalidates the
+  * entry by construction, no human-remembered version bump; VERDICT
+  * r11 item 2), (b) an optional manual `version` escape hatch, (c) the
+  * bucket layout, and (d) each input table's file census (name,
+  * length, mtime — a regenerated fixture reads as a new dataset).
+  * There is no in-place mutation to go stale against. Publication is
   * atomic (write to a pid-suffixed temp dir, rename into place); a
   * concurrent builder losing the rename race discards its copy and
-  * reads the winner's.
+  * reads the winner's. Orphaned `.tmp-*` dirs from builders that died
+  * mid-publish are swept on first touch once older than a day.
+  *
+  * Entries may be BUCKETED (`buckets = Some((n, cols))`): the build is
+  * written through `bucketBy(n, cols).sortBy(cols)` — pre-partitioned
+  * one file per bucket — and every reader session registers an external
+  * bucketed table over the published dir, so consumer equi-joins on the
+  * bucket key plan SortMergeJoin with NO Exchange and NO Sort on the
+  * cached side (VERDICT r11 item 4: the full once-per-ingest story —
+  * pay the shuffle once at publish, never per consumer query). Sessions
+  * should set `spark.sql.sources.bucketing.autoBucketedScan.enabled=
+  * false` so the scan shape is deterministic (the session-memo persist
+  * freezes the FIRST planned scan; auto mode would freeze whichever
+  * shape the first-touching query happened to prefer).
   *
   * The cache changes WHERE a memoized lineage's rows come from, never
   * what they are: every backed build is deterministic (pinned by the
   * oracle gate, which runs identically on hit and miss), and
-  * [[parquetBacked]] returns a plain parquet scan either way, so
-  * downstream plans see one stable shape.
+  * [[parquetBacked]] returns a plain scan either way, so downstream
+  * plans see one stable shape. NOTE the miss path is EAGER: a cold
+  * cache executes the full build (a Spark write job) at
+  * DataFrame-CONSTRUCTION time, not first action — plan-only callers
+  * (PlanSpec shape pins, explain tooling) must opt out via
+  * `graft.diskMemo=false` if they need cheap construction.
   *
   * Knobs: `SPARK_GRAFT_DISK_MEMO=false` (env) or `graft.diskMemo=false`
   * (system property — set by ScaleProbe, whose synthesized throwaway
@@ -44,20 +65,54 @@ object FixtureCache {
     .getOrElse(s"${System.getProperty("java.io.tmpdir")}/graft_fixture_cache")
 
   /** Return `key`'s cached frame for the fixture at `dir`, building and
-    * publishing it first on a miss. `inputs` names the fixture tables
-    * the build reads (e.g. `Seq("documents")`) — they drive the
-    * staleness fingerprint. Bump `version` whenever the build's
-    * SEMANTICS change so old entries can never serve the new logic. */
+    * publishing it first on a miss (EAGERLY — see the class doc).
+    * `inputs` names the fixture tables the build reads (e.g.
+    * `Seq("documents")`); `logic` lists the classes whose bytecode
+    * implements the build — both drive the staleness fingerprint, so a
+    * fixture regeneration OR a code edit invalidates by construction.
+    * `version` remains as a manual escape hatch for semantic changes
+    * that live outside the listed classes. `buckets = Some((n, cols))`
+    * publishes the entry as a bucketed+sorted table on `cols`. */
   def parquetBacked(s: SparkSession, dir: String, key: String,
-      inputs: Seq[String], version: String = "1")(
+      inputs: Seq[String], version: String = "1",
+      logic: Seq[Class[_]] = Nil,
+      buckets: Option[(Int, Seq[String])] = None)(
       build: => DataFrame): DataFrame = {
     if (!enabled) return build
-    val entry = new java.io.File(root, s"$key-${fingerprint(dir, inputs, version)}")
+    sweepStaleTmp()
+    val fp = fingerprint(dir, inputs, version, logic, buckets)
+    val entry = new java.io.File(root, s"$key-$fp")
     if (!new java.io.File(entry, "_SUCCESS").exists()) {
       val tmp = new java.io.File(root,
         s".tmp-${entry.getName}-${ProcessHandle.current().pid()}-${System.nanoTime()}")
       try {
-        build.write.mode("overwrite").parquet(tmp.toString)
+        buckets match {
+          case None =>
+            build.write.mode("overwrite").parquet(tmp.toString)
+          case Some((n, cols)) =>
+            // repartition on the bucket cols aligns task partitions with
+            // bucket ids (both are pmod(hash, n)), so each bucket lands
+            // in exactly ONE file — the shape Spark requires to also
+            // trust the sortBy metadata and elide the consumer-side Sort
+            val b = build
+            val stage = s"g_fc_stage_${ProcessHandle.current().pid()}_${System.nanoTime()}"
+            b.repartition(n, cols.map(col): _*)
+              .write.bucketBy(n, cols.head, cols.tail: _*)
+              .sortBy(cols.head, cols.tail: _*)
+              .option("path", tmp.toString)
+              .mode("overwrite").saveAsTable(stage)
+            // external table (explicit path): DROP unregisters the
+            // staging name but keeps the files for the rename below
+            s.sql(s"DROP TABLE IF EXISTS `$stage`")
+            // schema sidecar: an EMPTY build (degenerate fixtures yield
+            // zero candidate pairs) writes no part files, so the read
+            // path could never infer its schema from footers — register
+            // from the recorded DDL instead (underscore-prefixed files
+            // are invisible to Spark's file index)
+            java.nio.file.Files.write(
+              new java.io.File(tmp, "_graft_schema.ddl").toPath,
+              b.schema.toDDL.getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+        }
         entry.getParentFile.mkdirs()
         // rename is atomic on one filesystem; losing the race to a
         // concurrent publisher means an identical table already sits at
@@ -65,17 +120,53 @@ object FixtureCache {
         if (!tmp.renameTo(entry)) rm(tmp)
       } catch { case e: Throwable => rm(tmp); throw e }
     }
-    s.read.parquet(entry.toString)
+    buckets match {
+      case None => s.read.parquet(entry.toString)
+      case Some((n, cols)) =>
+        // per-session external bucketed table over the published files:
+        // bucket ids ride the part-file names, so re-declaring the
+        // CLUSTERED BY spec restores exchange-free reads in any session
+        val tbl = s"g_fc_${key}_$fp".toLowerCase
+        this.synchronized {
+          if (!s.catalog.tableExists(tbl)) {
+            // sidecar written by every publisher of this plumbing hash;
+            // footer inference is a pure defense-in-depth fallback
+            val side = new java.io.File(entry, "_graft_schema.ddl")
+            val ddl =
+              if (side.exists())
+                new String(java.nio.file.Files.readAllBytes(side.toPath),
+                  java.nio.charset.StandardCharsets.UTF_8)
+              else s.read.parquet(entry.toString).schema.toDDL
+            val colList = cols.map(c => s"`$c`").mkString(", ")
+            s.sql(s"CREATE TABLE `$tbl` ($ddl) USING PARQUET " +
+              s"CLUSTERED BY ($colList) SORTED BY ($colList) INTO $n BUCKETS " +
+              s"LOCATION '${entry.getAbsolutePath}'")
+          }
+        }
+        s.table(tbl)
+    }
   }
 
-  /** SHA-256 (first 16 hex chars) over the logic version, the canonical
-    * fixture path, and each input table's file census. mtime+length of
-    * every part file: a regenerated fixture — even to identical bytes —
-    * reads as a new dataset, which costs one rebuild and can never
-    * serve stale rows. */
-  private def fingerprint(dir: String, inputs: Seq[String],
-      version: String): String = {
+  /** SHA-256 (first 16 hex chars) over the logic-class bytecode hashes,
+    * the manual version, the bucket layout, the canonical fixture path,
+    * and each input table's file census. mtime+length of every part
+    * file: a regenerated fixture — even to identical bytes — reads as a
+    * new dataset, which costs one rebuild and can never serve stale
+    * rows; recompiled build logic invalidates the same way. */
+  private[graft] def fingerprint(dir: String, inputs: Seq[String],
+      version: String, logic: Seq[Class[_]] = Nil,
+      buckets: Option[(Int, Seq[String])] = None): String = {
     val sb = new StringBuilder(version).append('\n')
+    // the cache's own plumbing is part of every key: an edit to the
+    // publish/read format (e.g. the bucketed layout or the schema
+    // sidecar) must orphan entries written by the previous format —
+    // observed live when a pre-sidecar bucketed entry met the sidecar
+    // reader under an unchanged build-logic hash
+    sb.append("plumbing:").append(classBytesHash(FixtureCache.getClass)).append('\n')
+    logic.foreach(c => sb.append(c.getName).append(':')
+      .append(classBytesHash(c)).append('\n'))
+    buckets.foreach { case (n, cols) =>
+      sb.append(s"buckets:$n:${cols.mkString(",")}").append('\n') }
     sb.append(new java.io.File(dir).getCanonicalPath).append('\n')
     inputs.sorted.foreach { t =>
       sb.append(t).append('\n')
@@ -86,9 +177,42 @@ object FixtureCache {
       else files.foreach(f =>
         sb.append(s"${f.getName}:${f.length}:${f.lastModified}\n"))
     }
-    val md = java.security.MessageDigest.getInstance("SHA-256")
-    md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .take(8).map(b => f"$b%02x").mkString
+    sha(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** SHA-256 of a class's BYTECODE, memoized per JVM (class files are
+    * immutable for a process lifetime). Covers every method body the
+    * class carries — Scala 2.13 compiles an object's lambdas and nested
+    * defs into its own class file, so any edit to a listed build's
+    * logic lands here and re-keys the cache. Falls back to the class
+    * name alone (no content invalidation) only if the loader can't
+    * serve the resource — never observed under sbt's file classpath. */
+  private val classHashMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def classBytesHash(c: Class[_]): String =
+    classHashMemo.computeIfAbsent(c.getName, _ => {
+      val res = c.getName.replace('.', '/') + ".class"
+      val in = c.getClassLoader.getResourceAsStream(res)
+      if (in == null) c.getName
+      else try sha(in.readAllBytes()) finally in.close()
+    })
+
+  private def sha(bytes: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(bytes).take(8).map(b => f"$b%02x").mkString
+
+  /** Reap `.tmp-*` publish dirs older than a day (ADVICE r11: a builder
+    * dying between write and rename leaked them forever). Age-gated so
+    * a LIVE concurrent publisher's in-flight dir is never touched; runs
+    * at most once per JVM per root. */
+  private val swept = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def sweepStaleTmp(): Unit = {
+    val r = root
+    if (!swept.add(r)) return
+    val cutoff = System.currentTimeMillis() - 24L * 3600 * 1000
+    Option(new java.io.File(r).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith(".tmp-") && f.lastModified < cutoff)
+      .foreach(rm)
   }
 
   private def rm(f: java.io.File): Unit = {

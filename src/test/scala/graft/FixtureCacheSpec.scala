@@ -85,6 +85,67 @@ class FixtureCacheSpec extends SparkSpec {
     }
   }
 
+  test("a LOGIC EDIT (different class bytecode) misses the old entry — " +
+    "no version bump needed (VERDICT r11 item 2)") {
+    withRoot {
+      val dir = freshFixture()
+      var builds = 0
+      def get(logic: Seq[Class[_]]) =
+        FixtureCache.parquetBacked(spark, dir, "t", Seq("documents"),
+          logic = logic) {
+          builds += 1
+          spark.range(1).select(lit(1L).as("one"))
+        }
+      // LogicV1/LogicV2 stand in for "the same build before and after
+      // an edit": same shape, one constant changed, distinct bytecode
+      get(Seq(classOf[FixtureCacheSpec.LogicV1])).collect()
+      get(Seq(classOf[FixtureCacheSpec.LogicV1])).collect()
+      assert(builds === 1, "unchanged logic must hit")
+      get(Seq(classOf[FixtureCacheSpec.LogicV2])).collect()
+      assert(builds === 2, "recompiled (edited) logic must re-key and rebuild")
+      // the hash is of the BYTECODE, not the name: stable per class,
+      // distinct across the two bodies
+      val h1 = FixtureCache.classBytesHash(classOf[FixtureCacheSpec.LogicV1])
+      val h2 = FixtureCache.classBytesHash(classOf[FixtureCacheSpec.LogicV2])
+      assert(h1 === FixtureCache.classBytesHash(classOf[FixtureCacheSpec.LogicV1]))
+      assert(h1 !== h2)
+      assert(h1.length === 16 && h2.length === 16,
+        "must be a real digest, not the name-only fallback")
+    }
+  }
+
+  test("bucketed entries publish once and re-register per session: a " +
+    "key-equi self-join plans SMJ with NO exchange and NO sort on " +
+    "either side (VERDICT r11 item 4)") {
+    withRoot {
+      val dir = freshFixture()
+      var builds = 0
+      def get() = FixtureCache.parquetBacked(spark, dir, "tb",
+        Seq("documents"), buckets = Some((4, Seq("doc_id")))) {
+        builds += 1
+        spark.read.parquet(s"$dir/documents.parquet")
+      }
+      val first = get()
+      assert(builds === 1)
+      assert(first.orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+        === (0L until 10L))
+      assert(get().count() === 10L)
+      assert(builds === 1, "bucketed hit must not rebuild")
+      val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val j = get().join(get().select(col("doc_id"),
+          col("text").as("t2")), "doc_id")
+        assert(j.count() === 10L)
+        val p = j.queryExecution.executedPlan.toString
+        assert(p.contains("SortMergeJoin"), p)
+        assert(p.contains("SelectedBucketsCount"), p)
+        assert(!p.contains("hashpartitioning(doc_id"),
+          "bucket co-location must eliminate both join-side shuffles\n" + p)
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+  }
+
   test("an EMPTY build result round-trips with its schema (the " +
     "degenerate-fixture shape: one doc yields zero candidate pairs)") {
     withRoot {
@@ -102,4 +163,25 @@ class FixtureCacheSpec extends SparkSpec {
       assert(hit.columns.toSeq === Seq("da", "db") && hit.count() === 0L)
     }
   }
+
+  test("an EMPTY BUCKETED build round-trips too — the schema rides the " +
+    "sidecar, since zero part files means zero parquet footers") {
+    withRoot {
+      val dir = freshFixture()
+      def get() = FixtureCache.parquetBacked(spark, dir, "eb",
+        Seq("documents"), buckets = Some((4, Seq("da")))) {
+        spark.range(1).select(col("id").as("da"), col("id").as("db"))
+          .filter(lit(false))
+      }
+      assert(get().columns.toSeq === Seq("da", "db") && get().count() === 0L)
+    }
+  }
+}
+
+object FixtureCacheSpec {
+  /** Two stand-ins for "one build, before and after a logic edit":
+    * identical shape, one constant apart — so their class files differ
+    * exactly the way a recompiled operator's would. */
+  private[graft] class LogicV1 { def f(x: Long): Long = x + 1 }
+  private[graft] class LogicV2 { def f(x: Long): Long = x + 2 }
 }

@@ -156,6 +156,40 @@ class PlanSpec extends SparkSpec {
     } finally sys.props.remove("graft.diskMemo"): Unit
   }
 
+  test("q_corpus_report: the bucketed cached canonicalAssign joins back " +
+    "to documents with NO exchange on the cached side (VERDICT r11 item 4)") {
+    // fresh fixture + fresh cache root, disk memo ON: the test pays the
+    // one-off eager publish (the local once-per-ingest bucketed write),
+    // then pins the consumer shape — SortMergeJoin on doc_id whose
+    // cached side reads pre-bucketed, pre-sorted files
+    // (SelectedBucketsCount) with exactly ONE hashpartitioning(doc_id)
+    // exchange in the plan: the documents side. Broadcast disabled so
+    // fixture scale can't hide the 100 TB shape.
+    val dir = java.nio.file.Files.createTempDirectory("graft_plan_bkt").toString
+    spark.read.parquet(s"$sf/documents.parquet")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    sys.props("graft.cacheDir") =
+      java.nio.file.Files.createTempDirectory("graft_plan_bkt_root").toString
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = SparkEntry.all("q_corpus_report").fn(spark, dir)
+        .queryExecution.executedPlan.toString
+      val effective = p.indexOf("== Initial Plan ==") match {
+        case -1 => p
+        case i  => p.substring(0, i)
+      }
+      assert(effective.contains("SortMergeJoin"), p.take(4000))
+      assert(effective.contains("SelectedBucketsCount"), p.take(4000))
+      assert("hashpartitioning\\(doc_id".r.findAllIn(effective).size === 1,
+        "only the documents side may shuffle on doc_id — the cached " +
+          "side is bucketed\n" + p.take(4000))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      sys.props.remove("graft.cacheDir"): Unit
+    }
+  }
+
   test("q_dedup_substring runs the explode kernel once (keyed window, no join-back)") {
     // VERDICT r4 asked for an A/B of this query's count shape; the
     // interleaved triage (TriageBench, see the QueryDef scaladoc) kept
