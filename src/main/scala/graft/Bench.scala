@@ -160,6 +160,8 @@ object Bench {
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val ev = graft.util.Tables.events(spark, sfDir)
+    // row count fed through the streaming entry, for the rows/s readout.
+    var streamRows = 0
     val writeResults = Seq[(String, Double)](
       // events → daily rollup → date-partitioned sink (the flagship
       // incremental load, dynamic-partition-overwrite mode)
@@ -263,31 +265,40 @@ object Bench {
       // use it — it isolates engine micro-batch cost from source IO.
       // Post-condition: the sink state equals the batch answer, so a
       // broken stream reports as a failed entry, never a fast time.
-      timedW("pipeline_s_upsert") {
+      {
         import spark.implicits._
         implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-        // event-time order: batches arrive time-contiguous (the real
-        // stream shape, and the ordered-batch contract upsertSink's
-        // replacement semantics document), so each micro-batch's CoW
-        // touches ~1/8 of the date partitions instead of all of them
+        // STAGING — UNTIMED (VERDICT r12 item 3): MemoryStream needs the
+        // rows in driver memory, but the full collect+sort+slice is test
+        // staging, not streaming-engine cost; timing it bundled several
+        // seconds of driver work into the entry. Event-time order:
+        // batches arrive time-contiguous (the real stream shape, and the
+        // ordered-batch contract upsertSink's replacement semantics
+        // document), so each micro-batch's CoW touches ~1/8 of the date
+        // partitions instead of all of them.
         val rows = ev
           .select(col("event_id"), col("ts"), col("user_id"),
             col("event_type"), col("value"))
           .as[graft.streaming.Event].collect()
           .sortBy(e => (e.ts.getTime, e.event_id))
+        val batches = rows.grouped(math.max(1, (rows.length + 7) / 8))
+          .map(_.toSeq).toVector
         val in = org.apache.spark.sql.execution.streaming.runtime
           .MemoryStream[graft.streaming.Event]
         val ssink = s"$wroot/stream_sink"
-        val q = graft.streaming.Streams.upsertSink(in.toDF(), ssink,
-          s"$wroot/stream_ckpt")
-        try {
-          rows.grouped(math.max(1, (rows.length + 7) / 8)).foreach { b =>
-            in.addData(b.toSeq); q.processAllAvailable()
-          }
-        } finally q.stop()
-        val got = spark.read.parquet(ssink).count()
-        val want = graft.streaming.Streams.latestPerKey(ev).count()
-        require(got == want, s"stream sink rows $got != batch $want")
+        streamRows = rows.length
+        // TIMED: stream start (checkpoint init), the 8 micro-batch
+        // addData/processAllAvailable cycles, stop, and the sink
+        // post-condition — engine cost only
+        timedW("pipeline_s_upsert") {
+          val q = graft.streaming.Streams.upsertSink(in.toDF(), ssink,
+            s"$wroot/stream_ckpt")
+          try batches.foreach { b => in.addData(b); q.processAllAvailable() }
+          finally q.stop()
+          val got = spark.read.parquet(ssink).count()
+          val want = graft.streaming.Streams.latestPerKey(ev).count()
+          require(got == want, s"stream sink rows $got != batch $want")
+        }
       })
     def rmAll(f: java.io.File): Unit = {
       val kids = f.listFiles(); if (kids != null) kids.foreach(rmAll)
@@ -297,6 +308,65 @@ object Bench {
     sentinels += sentinelOnce()
 
     val all = results ++ writeResults
+
+    // ---- per-query suspect-head guard (VERDICT r12 item 2): the
+    // `certified` tier bounds CHECKPOINT sentinel medians, not per-query
+    // heads — and the first certified artifact demonstrated the hole: a
+    // host burst confined between two checkpoints (~24 queries apart)
+    // inflated q_hamming_hist to 19.4 s inside a certified run whose
+    // same-binary driver twin read 2.8 s. So every entry is also checked
+    // against its TRAILING MEDIAN across recent bench artifacts
+    // (SPARK_GRAFT_BENCH_REFS, same-sf entries only): an entry reading
+    // >2.5× that median (+0.5 s absolute guard — job-overhead jitter on
+    // sub-second entries is not a burst) is a suspect, re-probed
+    // interleaved median-of-3 at run end, and the artifact publishes
+    // BOTH totals — `value` (raw) and `value_adjusted` (suspects
+    // replaced by their re-probe medians). BASELINE.md headlines
+    // adjusted certified totals. pipeline_w_*/pipeline_s_* entries are
+    // flagged but not re-probed (their bodies mutate freshly-staged
+    // state); they keep their raw reading in both totals.
+    def refQueries(path: String): Map[String, Double] = try {
+      val node = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(new java.io.File(path))
+      val q = node.get("queries")
+      if (q == null || node.get("sf") == null ||
+        node.get("sf").asText() != sfDir) Map.empty
+      else {
+        val b = Map.newBuilder[String, Double]
+        val it = q.properties().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          val v = e.getValue.asDouble(-1)
+          if (v >= 0) b += e.getKey -> v
+        }
+        b.result()
+      }
+    } catch { case _: Throwable => Map.empty }
+    val refMaps = graft.util.Config.benchRefs.map(refQueries)
+      .filter(_.nonEmpty)
+    def trailingMed(n: String): Option[Double] = {
+      val vs = refMaps.flatMap(_.get(n)).sorted
+      if (vs.isEmpty) None else Some(vs(vs.size / 2))
+    }
+    val suspects = all.toSeq.collect {
+      case (n, t) if t >= 0 && trailingMed(n).exists(r => t > 2.5 * r + 0.5) => n
+    }.sorted
+    val reprobable = suspects.filter(SparkEntry.queries.contains)
+    val reprobeTimes = scala.collection.mutable.Map[String, Vector[Double]]()
+      .withDefaultValue(Vector.empty)
+    for (_ <- 1 to 3; n <- reprobable) {
+      val t0 = System.nanoTime()
+      val ok = try {
+        SparkEntry.queries(n)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save(); true
+      } catch { case _: Throwable => false }
+      if (ok) reprobeTimes(n) :+= (System.nanoTime() - t0) / 1e9
+    }
+    val reprobed = reprobable.flatMap { n =>
+      val v = reprobeTimes(n).sorted
+      if (v.isEmpty) None else Some(n -> v(v.size / 2))
+    }.toMap
+
     // 4-decimal times (0.1 ms resolution — below run-to-run noise by
     // >100×): full-precision doubles tripled the line length for digits
     // that carry no information. Locale.ROOT so a comma-decimal default
@@ -311,6 +381,15 @@ object Bench {
     // excluding it here would silently shrink the metric round-over-
     // round. The breakdown fields keep the two costs separable.
     val total = all.collect { case (_, v) if v >= 0 => v }.sum + warmSec
+    // adjusted total: each re-probed suspect contributes its re-probe
+    // median INSTEAD of its in-run reading (honest replacement — if the
+    // re-probe reads slower, the adjusted total goes UP)
+    val totalAdj = total - reprobed.map { case (n, m) => all(n) - m }.sum
+    val suspectJson = suspects.map { n =>
+      s"\"" + n + "\":{\"raw\":" + f4(all(n)) +
+        ",\"ref_med\":" + f4(trailingMed(n).getOrElse(-1.0)) +
+        ",\"reprobe_med\":" + f4(reprobed.getOrElse(n, -1.0)) + "}"
+    }.mkString("{", ",", "}")
     val failedJson = failed.mkString("[", ",", "]")
     val warmJson = warmTimes.map { case (k, v) => s"\"" + k + "\":" + f4(v) }
       .mkString("{", ",", "}")
@@ -374,10 +453,15 @@ object Bench {
     // median. BASELINE.md compares certified totals only.
     val certified = quiet && stealPct >= 0 && stealPct < 2.0 &&
       sentinels.forall(_ <= 1.3 * runMed + 0.05)
+    val streamSec = all.getOrElse("pipeline_s_upsert", -1.0)
+    val streamRps =
+      if (streamSec > 0) streamRows / streamSec else -1.0
     val json =
       s"""{"metric":"total","value":${f4(total)},"unit":"sec","queries":$qs,""" +
+        s""""value_adjusted":${f4(totalAdj)},"suspect_heads":$suspectJson,""" +
         s""""failed":$failedJson,"sf":"$sfDir","pipeline_warm_sec":${f4(warmSec)},""" +
         s""""warmed_intermediates":$warmed,"warm_breakdown":$warmJson,""" +
+        s""""stream_rows":$streamRows,"stream_rows_per_sec":${f4(streamRps)},""" +
         s""""sentinel_sec":$sentJson,"sentinel_spread":${f4(sentSpread)},""" +
         s""""sentinel_raw":${sentinelRaw.map(f4).mkString("[", ",", "]")},""" +
         s""""steal_pct":${f4(stealPct)},"quiet":$quiet,"certified":$certified,""" +
@@ -405,6 +489,8 @@ object Bench {
     val slowestFirst = all.toSeq.sortBy { case (_, v) => -v }
     val compactHead =
       s"""{"metric":"total","value":${f4(total)},"unit":"sec","sf":"$sfDir",""" +
+        s""""value_adjusted":${f4(totalAdj)},"n_suspect_heads":${suspects.size},""" +
+        s""""stream_rows_per_sec":${f4(streamRps)},""" +
         s""""n_queries":${all.size},"n_failed":${failed.size},""" +
         s""""failed":${failed.take(10).mkString("[", ",", "]")},""" +
         s""""pipeline_warm_sec":${f4(warmSec)},"warmed_intermediates":$warmed,""" +

@@ -22,8 +22,16 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     // the probe's synthesized ×N dirs are throwaway — publishing their
     // heavy intermediates to the cross-session FixtureCache would only
-    // pollute it (and hide the build cost the probe is measuring)
-    sys.props("graft.diskMemo") = "false"
+    // pollute it (and hide the build cost the probe is measuring).
+    // SPARK_GRAFT_PROBE_DISK_MEMO=true flips the experiment (VERDICT
+    // r12 item 6): the cache stays ON against a throwaway root, the
+    // warm pass pays each ×N dir's eager publish, and the timed reps
+    // then measure the CONSUMER read path over the published bucketed
+    // tables — the α of the bucketed-cache read shape itself.
+    if (sys.env.get("SPARK_GRAFT_PROBE_DISK_MEMO").exists(_.toBoolean))
+      sys.props("graft.cacheDir") = java.nio.file.Files
+        .createTempDirectory("graft_probe_cache").toString
+    else sys.props("graft.diskMemo") = "false"
     val factors = if (args.isEmpty) Seq(1, 2, 4, 8) else args.toSeq.map(_.toInt)
     val base = graft.util.Config.sfDir
     val cpus = graft.util.Config.cpus("32")

@@ -1476,7 +1476,7 @@ object Joins {
   /** Co-occurrence pair counts (pa < pb) — the family's dominant
     * shuffle, shared by lift and similarity. */
   private def basketPairCounts(s: SparkSession, dir: String): DataFrame =
-    memoizedDisk(s, dir, "basketPairCounts", bucket = Some((8, Seq("pa")))) {
+    memoizedDisk(s, dir, "basketPairCounts", bucket = Some((graft.util.Config.cacheBuckets, Seq("pa")))) {
       import s.implicits._
       basketPairs(s, baskets(s, dir))
         .groupBy($"pa", $"pb")
@@ -1511,8 +1511,8 @@ object Joins {
     * (≤7 lines/order in TPC-H-shaped data, so ≤21 pairs — NOT a
     * quadratic blowup; a retail-scale 10⁴-item basket would need the
     * usual frequent-item pre-prune, which q_heavy_hitters provides).
-    * Per-part supports broadcast; top-50 by co-count via
-    * TakeOrderedAndProject. */
+    * Per-part supports join unhinted (planner broadcasts them at
+    * fixture scale); top-50 by co-count via TakeOrderedAndProject. */
   private val basketLift = QueryDef(
     (s, dir) => {
       import s.implicits._
@@ -1523,10 +1523,17 @@ object Joins {
       // (shared with q_item_similarity). Pairs are generated ARRAY-SIDE
       // from the sorted basket (a < b positions), ≤ C(7,2) per order.
       val nOrders = baskets(s, dir).agg(count(lit(1)).as("n_orders"))
+      // per-part supports join UNHINTED (ADVICE r12): at fixture scale
+      // Catalyst broadcasts them anyway (under threshold), and at
+      // catalog scale — where a billion-item perPart is NOT
+      // broadcastable — the planner falls back to SMJ on pa against the
+      // BUCKETED cached pair table with no pair-side exchange (PlanSpec
+      // pins that shape with broadcast disabled). The 1-row nOrders
+      // keeps its hint: that is the documented scalar-assembly pattern.
       val perPart = basketPerPart(s, dir)
       basketPairCounts(s, dir)
-        .join(broadcast(perPart.select($"pk".as("pa"), $"n_p".as("n_a"))), "pa")
-        .join(broadcast(perPart.select($"pk".as("pb"), $"n_p".as("n_b"))), "pb")
+        .join(perPart.select($"pk".as("pa"), $"n_p".as("n_a")), "pa")
+        .join(perPart.select($"pk".as("pb"), $"n_p".as("n_b")), "pb")
         .join(broadcast(nOrders))
         .withColumn("lift_bp", expr(
           """CAST((CAST(n_ab AS DECIMAL(38,0)) * n_orders * 10000)
@@ -1563,10 +1570,13 @@ object Joins {
     (s, dir) => {
       import s.implicits._
       val perPart = basketPerPart(s, dir)
+      // unhinted supports joins — same reasoning as q_basket_lift:
+      // Catalyst broadcasts at fixture scale, SMJ-on-pa over the
+      // bucketed pair table when perPart outgrows the threshold
       basketPairCounts(s, dir)
         .filter($"n_ab" >= 2)
-        .join(broadcast(perPart.select($"pk".as("pa"), $"n_p".as("n_a"))), "pa")
-        .join(broadcast(perPart.select($"pk".as("pb"), $"n_p".as("n_b"))), "pb")
+        .join(perPart.select($"pk".as("pa"), $"n_p".as("n_a")), "pa")
+        .join(perPart.select($"pk".as("pb"), $"n_p".as("n_b")), "pb")
         .withColumn("jac_bp", expr(
           "CAST((n_ab * 10000) div (n_a + n_b - n_ab) AS BIGINT)"))
         .withColumn("conf_ab_bp", expr("CAST((n_ab * 10000) div n_a AS BIGINT)"))

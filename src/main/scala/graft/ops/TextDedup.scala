@@ -203,7 +203,7 @@ object TextDedup {
     * distinct is the priciest step after shingling — one materialization
     * per session; a bucketed table write at 100 TB. */
   private def lshCandidates(s: SparkSession, dir: String): DataFrame =
-    memoizedDisk(s, dir, "lshCandidates", bucket = Some((8, Seq("da")))) {
+    memoizedDisk(s, dir, "lshCandidates", bucket = Some((graft.util.Config.cacheBuckets, Seq("da")))) {
     import s.implicits._
     val sig = signatures(s, dir)
     val bands = (0 until NumHashes / BandRows).map { bnd =>
@@ -288,7 +288,7 @@ object TextDedup {
     * same accepted risk class as every hash-keyed tier, and the oracle
     * replays the identical hash so both engines fold identically. */
   private def verifiedPairs(s: SparkSession, dir: String): DataFrame =
-    memoizedDisk(s, dir, "verifiedPairs", bucket = Some((8, Seq("da")))) {
+    memoizedDisk(s, dir, "verifiedPairs", bucket = Some((graft.util.Config.cacheBuckets, Seq("da")))) {
       import s.implicits._
       val sets = hashedShingles(s, dir).select($"doc_id", $"hs".as("ss"))
       val cand = lshCandidates(s, dir)
@@ -423,7 +423,7 @@ object TextDedup {
     * convergence actions run once per session; the stored plan is the
     * converged linear lineage and replays without re-iterating. */
   private def canonicalAssign(s: SparkSession, dir: String): DataFrame =
-    memoizedDisk(s, dir, "canonicalAssign", bucket = Some((8, Seq("doc_id")))) {
+    memoizedDisk(s, dir, "canonicalAssign", bucket = Some((graft.util.Config.cacheBuckets, Seq("doc_id")))) {
       import s.implicits._
       val pairs = verifiedPairs(s, dir).select($"da", $"db")
       // undirected: propagate min in both directions

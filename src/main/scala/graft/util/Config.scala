@@ -15,8 +15,11 @@ package graft.util
   * | SPARK_GRAFT_BENCH_OUT | full bench-JSON output path         | bench_out.json |
   * | SPARK_GRAFT_PROBE_OPS | comma list overriding ScaleProbe's flagship set | (flagships) |
   * | SPARK_GRAFT_PROBE_STOPWORDS | ScaleProbe: replicate documents with the SAME token space (posting lists / group sizes grow xN — the stopword-heavy shape) instead of replica-disjoint tokens | false |
+  * | SPARK_GRAFT_PROBE_DISK_MEMO | ScaleProbe: keep the FixtureCache ON against a throwaway root — the reps then measure the bucketed-cache CONSUMER read path | false |
   * | SPARK_GRAFT_DISK_MEMO | cross-session parquet cache for heavy deterministic fixture intermediates ([[FixtureCache]]) | true |
   * | SPARK_GRAFT_CACHE_DIR | FixtureCache root | $tmpdir/graft_fixture_cache |
+  * | SPARK_GRAFT_CACHE_BUCKETS | bucket count for FixtureCache bucketed publishes (caps the cached side's scan parallelism — see [[FixtureCache]] sizing rule) | 8 |
+  * | SPARK_GRAFT_BENCH_REFS | comma list of trailing bench artifacts for Bench's per-query suspect-head guard | bench_out.json |
   */
 object Config {
   def sfDir: String =
@@ -38,4 +41,22 @@ object Config {
 
   def probeStopwords: Boolean =
     sys.env.get("SPARK_GRAFT_PROBE_STOPWORDS").exists(_.toBoolean)
+
+  /** Bucket count for [[FixtureCache]] bucketed publishes. System
+    * property first (tests flip it per-JVM), then env. The count is
+    * part of the cache fingerprint, so changing it re-keys entries —
+    * it can never serve a table whose CLUSTERED BY spec disagrees with
+    * its files. */
+  def cacheBuckets: Int =
+    sys.props.get("graft.cacheBuckets")
+      .orElse(sys.env.get("SPARK_GRAFT_CACHE_BUCKETS"))
+      .map(_.trim.toInt).getOrElse(8)
+
+  /** Trailing bench artifacts (comma list of paths) for the per-query
+    * suspect-head guard in [[graft.Bench]]; entries recorded at a
+    * different SF dir are ignored at read time. */
+  def benchRefs: Seq[String] =
+    sys.env.get("SPARK_GRAFT_BENCH_REFS")
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(Seq("bench_out.json"))
 }

@@ -52,7 +52,22 @@ import org.apache.spark.sql.functions.col
   * (system property — set by ScaleProbe, whose synthesized throwaway
   * dirs would only pollute the cache) disables it;
   * `SPARK_GRAFT_CACHE_DIR` relocates the root (default
-  * `$java.io.tmpdir/graft_fixture_cache`). */
+  * `$java.io.tmpdir/graft_fixture_cache`);
+  * `SPARK_GRAFT_CACHE_BUCKETS` / `graft.cacheBuckets` sets the bucket
+  * count the call sites pass (default 8).
+  *
+  * SIZING RULE (VERDICT r12 item 5): the bucket count is the cached
+  * side's MAXIMUM scan parallelism (autoBucketedScan is off, so each
+  * bucket is one task) AND the per-consumer-join task count — at
+  * production scale choose `buckets ≈ |published table| /
+  * spark.sql.files.maxPartitionBytes` (i.e. one ~128 MB file per
+  * bucket), rounded to a power of two, and at least the cluster's
+  * executor-core count for full-width scans. The default 8 fits the
+  * local fixtures (every published entry is well under 1 GB); the knob
+  * exists because the right count is a property of the INGESTED DATA
+  * VOLUME, not of the code. The count is part of the fingerprint, so
+  * changing it re-keys entries — a published layout can never disagree
+  * with its registered CLUSTERED BY spec. */
 object FixtureCache {
 
   def enabled: Boolean =
@@ -125,8 +140,16 @@ object FixtureCache {
       case Some((n, cols)) =>
         // per-session external bucketed table over the published files:
         // bucket ids ride the part-file names, so re-declaring the
-        // CLUSTERED BY spec restores exchange-free reads in any session
-        val tbl = s"g_fc_${key}_$fp".toLowerCase
+        // CLUSTERED BY spec restores exchange-free reads in any session.
+        // The name folds in the entry PATH hash (ADVICE r12): the
+        // fingerprint alone is root-independent, so a cacheDir change
+        // within one JVM (the test harness does this) would otherwise
+        // serve the OLD root's LOCATION under the same name — and if
+        // that root was deleted, a silent zero-row scan (the schema
+        // rides the DDL, not the files).
+        val tbl =
+          s"g_fc_${key}_${fp}_p${sha(entry.getAbsolutePath
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))}".toLowerCase
         this.synchronized {
           if (!s.catalog.tableExists(tbl)) {
             // sidecar written by every publisher of this plumbing hash;
@@ -193,8 +216,15 @@ object FixtureCache {
     classHashMemo.computeIfAbsent(c.getName, _ => {
       val res = c.getName.replace('.', '/') + ".class"
       val in = c.getClassLoader.getResourceAsStream(res)
-      if (in == null) c.getName
-      else try sha(in.readAllBytes()) finally in.close()
+      if (in == null) {
+        // visible degradation (ADVICE r12): name-only keying disables
+        // content-based invalidation, so a packaging scenario where the
+        // loader can't serve bytecode must not weaken staleness silently
+        System.err.println(s"[graft] WARN FixtureCache: bytecode for " +
+          s"${c.getName} unavailable from its loader — cache keys for " +
+          "builds listing it degrade to name-only (no content invalidation)")
+        c.getName
+      } else try sha(in.readAllBytes()) finally in.close()
     })
 
   private def sha(bytes: Array[Byte]): String =

@@ -164,6 +164,67 @@ class FixtureCacheSpec extends SparkSpec {
     }
   }
 
+  test("the bucket-count KNOB re-keys the entry (VERDICT r12 item 5): a " +
+    "published layout can never disagree with its registered CLUSTERED " +
+    "BY spec") {
+    withRoot {
+      val dir = freshFixture()
+      var builds = 0
+      def get() = FixtureCache.parquetBacked(spark, dir, "kb",
+        Seq("documents"),
+        buckets = Some((graft.util.Config.cacheBuckets, Seq("doc_id")))) {
+        builds += 1
+        spark.read.parquet(s"$dir/documents.parquet")
+      }
+      sys.props("graft.cacheBuckets") = "4"
+      try {
+        assert(graft.util.Config.cacheBuckets === 4)
+        assert(get().count() === 10L && builds === 1)
+        assert(get().count() === 10L && builds === 1, "same count must hit")
+        sys.props("graft.cacheBuckets") = "2"
+        assert(graft.util.Config.cacheBuckets === 2)
+        assert(get().count() === 10L)
+        assert(builds === 2, "a bucket-count change must re-key and rebuild")
+        // and the fingerprints really differ on layout alone
+        val f4 = FixtureCache.fingerprint(dir, Seq("documents"), "1",
+          buckets = Some((4, Seq("doc_id"))))
+        val f2 = FixtureCache.fingerprint(dir, Seq("documents"), "1",
+          buckets = Some((2, Seq("doc_id"))))
+        assert(f4 !== f2)
+      } finally sys.props.remove("graft.cacheBuckets"): Unit
+    }
+  }
+
+  test("a cacheDir switch within one JVM re-registers at the NEW root — " +
+    "the per-session table name folds in the entry path, so a deleted " +
+    "old root can never serve a silent zero-row scan (ADVICE r12)") {
+    val dir = freshFixture()
+    val root1 = java.nio.file.Files.createTempDirectory("graft_fc_r1").toString
+    val root2 = java.nio.file.Files.createTempDirectory("graft_fc_r2").toString
+    var builds = 0
+    def get() = FixtureCache.parquetBacked(spark, dir, "rootsw",
+      Seq("documents"), buckets = Some((4, Seq("doc_id")))) {
+      builds += 1
+      spark.read.parquet(s"$dir/documents.parquet")
+    }
+    def rmAll(f: java.io.File): Unit = {
+      val kids = f.listFiles(); if (kids != null) kids.foreach(rmAll)
+      f.delete(): Unit
+    }
+    sys.props("graft.cacheDir") = root1
+    try {
+      assert(get().count() === 10L && builds === 1)
+      // The failure shape: root changes, root1 deleted, fingerprint
+      // identical — pre-fix the registered table still pointed at
+      // root1's LOCATION and the scan returned zero rows
+      rmAll(new java.io.File(root1))
+      sys.props("graft.cacheDir") = root2
+      assert(get().count() === 10L,
+        "new root must republish + re-register, never serve the dead LOCATION")
+      assert(builds === 2)
+    } finally sys.props.remove("graft.cacheDir"): Unit
+  }
+
   test("an EMPTY BUCKETED build round-trips too — the schema rides the " +
     "sidecar, since zero part files means zero parquet footers") {
     withRoot {

@@ -190,6 +190,42 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_basket_lift: with broadcast disabled the bucketed cached pair " +
+    "table SMJs the per-part supports on pa with NO pair-side exchange " +
+    "(ADVICE r12: the non-broadcast consumer pin)") {
+    // the catalog-scale shape: a billion-item perPart is not
+    // broadcastable, so the supports join must fall back to SMJ whose
+    // pair side reads the published buckets — pay the pair shuffle once
+    // at publish, never per consumer. Fresh fixture + fresh cache root,
+    // disk memo ON (the test pays the eager publish).
+    val dir = java.nio.file.Files.createTempDirectory("graft_plan_bkt2").toString
+    spark.read.parquet(s"$sf/lineitem.parquet")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    sys.props("graft.cacheDir") =
+      java.nio.file.Files.createTempDirectory("graft_plan_bkt2_root").toString
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = SparkEntry.all("q_basket_lift").fn(spark, dir)
+        .queryExecution.executedPlan.toString
+      val effective = p.indexOf("== Initial Plan ==") match {
+        case -1 => p
+        case i  => p.substring(0, i)
+      }
+      assert(effective.contains("SortMergeJoin"), p.take(4000))
+      assert(effective.contains("SelectedBucketsCount"), p.take(4000))
+      // Exactly ONE hashpartitioning(pa: the perPart supports side —
+      // the cached pair table side is bucketed. (The pb-side join and
+      // the 1-row nOrders broadcast are out of scope here.)
+      assert("hashpartitioning\\(pa".r.findAllIn(effective).size === 1,
+        "only the supports side may shuffle on pa — the cached pair " +
+          "side is bucketed\n" + p.take(4000))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      sys.props.remove("graft.cacheDir"): Unit
+    }
+  }
+
   test("q_dedup_substring runs the explode kernel once (keyed window, no join-back)") {
     // VERDICT r4 asked for an A/B of this query's count shape; the
     // interleaved triage (TriageBench, see the QueryDef scaladoc) kept
