@@ -31,6 +31,13 @@ object Bench {
       // first-touching query preferred
       .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      // ~240 queries × ~8 codegen units ≈ 2000 generated classes per
+      // pass: the 100-entry default cache evicts everything between the
+      // warm and timed passes, so every timed query repaid full janino
+      // recompilation (r13 A/B: 0.3-1.5 s/query). Sized to the declared
+      // surface — a driver-heap knob, not a core-count knob (Config).
+      .config("spark.sql.codegen.cache.maxEntries",
+        graft.util.Config.codegenCacheEntries)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

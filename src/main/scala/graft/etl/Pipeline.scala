@@ -190,32 +190,49 @@ object Pipeline {
       !dir.exists() || dir.listFiles() == null ||
         !dir.listFiles().exists(f => !f.getName.startsWith(".") && !f.getName.startsWith("_"))
     if (sinkEmpty) {
-      updates.write.partitionBy(partitionCol).mode(SaveMode.Append).parquet(sinkDir)
-      return updates.count()
+      // observe rides the write: counting the loaded rows costs zero
+      // extra jobs (the runIncremental load-report discipline)
+      val obs0 = org.apache.spark.sql.Observation()
+      updates.observe(obs0, count(lit(1)).as("n"))
+        .write.partitionBy(partitionCol).mode(SaveMode.Append).parquet(sinkDir)
+      return obs0.get("n").asInstanceOf[Long]
     }
-    val affected = updates.select(col(partitionCol)).distinct()
-      .limit(maxPartitions + 1).collect().map(_.get(0))
-    require(affected.length <= maxPartitions,
-      s"upsert touches >$maxPartitions $partitionCol partitions — " +
-        "that is a table rewrite, not an incremental merge; split the batch")
-    if (affected.isEmpty) return 0L
-    val existing = spark.read.parquet(sinkDir)
-      .filter(col(partitionCol).isin(affected.toIndexedSeq: _*))
-    val keep = existing.join(
-      updates.select(keyCols.map(col): _*), keyCols.toIndexedSeq, "left_anti")
-    val merged = keep.unionByName(updates)
-    val staging = s"$sinkDir/.merge_staging"
-    merged.write.mode(SaveMode.Overwrite).parquet(staging)
-    val staged = spark.read.parquet(staging)
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val prev = spark.conf.get(key, "static")
-    spark.conf.set(key, "dynamic")
-    try staged.write
-      .partitionBy(partitionCol)
-      .mode(SaveMode.Overwrite)
-      .parquet(sinkDir)
-    finally spark.conf.set(key, prev)
-    val n = staged.count()
+    // `updates` feeds three plan legs (affected-date collect, the
+    // anti-join's key projection, the merge union): persist so the
+    // caller's lineage — in the streaming sink, a window over the
+    // micro-batch — computes once per upsert, not three times
+    // (r13: pipeline_s_upsert paid the latestPerKey window 3× per
+    // micro-batch). Unpersisted before return; delta-sized, never
+    // sink-sized.
+    updates.persist()
+    try {
+      val affected = updates.select(col(partitionCol)).distinct()
+        .limit(maxPartitions + 1).collect().map(_.get(0))
+      require(affected.length <= maxPartitions,
+        s"upsert touches >$maxPartitions $partitionCol partitions — " +
+          "that is a table rewrite, not an incremental merge; split the batch")
+      if (affected.isEmpty) return 0L
+      val existing = spark.read.parquet(sinkDir)
+        .filter(col(partitionCol).isin(affected.toIndexedSeq: _*))
+      val keep = existing.join(
+        updates.select(keyCols.map(col): _*), keyCols.toIndexedSeq, "left_anti")
+      val merged = keep.unionByName(updates)
+      val staging = s"$sinkDir/.merge_staging"
+      merged.write.mode(SaveMode.Overwrite).parquet(staging)
+      val staged = spark.read.parquet(staging)
+      val key = "spark.sql.sources.partitionOverwriteMode"
+      val prev = spark.conf.get(key, "static")
+      spark.conf.set(key, "dynamic")
+      // the row count rides the overwrite itself — the pre-r13 shape
+      // re-read the staged parquet a second time just to count it
+      val obs = org.apache.spark.sql.Observation()
+      try staged.observe(obs, count(lit(1)).as("n"))
+        .write
+        .partitionBy(partitionCol)
+        .mode(SaveMode.Overwrite)
+        .parquet(sinkDir)
+      finally spark.conf.set(key, prev)
+      val n = obs.get("n").asInstanceOf[Long]
     // staging is transient; a leftover from a crash is overwritten by
     // the next run, deletion is just hygiene
     def rm(f: java.io.File): Unit = {
@@ -223,8 +240,9 @@ object Pipeline {
       if (kids != null) kids.foreach(rm)
       f.delete(): Unit
     }
-    rm(new java.io.File(staging))
-    n
+      rm(new java.io.File(staging))
+      n
+    } finally updates.unpersist(): Unit
   }
 
   /** Row-level keyed DELETE (the GDPR / right-to-be-forgotten verb —
@@ -283,16 +301,27 @@ object Pipeline {
       if (affected.contains(null)) inNonNull || col(partitionCol).isNull
       else inNonNull
     val existing = sink.filter(partFilter)
-    val before = existing.count()
-    val keep = existing.join(keyFrame, keyCols.toIndexedSeq, "left_anti")
+    // both counts ride the staging write as observations (the
+    // runIncremental load-report discipline): `before` observes rows
+    // ENTERING the anti-join, `after` rows surviving it — the pre-r13
+    // shape paid a separate existing.count() scan, a staged.isEmpty
+    // probe and a staged.count() re-read (3 extra jobs per call; the
+    // bench delete entry calls this twice)
+    val obsB = org.apache.spark.sql.Observation()
+    val obsA = org.apache.spark.sql.Observation()
+    val keep = existing.observe(obsB, count(lit(1)).as("n"))
+      .join(keyFrame, keyCols.toIndexedSeq, "left_anti")
+      .observe(obsA, count(lit(1)).as("n"))
     val staging = s"$sinkDir/.delete_staging"
     keep.write.mode(SaveMode.Overwrite).parquet(staging)
+    val before = obsB.get("n").asInstanceOf[Long]
+    val after = obsA.get("n").asInstanceOf[Long]
     val staged = spark.read.parquet(staging)
     val confKey = "spark.sql.sources.partitionOverwriteMode"
     val prev = spark.conf.get(confKey, "static")
     spark.conf.set(confKey, "dynamic")
     try {
-      if (!staged.isEmpty)
+      if (after > 0L)
         staged.write.partitionBy(partitionCol)
           .mode(SaveMode.Overwrite).parquet(sinkDir)
     } finally spark.conf.set(confKey, prev)
@@ -315,7 +344,7 @@ object Pipeline {
         .getPartitionPathString(partitionCol, if (p == null) null else p.toString)
       rm(new java.io.File(s"$sinkDir/$dirName"))
     }
-    val deleted = before - staged.count()
+    val deleted = before - after
     rm(new java.io.File(staging))
     // post-condition — GDPR verb, verify don't trust: no surviving sink
     // row may match a requested key. A fully-emptied sink has no parquet

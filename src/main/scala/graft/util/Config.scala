@@ -52,6 +52,23 @@ object Config {
       .orElse(sys.env.get("SPARK_GRAFT_CACHE_BUCKETS"))
       .map(_.trim.toInt).getOrElse(8)
 
+  /** Whole-stage-codegen class-cache capacity
+    * (`spark.sql.codegen.cache.maxEntries`, Spark default 100). The
+    * declared surface is ~240 distinct queries × ~8 codegen units each,
+    * so under the default the janino cache thrashes: by the time the
+    * bench's timed pass (or Verify's oracle pass) re-runs a query, its
+    * generated classes are long evicted and every single query pays
+    * full recompilation (measured r13: 0.3-1.5 s/query; a 10-query
+    * interleaved A/B read 21.6 s → 16.2 s total at WORSE steal).
+    * Production analog: any long-running driver serving a large query
+    * corpus sizes this cache to its working set — the cost is a bounded
+    * set of compiled classes on the driver heap, independent of data
+    * scale or core count. 4000 covers the full surface with headroom. */
+  def codegenCacheEntries: String =
+    sys.props.get("graft.codegenCacheEntries")
+      .orElse(sys.env.get("SPARK_GRAFT_CODEGEN_CACHE"))
+      .getOrElse("4000")
+
   /** Trailing bench artifacts (comma list of paths) for the per-query
     * suspect-head guard in [[graft.Bench]]; entries recorded at a
     * different SF dir are ignored at read time. */
