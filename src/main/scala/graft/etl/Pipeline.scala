@@ -113,7 +113,14 @@ object Pipeline {
     // load's date span and source-event coverage for operational
     // logging, all from the single pass.
     val obs = org.apache.spark.sql.Observation()
-    val audited = daily.observe(obs,
+    // cluster the write by its partition column (guide §6 small-files
+    // rule): without it every shuffle partition holding rows of a date
+    // opens its own file there — the sink grew ~(partitions × dates)
+    // tiny files per load and every downstream read/listing (the CoW
+    // upsert re-reads the sink each call) paid for them. One writer
+    // task per date ⇒ one file per date; at production volume the same
+    // repartition bounds files at |dates| × ⌈rows/maxRecordsPerFile⌉.
+    val audited = daily.repartition(col("date")).observe(obs,
       count(lit(1)).as("rows_loaded"),
       coalesce(sum(col("n")), lit(0L)).as("events_covered"),
       min(col("date")).as("first_date"),
@@ -193,7 +200,8 @@ object Pipeline {
       // observe rides the write: counting the loaded rows costs zero
       // extra jobs (the runIncremental load-report discipline)
       val obs0 = org.apache.spark.sql.Observation()
-      updates.observe(obs0, count(lit(1)).as("n"))
+      updates.repartition(col(partitionCol)) // one file per partition value
+        .observe(obs0, count(lit(1)).as("n"))
         .write.partitionBy(partitionCol).mode(SaveMode.Append).parquet(sinkDir)
       return obs0.get("n").asInstanceOf[Long]
     }
@@ -224,9 +232,12 @@ object Pipeline {
       val prev = spark.conf.get(key, "static")
       spark.conf.set(key, "dynamic")
       // the row count rides the overwrite itself — the pre-r13 shape
-      // re-read the staged parquet a second time just to count it
+      // re-read the staged parquet a second time just to count it —
+      // and the write clusters by the partition column (one file per
+      // replaced partition, the runIncremental small-files rule)
       val obs = org.apache.spark.sql.Observation()
-      try staged.observe(obs, count(lit(1)).as("n"))
+      try staged.repartition(col(partitionCol))
+        .observe(obs, count(lit(1)).as("n"))
         .write
         .partitionBy(partitionCol)
         .mode(SaveMode.Overwrite)
@@ -322,7 +333,8 @@ object Pipeline {
     spark.conf.set(confKey, "dynamic")
     try {
       if (after > 0L)
-        staged.write.partitionBy(partitionCol)
+        staged.repartition(col(partitionCol)) // one file per kept partition
+          .write.partitionBy(partitionCol)
           .mode(SaveMode.Overwrite).parquet(sinkDir)
     } finally spark.conf.set(confKey, prev)
     // partitions the delete emptied never appear in the staged frame —

@@ -279,24 +279,62 @@ object Relational {
       // the oracle pins to TRUE — percentile_approx(accuracy=1000)
       // guarantees rank error ≤ 1/1000, and each estimate is checked
       // against the EXACT percentiles at p ± 0.01, a 10× margin that
-      // keeps the booleans deterministic (the exact band edges are the
-      // same interpolated values on any partitioning — they never
+      // keeps the booleans deterministic (the exact band edges never
       // enter the output, only the comparison).
-      Tables.spread(Tables.lineitem(s, dir), "l_orderkey")
+      //
+      // r13: the band edges come from the distributed rank-pick (the
+      // q_percentile machinery) instead of the built-in `percentile`
+      // aggregate — the built-in buffers EVERY group value in an
+      // in-memory map per task (r13 JobProf: 12 s of task CPU at sf0.1,
+      // and an OOM by construction at 100 TB — the exact anti-pattern
+      // q_percentile's scaladoc documents). The sketch pass is
+      // unchanged; only the audit side's exact percentiles are now
+      // computed by global range sort + rank selection, interpolated
+      // with the same straddle-contribution form q_percentile pins.
+      // The 10× rank margin (±0.01·n vs n/1000 sketch error) keeps the
+      // booleans TRUE regardless of which exact interpolation form
+      // produced the edges.
+      val li = Tables.spread(Tables.lineitem(s, dir), "l_orderkey")
+        .select($"l_returnflag", $"l_extendedprice")
+      val counted = Scale.groupCounts(
+        li.filter($"l_returnflag".isNotNull && $"l_extendedprice".isNotNull),
+        "l_returnflag")
+      val ps = Seq(0.09, 0.11, 0.49, 0.51, 0.89, 0.91)
+      def straddle(p: Double, n: Long): Seq[Long] = {
+        val pos = p * (n - 1).toDouble
+        Seq(math.floor(pos).toLong + 1, math.ceil(pos).toLong + 1)
+      }
+      val picked = Scale.rankPickBy(s,
+        li.select($"l_returnflag", $"l_extendedprice".as("v")),
+        "l_returnflag", "v",
+        (_, n) => ps.flatMap(straddle(_, n)).distinct,
+        precounted = Some(counted))
+      val counts = counted.toDF("l_returnflag", "n")
+      def pos(p: Double) = lit(p) * ($"n" - 1).cast("double")
+      def edge(p: Double): Column =
+        sum(when($"rn".cast("double") - 1 === floor(pos(p)),
+              when(floor(pos(p)) === ceil(pos(p)), $"v")
+                .otherwise($"v" * (ceil(pos(p)) - pos(p))))
+            .when($"rn".cast("double") - 1 === ceil(pos(p)),
+              $"v" * (pos(p) - floor(pos(p)))))
+      val edges = picked.join(broadcast(counts), "l_returnflag")
         .groupBy($"l_returnflag")
+        .agg(edge(0.09).as("e09"), edge(0.11).as("e11"),
+          edge(0.49).as("e49"), edge(0.51).as("e51"),
+          edge(0.89).as("e89"), edge(0.91).as("e91"))
+      li.groupBy($"l_returnflag")
         .agg(
           expr("percentile_approx(l_extendedprice, array(0.1, 0.5, 0.9), 1000)")
             .as("pcts"),
-          expr("percentile(l_extendedprice, array(0.09, 0.11, 0.49, 0.51, 0.89, 0.91))")
-            .as("ex"),
           count(lit(1)).as("n_rows"))
+        .join(broadcast(edges), "l_returnflag")
         .select($"l_returnflag", $"n_rows",
-          (element_at($"pcts", 1) >= element_at($"ex", 1) &&
-            element_at($"pcts", 1) <= element_at($"ex", 2)).as("p10_in_band"),
-          (element_at($"pcts", 2) >= element_at($"ex", 3) &&
-            element_at($"pcts", 2) <= element_at($"ex", 4)).as("p50_in_band"),
-          (element_at($"pcts", 3) >= element_at($"ex", 5) &&
-            element_at($"pcts", 3) <= element_at($"ex", 6)).as("p90_in_band"))
+          (element_at($"pcts", 1) >= $"e09" &&
+            element_at($"pcts", 1) <= $"e11").as("p10_in_band"),
+          (element_at($"pcts", 2) >= $"e49" &&
+            element_at($"pcts", 2) <= $"e51").as("p50_in_band"),
+          (element_at($"pcts", 3) >= $"e89" &&
+            element_at($"pcts", 3) <= $"e91").as("p90_in_band"))
         .orderBy($"l_returnflag")
     },
     """SELECT l_returnflag, COUNT(*) AS n_rows,

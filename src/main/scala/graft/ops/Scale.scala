@@ -375,18 +375,49 @@ object Scale {
     // each group's rows start at the cumulative count of earlier groups
     val offsets = counts.scanLeft(("", 0L)) { case ((_, acc), (g, n)) =>
       (g, acc + n)
-    }.sliding(2).collect { case Seq((_, off), (g, _)) => g -> off }.toMap
-    val targets: Map[String, Set[Long]] =
-      counts.map { case (g, n) => g -> ranksFor(g, n).toSet }.toMap
+    }.sliding(2).collect { case Seq((_, off), (g, _)) => g -> off }.toSeq
+    val targetRows: Seq[(String, Long)] = counts.flatMap { case (g, n) =>
+      ranksFor(g, n).toSet[Long].map(g -> _)
+    }
+    // Global ranks WITHOUT the former rdd.zipWithIndex round-trip (r13):
+    // .rdd deserialized every sorted row out of Tungsten, the flatMap ran
+    // interpreted, createDataFrame re-serialized — and zipWithIndex's
+    // internal count job executed the whole range sort a SECOND time
+    // (the un-cached lineage re-ran for the main job). Instead: persist
+    // the sorted frame once; a range sort orders partitions by index, so
+    // global rank = (rows in earlier partitions) + within-partition
+    // index + 1, with the within-partition index decoded from
+    // monotonically_increasing_id (pid·2³³ + row index — its documented
+    // layout) and per-partition counts from one tiny cached-read job.
+    // Everything stays in whole-stage codegen; the rank filter is a
+    // broadcast semi join on the (group, rn) target set; the |picked|
+    // result (|groups|·|ranks| rows) is localCheckpointed eagerly so the
+    // sort cache can be released before the caller composes on top.
     val sorted = clean.select(col(groupCol), col(valCol).cast("double"))
       .sort(col(groupCol), col(valCol))
-    val offB = spark.sparkContext.broadcast((offsets, targets))
-    val picked = sorted.rdd.zipWithIndex().flatMap { case (row, gi) =>
-      val g = row.getString(0)
-      val (offs, tgts) = offB.value
-      val rn = gi - offs(g) + 1
-      if (tgts(g).contains(rn)) Some(Row(g, rn, row.getDouble(1))) else None
-    }
-    spark.createDataFrame(picked, schema)
+      .select(col(groupCol), col(valCol),
+        spark_partition_id().as("_pid"),
+        monotonically_increasing_id().as("_mid"))
+      .persist()
+    try {
+      val pc = sorted.groupBy(col("_pid")).count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val maxPid = if (pc.isEmpty) 0 else pc.keys.max
+      val pidOff = (0 to maxPid).scanLeft(0L) { (acc, p) =>
+        acc + pc.getOrElse(p, 0L)
+      }.dropRight(1).zipWithIndex.map { case (off, p) => p -> off }.toMap
+      import spark.implicits._
+      val offDf = offsets.toDF(groupCol, "_goff")
+      val tgtDf = targetRows.toDF(groupCol, "rn")
+      val globalIdx = element_at(typedLit(pidOff), col("_pid")) +
+        (col("_mid") - shiftleft(col("_pid").cast("long"), 33))
+      val picked = sorted
+        .join(broadcast(offDf), Seq(groupCol))
+        .withColumn("rn", globalIdx - col("_goff") + 1L)
+        .join(broadcast(tgtDf), Seq(groupCol, "rn"), "left_semi")
+        .select(col(groupCol), col("rn"), col(valCol))
+        .localCheckpoint(eager = true)
+      picked
+    } finally sorted.unpersist(): Unit
   }
 }

@@ -1889,9 +1889,12 @@ FROM enc ORDER BY doc_id"""
       val cb = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("cb"))
       val model = cb.join(
         cb.groupBy($"w1").agg(sum($"cb").cast("long").as("cp")), "w1")
-      val vconst = Tables.documents(s, dir)
-        .select(explode(split($"text", " ")).as("word"))
-        .agg(count_distinct($"word").as("v"))
+      // |V| = row count of the memoized wordFreq unigram table (same
+      // distinct-word set by construction) — the former inline
+      // explode + count_distinct re-scanned the whole corpus and paid a
+      // global distinct shuffle per run (guide §2.4: a pass the
+      // once-per-ingest vocab table already embodies)
+      val vconst = wordFreq(s, dir).agg(count(lit(1)).as("v"))
       bg.join(broadcast(model), Seq("w1", "w2"))
         .crossJoin(broadcast(vconst))
         .select($"doc_id",
